@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-stream (batch-side) operators: as-of join and JSON parsing.
+  *
+  * The as-of join uses the union+window formulation: tag both sides, sort
+  * within each user by (ts, side, id) and carry the last-seen right row
+  * forward with `last(_, ignoreNulls)`. This scales — one shuffle on the
+  * key, no per-key Cartesian blowup — which is why it beats the naive
+  * join-then-filter-then-argmax at 100 TB (that one explodes on hot keys).
+  * DuckDB oracles it with its native ASOF JOIN.
+  */
+object Events {
+
+  val defs: Map[String, Q] = Map(
+    // For each 'click' event, the most recent 'purchase' (ts <= click ts)
+    // by the same user.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("side"), lit(null).cast(LongType).as("r_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("side"), col("event_id").as("r_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("matched_purchase", last(col("r_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"), col("matched_purchase"))
+        .orderBy("click_id")
+    }),
+    "q_from_json" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), schema).getField("k").as("k_parsed"),
+          col("event_type"))
+        .filter(col("k_parsed") >= 50)
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT l.event_id AS click_id, l.user_id, r.event_id AS matched_purchase
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY click_id""",
+    "q_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed, event_type
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+         ORDER BY event_id"""
+  )
+}

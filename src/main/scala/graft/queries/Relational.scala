@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational envelope: scans, filters, the join family, aggregations.
+  *
+  * Every query ends in a deterministic total ORDER BY and aliases every
+  * computed column identically to its DuckDB oracle (driver hash-compares
+  * after sorting columns by name). Floating-point aggregates are rounded on
+  * both sides — Spark and DuckDB sum doubles in different orders, so raw
+  * sums differ in the last ulps.
+  *
+  * Scale stance (100 TB): group-bys are partial-aggregated map-side by
+  * Catalyst; small dimension joins are explicitly `broadcast()`; the big
+  * fact-fact join relies on sort-merge + AQE. No collect() anywhere.
+  */
+object Relational {
+
+  val defs: Map[String, Q] = Map(
+    // -- aggregation family ------------------------------------------------
+    "q_agg_pricing" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1997-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(round(sum("l_quantity"), 2) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_agg_minmax" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+          round(round(sum("o_totalprice"), 2) / count(lit(1)), 6).as("avg_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_agg_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    // HLL sketch — approximate, so no SQL oracle (driver rows-only check).
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+    "q_agg_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("returnflag", "linestatus")
+    }),
+    "q_agg_cube" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("sum_price"), col("n_rows"))
+        .orderBy("orderstatus", "orderpriority")
+    }),
+
+    // -- filter / scan family ---------------------------------------------
+    // Predicate + projection both push to the parquet scan (PushedFilters).
+    "q_filter_pushdown" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_filter_in_between" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .filter(col("p_size").between(10, 20) &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    // -- join family -------------------------------------------------------
+    "q_join_broadcast" -> ((s, dir) => {
+      val nation = tbl(s, dir, "nation")
+      val region = tbl(s, dir, "region")
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    }),
+    "q_join_shuffle" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_join_multiway" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      val o = tbl(s, dir, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    }),
+    "q_join_semi" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q_join_outer" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+    // Theta join: equality on nation + inequality on balances.
+    "q_join_nonequi" -> ((s, dir) => {
+      val sup = tbl(s, dir, "supplier")
+      val c = tbl(s, dir, "customer")
+      sup.join(c, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s_nationkey")
+    }),
+    "q_join_cross" -> ((s, dir) => {
+      val r = tbl(s, dir, "region")
+      r.as("a").crossJoin(r.as("b"))
+        .select(col("a.r_name").as("r1"), col("b.r_name").as("r2"))
+        .orderBy("r1", "r2")
+    }),
+
+    // -- sort / limit / top-k ---------------------------------------------
+    "q_sort_limit" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_minmax" ->
+      """SELECT o_orderstatus,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price,
+         round(round(sum(o_totalprice), 2) / count(*), 6) AS avg_price,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY orderstatus, orderpriority""",
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_in_between" ->
+      """SELECT p_partkey, p_brand, p_size
+         FROM part WHERE p_size BETWEEN 10 AND 20
+         AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+         ORDER BY p_partkey""",
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_multiway" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_nonequi" ->
+      """SELECT s_nationkey, count(*) AS n_pairs
+         FROM supplier JOIN customer
+         ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q_join_cross" ->
+      """SELECT a.r_name AS r1, b.r_name AS r2
+         FROM region a CROSS JOIN region b ORDER BY r1, r2""",
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_orderpriority, rk"""
+  )
+}

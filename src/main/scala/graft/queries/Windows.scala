@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function family: ranking, offsets (lag/lead), running frames.
+  *
+  * Determinism: every window ORDER BY ends in a unique key tiebreak
+  * (orderkey/linenumber) so row_number / lag assignments are stable across
+  * engines and partition layouts.
+  */
+object Windows {
+
+  val defs: Map[String, Q] = Map(
+    "q_window_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("rnk", rank().over(byPrice))
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .filter(col("rn") <= 10)
+        .orderBy("l_returnflag", "rn")
+    }),
+    "q_window_lag_lead" -> ((s, dir) => {
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(byDate), 2))
+        .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(byDate), 2))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val frame = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(frame), 2))
+        .withColumn("running_n", count(lit(1)).over(frame))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_window_moving_avg" -> ((s, dir) => {
+      val last3 = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("mavg3", round(round(sum(col("o_totalprice")).over(last3), 2) / count(lit(1)).over(last3), 6))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_window_ntile_share" -> ((s, dir) => {
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val part = Window.partitionBy("o_orderpriority")
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(byPrice))
+        .withColumn("price_share",
+          round(col("o_totalprice") / sum(col("o_totalprice")).over(part), 6))
+        .orderBy("o_orderpriority", "o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn, rnk, drnk FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(rank() OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)) t
+         WHERE rn <= 10 ORDER BY l_returnflag, rn""",
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+         round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         round(sum(o_totalprice) OVER w, 2) AS running_total,
+         count(*) OVER w AS running_n
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         round(round(sum(o_totalprice) OVER w, 2) / count(*) OVER w, 6) AS mavg3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_ntile_share" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice ASC, o_orderkey ASC) AS INT) AS quartile,
+         round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) AS price_share
+         FROM orders ORDER BY o_orderpriority, o_orderkey"""
+  )
+}

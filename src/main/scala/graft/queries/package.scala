@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{timestamp_micros, expr, col}
+
+/** Query-catalog plumbing shared by every `graft.queries.*` module.
+  *
+  * Each module exposes `defs: Map[String, Q]` (name -> query over the test
+  * tables in a scale-factor directory) and `oracles: Map[String, String]`
+  * (equivalent ANSI SQL the driver runs in DuckDB over the same parquet).
+  * `SparkEntry` aggregates them all.
+  */
+package object queries {
+  /** A named catalog query: (session, sfDir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Read one driver test table (TESTDATA.md) from a scale-factor dir.
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright
+    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a microsecond
+    * TimestampType — the same truncation DuckDB applies, so oracle
+    * comparisons agree.
+    */
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every test table as a temp view (for spark.sql-based queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(n => tbl(spark, dir, n).createOrReplaceTempView(n))
+}
