@@ -19,7 +19,12 @@ object SparkEntry {
       (Windows.defs, Windows.oracles),
       (SetOps.defs, SetOps.oracles),
       (Scalars.defs, Scalars.oracles),
-      (Events.defs, Events.oracles)
+      (Events.defs, Events.oracles),
+      (LlmOps.defs, LlmOps.oracles),
+      (TextQueries.defs, TextQueries.oracles),
+      (UdfDemo.defs, UdfDemo.oracles),
+      (Multimodal.defs, Multimodal.oracles),
+      (StreamingQueries.defs, StreamingQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data operators: deduplication (exact, n-gram Jaccard,
+  * MinHash-LSH, SimHash) and embedding similarity search (brute-force and
+  * LSH-bucketed ANN). See graft.ops.Dedup / graft.ops.Similarity for the
+  * scale story of each.
+  */
+object LlmOps {
+
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("keep_id", "n_copies", "content_hash")
+        .orderBy("keep_id")),
+    // Exact character-3-gram Jaccard between consecutive doc ids — the
+    // verification kernel of near-dup detection, oracled exactly.
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh_a"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), Dedup.shingles(col("text"), 3).as("sh_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .orderBy("doc_id")
+    }),
+    // MinHash+LSH candidates verified with exact Jaccard (no SQL oracle —
+    // murmur-based signatures aren't expressible in DuckDB).
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val sigs = Dedup.minHashSignatures(d, "doc_id", "text")
+      val cands = Dedup.lshCandidatePairs(sigs)
+      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+      cands
+        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_x"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_y"), "id_b")
+        .withColumn("jac", Dedup.jaccard(col("sh_x"), col("sh_y")))
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+        .orderBy("id_a", "id_b")
+    }),
+    // SimHash signatures; near-dups share high bit-overlap (rows-only).
+    "q_dedup_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Brute-force exact top-5 via the codegen'd native Catalyst expression.
+    "q_sim_topk_native" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, 5,
+          (a, b) => cosine_sim(a, b))
+        .orderBy("query_id", "rnk")
+    }),
+    // Same semantics via built-in higher-order functions (zip_with/aggregate).
+    "q_sim_topk_hof" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") >= 20 && col("vec_id") < 40), e, 5)
+        .orderBy("query_id", "rnk")
+    }),
+    // LSH-bucketed ANN — the scale path (rows-only; approximate by design).
+    "q_sim_lsh_ann" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), dim = 64, k = 3, bits = 4)
+        .orderBy("query_id", "rnk")
+    }),
+    // Embedding-cosine near-dup pairs above a threshold, within label blocks.
+    "q_sim_threshold_pairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos") > 0.35)
+        .select(col("label"), col("id_a"), col("id_b"))
+        .orderBy("label", "id_a", "id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         sha256(text) AS content_hash
+         FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 1) + 1),
+             i -> substring(text, CAST(i AS INT), 3))) AS s
+           FROM documents)
+         SELECT a.doc_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         ORDER BY a.doc_id""",
+    "q_sim_topk_native" ->
+      """SELECT q.vec_id AS query_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS INT) AS rnk,
+           c.vec_id AS neighbor_id
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id < 20
+         QUALIFY rnk <= 5
+         ORDER BY query_id, rnk""",
+    "q_sim_topk_hof" ->
+      """SELECT q.vec_id AS query_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS INT) AS rnk,
+           c.vec_id AS neighbor_id
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id >= 20 AND q.vec_id < 40
+         QUALIFY rnk <= 5
+         ORDER BY query_id, rnk""",
+    "q_sim_threshold_pairs" ->
+      """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) > 0.35
+         ORDER BY a.label, id_a, id_b"""
+  )
+}

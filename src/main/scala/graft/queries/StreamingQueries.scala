@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions.col
+
+/** Structured Streaming catalog entries (M4). Each runs a file-source
+  * stream to completion with Trigger.AvailableNow into a memory sink and
+  * returns the materialized result, so the DuckDB batch oracle applies.
+  * Timestamps are emitted as epoch micros (BIGINT both sides).
+  */
+object StreamingQueries {
+
+  val defs: Map[String, Q] = Map(
+    "q_stream_tumbling" -> ((s, dir) =>
+      StreamOps.tumbling(s, dir).orderBy("win_start", "event_type")),
+    "q_stream_sliding" -> ((s, dir) =>
+      StreamOps.sliding(s, dir).orderBy("win_start")),
+    "q_stream_sessions" -> ((s, dir) =>
+      StreamOps.sessions(s, dir).orderBy("user_id", "sess_start")),
+    "q_stream_dedup" -> ((s, dir) =>
+      StreamOps.dedupKeys(s, dir).orderBy("user_id", "event_type")),
+    "q_stream_stateful" -> ((s, dir) =>
+      StreamOps.statefulCounts(s, dir).orderBy("user_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 6 HOURS, ts)) AS win_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY win_start, event_type
+         ORDER BY win_start, event_type""",
+    "q_stream_sliding" ->
+      """WITH b AS (SELECT epoch_us(time_bucket(INTERVAL 6 HOURS, ts)) AS b6 FROM events),
+         w AS (SELECT unnest([b6, b6 - 21600000000]) AS win_start FROM b)
+         SELECT win_start, count(*) AS n FROM w
+         GROUP BY win_start ORDER BY win_start""",
+    "q_stream_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1
+                  ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM x)
+         SELECT user_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_events
+         FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis catalog queries over `documents`: quality stats, token
+  * counting (whitespace + BPE-ish regex), language-ID heuristic, and
+  * rolling-hash fingerprinting. All pure Column expressions.
+  */
+object TextQueries {
+
+  val defs: Map[String, Q] = Map(
+    "q_text_stats" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(toks).as("n_tokens"),
+          // mean token length, deterministic: int sums then one division
+          round(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+            .cast("double") / size(toks), 6).as("avg_token_len"),
+          size(filter(toks, t => length(t) >= 6)).as("n_long_tokens"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+            .as("n_vowels"))
+        .orderBy("doc_id")
+    }),
+    "q_text_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr(s"regexp_extract_all(text, '${TextAnalysis.bpeishPattern}', 0)"))
+            .as("bpeish_tokens"))
+        .orderBy("doc_id")),
+    "q_text_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    // Corpus-level quality rollup by language.
+    "q_text_quality_by_lang" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      tbl(s, dir, "documents")
+        .select(col("lang"), length(col("text")).as("nc"), size(toks).as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nc").as("total_chars"),
+          round(sum("nc").cast("double") / sum("nt"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    })
+  )
+
+  private val markerCase = {
+    // CASE chain mirroring TextAnalysis.langId (en > es > fr > de > zh on ties)
+    val m = Map(
+      "en" -> "['the','and','of','to','in']",
+      "es" -> "['el','la','de','y','que']",
+      "fr" -> "['le','la','et','les','des']",
+      "de" -> "['der','die','und','das','ist']",
+      "zh" -> "['的','是','了','在','我']")
+    val score = (l: String) => s"len(list_intersect(string_split(text, ' '), ${m(l)}))"
+    val best = s"greatest(${Seq("en", "es", "fr", "de", "zh").map(score).mkString(", ")})"
+    s"""CASE WHEN ${score("en")} > 0 AND ${score("en")} = $best THEN 'en'
+             WHEN ${score("es")} > 0 AND ${score("es")} = $best THEN 'es'
+             WHEN ${score("fr")} > 0 AND ${score("fr")} = $best THEN 'fr'
+             WHEN ${score("de")} > 0 AND ${score("de")} = $best THEN 'de'
+             WHEN ${score("zh")} > 0 AND ${score("zh")} = $best THEN 'zh'
+             ELSE 'und' END"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS avg_token_len,
+         CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT) AS n_long_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
+         FROM documents ORDER BY doc_id""",
+    "q_text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_text_lang_id" ->
+      s"SELECT doc_id, lang, $markerCase AS pred_lang FROM documents ORDER BY doc_id",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+                            t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality_by_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
+           AS chars_per_token
+         FROM documents GROUP BY lang ORDER BY lang"""
+  )
+}

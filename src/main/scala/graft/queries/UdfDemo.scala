@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.functions.GeoMean
+import org.apache.spark.sql.functions._
+
+/** UDF-surface demos — one of each extension tier (SURVEY §2.7):
+  * Scala UDF, typed Aggregator UDAF, custom Catalyst Expression (see
+  * LlmOps.q_sim_topk_native), and a generator-style explode.
+  * The plain UDF is deliberately the only one in the catalog: everything
+  * else stays codegen-friendly.
+  */
+object UdfDemo {
+
+  val defs: Map[String, Q] = Map(
+    // Scala UDF (serialized closure — the slow path, shown once).
+    "q_udf_scale" -> ((s, dir) => {
+      val toFahrenheit = udf((c: Double) => c * 1.8 + 32)
+      tbl(s, dir, "events")
+        .select(col("event_id"), round(toFahrenheit(col("value")), 6).as("fahrenheit"))
+        .orderBy("event_id")
+    }),
+    // Typed Aggregator UDAF: geometric mean of order totals per status.
+    "q_udaf_geomean" -> ((s, dir) => {
+      val geo = udaf(GeoMean)
+      tbl(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(geo(col("o_totalprice")), 4).as("geo_mean"))
+        .orderBy("o_orderstatus")
+    }),
+    // Generator-style UDTF: explode a computed array into rows.
+    "q_udtf_explode" -> ((s, dir) =>
+      tbl(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          explode(sequence(lit(1), (col("s_suppkey") % 3 + 1).cast("int"))).as("slot"))
+        .orderBy("s_suppkey", "slot"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_udf_scale" ->
+      """SELECT event_id, round(value * 1.8 + 32, 6) AS fahrenheit
+         FROM events ORDER BY event_id""",
+    "q_udaf_geomean" ->
+      """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
+         FROM orders WHERE o_totalprice > 0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_udtf_explode" ->
+      """SELECT s_suppkey, CAST(unnest(range(1, s_suppkey % 3 + 2)) AS INT) AS slot
+         FROM supplier ORDER BY s_suppkey, slot"""
+  )
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming analogues of the batch operators, modeling the
+  * reference's monthly batch trigger as `Trigger.AvailableNow()` (process
+  * everything currently in the source, then stop — the idiomatic Spark
+  * shape of a scheduled batch ingest; SURVEY §1.4).
+  *
+  * Each op reads `events` as a file stream, runs through a watermarked
+  * stateful transform into an in-memory sink, and returns the materialized
+  * table — so the driver's batch-oracle comparison applies unchanged.
+  * At scale the memory sink becomes a parquet/Kafka sink; the transforms
+  * are identical.
+  */
+case class Ev(user_id: Long, value: Double)
+case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
+
+object StreamOps {
+
+  /** File-source stream over the events parquet (ns timestamps → micros).
+    * The file-stream source requires a *directory*, so the single parquet
+    * file is staged into one (in production this is the landing dir that
+    * new files drop into — exactly the reference's S3 ingest contract).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = new java.io.File(dir, "events.parquet")
+    val stage = new java.io.File(s"/root/repo/target/stream_src/${src.getParentFile.getName}")
+    stage.mkdirs()
+    java.nio.file.Files.copy(src.toPath, new java.io.File(stage, "events.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(schema).parquet(stage.getAbsolutePath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 6h windows: count + sum per (window, event_type). */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    runToTable(s, agg, "stream_tumbling", "complete")
+  }
+
+  /** Sliding 12h windows every 6h: per-window event counts. */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start"), col("n"))
+    runToTable(s, agg, "stream_sliding", "complete")
+  }
+
+  /** Session windows (30 min gap) per user. */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("sess_start"),
+        col("n_events"))
+    runToTable(s, agg, "stream_sessions", "complete")
+  }
+
+  /** Stateful dedup on (user_id, event_type) within the watermark; output
+    * is the kept key set (deterministic regardless of arrival order). */
+  def dedupKeys(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+    runToTable(s, deduped, "stream_dedup", "append")
+  }
+
+  /** Custom state machine via flatMapGroupsWithState: per-user running
+    * (count, sum) emitted once per batch. */
+  def statefulCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updated = eventsStream(s, dir)
+      .select(col("user_id"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserAgg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var sum = s0
+          rows.foreach { e => n += 1; sum += e.value }
+          state.update((n, sum))
+          Iterator(UserAgg(key, n, sum))
+      }
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    runToTable(s, updated, "stream_stateful", "update")
+  }
+}

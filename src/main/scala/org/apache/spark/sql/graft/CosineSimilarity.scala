@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two float vectors,
+  * accumulated in double precision (each element widened before multiply,
+  * so results agree with engines that compute over DOUBLE[]).
+  *
+  * A custom `Expression` with `doGenCode` keeps the hot loop inside
+  * whole-stage codegen — no row-at-a-time UDF boundary, no boxing of the
+  * float arrays. On a 100 TB similarity sweep this is the difference
+  * between a tight JIT'd loop and ~10x slower ScalaUDF serialization.
+  *
+  * Lives under `org.apache.spark.sql` because Spark 4 scopes the
+  * Column <-> Expression bridge (`classic.ExpressionUtils`) and
+  * `AbstractDataType` as `private[sql]`.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val xd = x(i).toDouble; val yd = y(i).toDouble
+      dot += xd * yd; na += xd * xd; nb += yd * yd; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xd = ctx.freshName("xd")
+      val yd = ctx.freshName("yd")
+      s"""
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int $i = 0; $i < $n; $i++) {
+          double $xd = (double) $a.getFloat($i);
+          double $yd = (double) $b.getFloat($i);
+          $dot += $xd * $yd; $na += $xd * $xd; $nb += $yd * $yd;
+        }
+        ${ev.value} = ($na == 0.0 || $nb == 0.0)
+          ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-API entry point: `cosine_sim($"a", $"b")`. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
