@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+import org.apache.spark.sql.functions._
+
+/** Unit tests for dedup / similarity / text-analysis kernels. */
+class LlmOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exactKeep collapses identical texts to min id") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactKeep(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(kept.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
+      == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: distinct char n-grams; short strings degrade gracefully") {
+    val df = Seq(("abcd", 1)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    assert(df.head().getSeq[String](0) == Seq("abc", "bcd"))
+    val short = Seq(("ab", 1)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    assert(short.head().getSeq[String](0) == Seq("ab"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq(("abcabc", "abcabc", "xyzwxy")).toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.jaccard(Dedup.shingles(col("a"), 3), Dedup.shingles(col("b"), 3)).as("same"),
+      Dedup.jaccard(Dedup.shingles(col("a"), 3), Dedup.shingles(col("c"), 3)).as("diff"))
+      .head()
+    assert(r.getAs[Double]("same") == 1.0)
+    assert(r.getAs[Double]("diff") == 0.0)
+  }
+
+  test("minhash LSH surfaces a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = (Seq((0L, base), (1L, base + "extra tail")) ++
+      (2L to 20L).map(i => (i, s"completely different content number $i with its own words")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minHashSignatures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: identical texts agree, and hamming distance to a near-dup is small") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(1L)) < hamming(m(0L), m(2L)))
+  }
+
+  test("native cosine expression agrees with HOF cosine and handles nulls") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      cosine_sim(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    val withNull = df.limit(1).select(cosine_sim(lit(null).cast("array<float>"), col("b")))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("bruteForceTopK ranks the exact nearest neighbour first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .orderBy("rnk").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("langId picks the marker-dominant language; fingerprint is stable") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de la abuela"))
+      .toDF("doc_id", "text")
+    val langs = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(2L) == "es")
+    val fp1 = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    val fp2 = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp1.toSeq == fp2.toSeq && fp1.distinct.length == 2)
+  }
+}
