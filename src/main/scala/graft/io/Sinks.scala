@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.lit
+
+/** Sinks (reference §2.1 S5, quirk Q8 resolved).
+  *
+  * The reference appends (pyspark_script.py:127-130), so a re-run of the
+  * same input duplicates every output row — idempotency lives only in Glue's
+  * job bookmarks. [[writeIdempotent]] fixes that at the data layer: output
+  * is partitioned by ingest date and re-runs overwrite exactly their own
+  * partition (`partitionOverwriteMode=dynamic`), leaving other dates
+  * untouched. At 100 TB this is also the layout that gives readers
+  * partition pruning on date predicates.
+  *
+  * The reference's `ignoreDataLocality` write option (Q7) is a read-side
+  * option and therefore a silent no-op; not carried.
+  */
+object Sinks {
+
+  /** Reference-faithful append-mode parquet write. */
+  def writeAppend(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Idempotent overwrite-by-partition write: same ingestDate re-run
+    * replaces only that partition. */
+  def writeIdempotent(df: DataFrame, path: String, ingestDate: String): Unit =
+    df.withColumn("ingest_date", lit(ingestDate))
+      .write
+      .partitionBy("ingest_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+}

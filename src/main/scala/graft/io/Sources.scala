@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** Source discovery + readers (reference §2.1 S1-S4, quirks resolved).
+  *
+  * Decisions recorded per SURVEY §2.8:
+  *  - Q1: the reference's eager hardcoded "dead read"
+  *    (pyspark_script.py:30) is dropped — no input matching the pattern is a
+  *    fast, explicit error, not a silent fallback.
+  *  - Q2: an empty listing returns None instead of crashing (KeyError at
+  *    pyspark_script.py:34).
+  *  - Q9: the date regex is anchored to the basename start (`^(\d{8})`,
+  *    the uploader's rule at upload_csv_to_s3.py:26), not the Glue script's
+  *    match-anywhere (pyspark_script.py:43) — one rule, documented.
+  *  - Explicit schema by default: inferSchema is an extra full pass over the
+  *    data and nondeterministic on dirty input; at 100 TB it is not viable.
+  *    A faithful inferSchema mode remains available.
+  */
+object Sources {
+
+  /** Reconstructed sensor-readings schema (FIXTURES.md §A; the reference
+    * infers it — pyspark_script.py:57-61). */
+  val readingsSchema: StructType = StructType(Seq(
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType),
+    StructField("samples", IntegerType),
+    StructField("temperature", DoubleType)))
+
+  private val datePrefix = "^(\\d{8})".r
+  private val basicDate = DateTimeFormatter.BASIC_ISO_DATE
+
+  /** Parse the leading yyyyMMdd of a filename; None if absent/invalid. */
+  def filenameDate(name: String): Option[LocalDate] =
+    datePrefix.findFirstMatchIn(name).flatMap { m =>
+      try Some(LocalDate.parse(m.group(1), basicDate))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }
+
+  /** List files under `dir` with the given suffix (Hadoop FS — works for
+    * file://, hdfs:// and s3a:// alike). Driver-side, like the reference's
+    * ListObjectsV2 loop (pyspark_script.py:26-36). */
+  def listFiles(spark: SparkSession, dir: String, suffix: String = ".csv"): Seq[String] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .map(_.getPath.toString)
+  }
+
+  /** The newest file by filename-encoded date — the reference's incremental
+    * contract ("process the latest measurement data"). Invalid dates are
+    * skipped, empty input yields None (Q2). */
+  def latestByFilenameDate(files: Seq[String]): Option[String] =
+    files.flatMap { f =>
+      val name = new Path(f).getName
+      filenameDate(name).map(_ -> f)
+    }.maxByOption(_._1).map(_._2)
+
+  /** CSV reader: explicit schema (default) or reference-faithful inference. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[StructType] = Some(readingsSchema)): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema match {
+      case Some(sch) => base.schema(sch).csv(path)
+      case None => base.option("inferSchema", "true").csv(path)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.io.{Pipeline, Sinks, Sources}
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end pipeline tests: latest-file selection (Q9 anchored rule),
+  * fail-fast on empty input (Q1/Q2), idempotent re-run (Q8). */
+class PipelineSpec extends SparkSpec {
+
+  private def mkSource(): String = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "pipe_src").toString
+    def write(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(dir, name),
+        ("start_time,end_time,samples,temperature" +: rows).mkString("\n").getBytes)
+    write("20230601_measurement_data.csv",
+      Seq("2023-06-01 00:00:00,2023-06-01 00:00:10,2,99.0"))
+    write("20230703_measurement_data.csv",
+      Seq("2023-07-03 00:00:00,2023-07-03 00:00:30,3,21.5",
+          "2023-07-03 01:00:00,2023-07-03 01:00:10,1,22.0"))
+    write("backup_20991231.csv", Seq("2023-01-01 00:00:00,2023-01-01 00:00:10,1,0.0"))
+    write("9999_bad_date.csv", Seq("2023-01-01 00:00:00,2023-01-01 00:00:10,1,0.0"))
+    dir
+  }
+
+  test("latest-file selection: anchored date prefix, invalid dates skipped") {
+    val dir = mkSource()
+    val files = Sources.listFiles(spark, dir)
+    assert(files.size == 4)
+    // backup_20991231.csv must NOT win: date must prefix the basename (Q9)
+    val latest = Sources.latestByFilenameDate(files)
+    assert(latest.exists(_.endsWith("20230703_measurement_data.csv")))
+  }
+
+  test("empty source fails fast (Q1/Q2 fixed: no silent fallback)") {
+    val empty = Files.createTempDirectory(Paths.get("target"), "pipe_empty").toString
+    intercept[IllegalStateException] {
+      Pipeline.run(spark, empty, empty + "_out")
+    }
+  }
+
+  test("pipeline expands the newest file only; idempotent re-run keeps counts") {
+    val dir = mkSource()
+    val out = dir + "_out"
+    val n1 = Pipeline.run(spark, dir, out)
+    assert(n1 == 4) // 3 + 1 samples from the 20230703 file
+    val firstRead = spark.read.parquet(out).count()
+    assert(firstRead == 4)
+    // re-run: same ingest_date partition overwritten, NOT appended (Q8)
+    Pipeline.run(spark, dir, out)
+    assert(spark.read.parquet(out).count() == 4)
+    // reference-faithful append mode duplicates instead
+    val out2 = dir + "_append"
+    Pipeline.run(spark, dir, out2, idempotent = false)
+    Pipeline.run(spark, dir, out2, idempotent = false)
+    assert(spark.read.parquet(out2).count() == 8)
+  }
+
+  test("explicit schema matches the inferSchema path on clean data") {
+    val dir = mkSource()
+    val f = dir + "/20230703_measurement_data.csv"
+    val explicit = Sources.readCsv(spark, f)
+    val inferred = Sources.readCsv(spark, f, schema = None)
+    assert(explicit.count() == inferred.count())
+    assert(explicit.schema.fieldNames.toSeq == inferred.schema.fieldNames.toSeq)
+  }
+}
