@@ -31,6 +31,17 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => shingleAt(text, i, n)))
 
+  /** Distinct token n-grams (word shingles). For natural text these have a
+    * far larger space than character n-grams, so unrelated documents share
+    * few of them — which keeps MinHash band-collision rates (~ J^rows) low
+    * and the LSH candidate set near-linear instead of quadratic. */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   /** Exact-dup groups: one row per distinct text, keeping the smallest id.
     * At scale: shuffle on sha2(text) — never on the raw text bytes. */
   def exactKeep(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -44,25 +55,33 @@ object Dedup {
     * a 32-bit hash of the shingle. Deterministic seeds.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 5, perms: Int = 32): DataFrame = {
+                        shingleN: Int = 3, perms: Int = 32): DataFrame = {
     val prime = 2147483647L // 2^31 - 1
     val rnd = new scala.util.Random(42)
     val coeffs = Seq.fill(perms)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
                                  rnd.nextInt(Int.MaxValue).toLong)
-    val sh = shingles(col(textCol), shingleN)
-    // hash(shingle) & 0xffffffffL: murmur3 as unsigned 32-bit
+    val sh = tokenShingles(col(textCol), shingleN)
+    // hash(shingle) & 0xffffffffL: murmur3 as unsigned 32-bit.
     val hashed = transform(sh, s => hash(s).cast("long").bitwiseAND(lit(0xffffffffL)))
-    val sig = array(coeffs.map { case (a, b) =>
-      array_min(transform(hashed, h => (h * a + b) % prime))
-    }: _*)
-    docs.select(col(idCol).as("doc_id"), sig.as("signature"))
+    // Explode + codegen'd min() aggregates instead of per-row array_min
+    // lambdas: higher-order-function lambdas are CodegenFallback (boxed,
+    // interpreted — measured ~3s/eval at 5k docs x 32 perms), while the
+    // exploded shape is whole-stage-codegen'd and partial-aggregates
+    // map-side, so the shuffle carries only `perms` longs per document.
+    val exploded = docs.select(col(idCol).as("doc_id"), explode(hashed).as("h"))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % prime).as(s"__m$i")
+    }
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(i => col(s"__m$i")): _*).as("signature"))
   }
 
   /** LSH banding: split the signature into bands of `rowsPerBand`, bucket by
     * the band's hash, self-join per (band, bucket) -> candidate pairs.
     * Returns distinct (id_a < id_b) candidate pairs.
     */
-  def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 8): DataFrame = {
     val perms = 32
     val bands = perms / rowsPerBand
     val banded = signatures.select(

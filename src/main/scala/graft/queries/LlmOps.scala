@@ -30,13 +30,27 @@ object LlmOps {
     // murmur-based signatures aren't expressible in DuckDB).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      val sigs = Dedup.minHashSignatures(d, "doc_id", "text")
-      val cands = Dedup.lshCandidatePairs(sigs)
-      val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+      // Both the LSH self-join and the verification reuse these lineages;
+      // without persist Spark recomputes the signature pipeline 4x.
+      // (perms longs per doc — a few MB even at 100x this corpus; at real
+      // scale this is a checkpoint to distributed storage instead.)
+      val sigs = Dedup.minHashSignatures(d, "doc_id", "text").persist()
+      val cands = Dedup.lshCandidatePairs(sigs).persist()
+      // Exact-Jaccard verification only for candidate docs: semi-join the
+      // (small) candidate id set before computing shingles, so the
+      // expensive shingling runs on ~|candidates| docs, not the corpus.
+      val candIds = cands
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val sh = d.join(broadcast(candIds), "doc_id")
+        .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
       cands
         .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_x"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_y"), "id_b")
-        .withColumn("jac", Dedup.jaccard(col("sh_x"), col("sh_y")))
+        // materialize the intersection size once (jaccard() would compute
+        // array_intersect twice per pair)
+        .withColumn("__inter", size(array_intersect(col("sh_x"), col("sh_y"))))
+        .withColumn("jac",
+          col("__inter").cast("double") / (size(col("sh_x")) + size(col("sh_y")) - col("__inter")))
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
         .orderBy("id_a", "id_b")

@@ -38,8 +38,8 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash LSH surfaces a planted near-duplicate") {
-    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
-    val docs = (Seq((0L, base), (1L, base + "extra tail")) ++
+    val base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).trim
+    val docs = (Seq((0L, base), (1L, base + " tail")) ++
       (2L to 20L).map(i => (i, s"completely different content number $i with its own words")))
       .toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(Dedup.minHashSignatures(docs, "doc_id", "text"))
