@@ -33,6 +33,14 @@ object IntervalExpand {
     * Mirrors pyspark_script.py:67-124 with the typed Column DSL (no string
     * `expr()` parsing). Output `start_time`/`end_time` are strings
     * `yyyy-MM-dd HH:mm:ss` in the session time zone.
+    *
+    * Execution shape deliberately differs from the reference's
+    * transform-into-array-of-structs-then-posexplode: higher-order-function
+    * lambdas are CodegenFallback (interpreted, per-element boxing), so we
+    * posexplode the bare index sequence and compute the formatted timestamps
+    * in a flat projection that whole-stage codegen compiles. The expression
+    * trees per output value are identical (`from_unixtime(unix_ts(start) +
+    * idx * delta)` over IEEE doubles), so output is bit-for-bit the same.
     */
   def faithful(df: DataFrame, sort: Boolean = true): DataFrame = {
     val sorted = if (sort) df.orderBy(col("start_time").asc) else df
@@ -43,20 +51,15 @@ object IntervalExpand {
       ).otherwise(lit(0)))
     // sequence(0, samples-1): samples=0 -> sequence(0,-1) = [0,-1] (Q3);
     // samples null -> null array -> row dropped by inner posexplode (Q4).
-    val withIdx = withDelta.withColumn("idx_array", sequence(lit(0), col("samples") - 1))
-    val expanded = withIdx
-      .withColumn("expanded_rows",
-        transform(col("idx_array"), idx => struct(
-          from_unixtime(unix_timestamp(col("start_time")) + idx * col("timedelta_per_sample"))
-            .as("start_time"),
-          from_unixtime(unix_timestamp(col("start_time")) + (idx + 1) * col("timedelta_per_sample"))
-            .as("end_time"))))
-      .drop("idx_array")
-    expanded
-      .select(col("*"), posexplode(col("expanded_rows")).as(Seq("index", "exploded_timestamps")))
-      .withColumn("start_time", col("exploded_timestamps").getField("start_time"))
-      .withColumn("end_time", col("exploded_timestamps").getField("end_time"))
-      .drop("expanded_rows", "index", "samples", "timedelta_per_sample", "exploded_timestamps")
+    withDelta
+      .withColumn("__start_s", unix_timestamp(col("start_time")))
+      .select(col("*"),
+        posexplode(sequence(lit(0), col("samples") - 1)).as(Seq("index", "__idx")))
+      .withColumn("start_time",
+        from_unixtime(col("__start_s") + col("__idx") * col("timedelta_per_sample")))
+      .withColumn("end_time",
+        from_unixtime(col("__start_s") + (col("__idx") + 1) * col("timedelta_per_sample")))
+      .drop("index", "__idx", "__start_s", "samples", "timedelta_per_sample")
   }
 
   /** Strict mode: null/non-positive `samples` emit zero rows; output keeps

@@ -17,24 +17,44 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Dot product in double precision via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm — same HOF summation shape as [[dot]], so
+    * `dot(a,b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))` is bit-identical to
+    * [[cosine]] while letting callers hoist the norms out of the pair loop. */
+  def sqNorm(a: Column): Column =
+    aggregate(transform(a.cast("array<double>"), x => x * x),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity in double precision via zip_with + aggregate. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
 
   /** Exact top-k neighbors for each query vector (excluding self).
-    * `sim` lets callers swap in the codegen'd native expression. */
+    * `sim` lets callers swap in the codegen'd native expression; the default
+    * (`null`) is HOF cosine with per-row norms precomputed *before* the
+    * pair join — HOF lambdas are interpreted (CodegenFallback), so moving
+    * 2 of the 3 array passes from O(|q|·|c|) pairs to O(|q|+|c|) rows cuts
+    * the dominant cost by ~3x while producing the identical IEEE result. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-                     sim: (Column, Column) => Column = cosine): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", sim(col("q_emb"), col("c_emb")))
+                     sim: (Column, Column) => Column = null): DataFrame = {
+    val norm = sqrt(sqNorm(col("embedding")))
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c0 = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored =
+      if (sim != null)
+        c0.join(broadcast(q0), col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", sim(col("q_emb"), col("c_emb")))
+      else
+        candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+            norm.as("c_norm"))
+          .join(broadcast(queries.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), norm.as("q_norm"))),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -60,13 +80,16 @@ object Similarity {
   /** Approximate top-k: neighbors restricted to the query's LSH bucket. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int,
               bits: Int = 8): DataFrame = {
+    val norm = sqrt(sqNorm(col("embedding")))
     val all = lshBuckets(embeddings, dim, bits)
     val q = lshBuckets(queries, dim, bits)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-    val scored = all.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm.as("q_norm"), col("bucket"))
+    val scored = all.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        norm.as("c_norm"), col("bucket"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

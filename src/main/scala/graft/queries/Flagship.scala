@@ -29,8 +29,11 @@ object Flagship {
       col("value"))
 
   val defs: Map[String, Q] = Map(
+    // sort=false: the catalog query imposes its own total ORDER BY for the
+    // oracle compare, so the reference's pre-expansion global sort (Q6)
+    // would be a second, wasted range-shuffle here. `entry` keeps it.
     "q_interval_expand" -> ((s, dir) =>
-      IntervalExpand.faithful(syntheticReadings(s, dir))
+      IntervalExpand.faithful(syntheticReadings(s, dir), sort = false)
         .orderBy("event_id", "start_time", "end_time")),
     "q_interval_expand_strict" -> ((s, dir) =>
       IntervalExpand.strict(syntheticReadings(s, dir))

@@ -82,13 +82,15 @@ object LlmOps {
         .orderBy("query_id", "rnk")
     }),
     // Embedding-cosine near-dup pairs above a threshold, within label blocks.
+    // Scored with the codegen'd native expression: the pair loop is the
+    // O(block^2) hot path, so it must stay inside whole-stage codegen.
     "q_sim_threshold_pairs" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
+        .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
         .filter(col("cos") > 0.35)
         .select(col("label"), col("id_a"), col("id_b"))
         .orderBy("label", "id_a", "id_b")

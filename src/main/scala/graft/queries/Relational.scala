@@ -78,6 +78,22 @@ object Relational {
         .orderBy("orderstatus", "orderpriority")
     }),
 
+    // GROUPING SETS: per-status and per-priority totals plus the grand total
+    // in one pass (one shuffle, expand-then-aggregate), instead of three
+    // separate group-bys unioned together.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("sum_price"), col("n_rows"))
+        .orderBy("orderstatus", "orderpriority")
+    }),
+
     // -- filter / scan family ---------------------------------------------
     // Predicate + projection both push to the parquet scan (PushedFilters).
     "q_filter_pushdown" -> ((s, dir) => {
@@ -163,6 +179,26 @@ object Relational {
         .orderBy("r1", "r2")
     }),
 
+    // Skew mitigation by salting: append a deterministic salt to the fact
+    // side's join key and replicate the other side once per salt value, so
+    // one pathologically hot key spreads over SALT shuffle partitions.
+    // AQE's skew-join split handles moderate skew on its own; explicit
+    // salting is the escape hatch for a single giant key AQE can't split
+    // (it must keep matching rows together unless the build side is
+    // replicated — which is exactly what the salt does). Result set is
+    // identical to the unsalted join, so the oracle is the plain join SQL.
+    "q_join_skew_salted" -> ((s, dir) => {
+      val salts = 8
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("f_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+      val o = tbl(s, dir, "orders")
+        .withColumn("d_salt", explode(sequence(lit(0), lit(salts - 1))))
+      li.join(o, col("l_orderkey") === col("o_orderkey") && col("f_salt") === col("d_salt"))
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    }),
+
     // -- sort / limit / top-k ---------------------------------------------
     "q_sort_limit" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -217,6 +253,18 @@ object Relational {
          round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY orderstatus, orderpriority""",
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY orderstatus, orderpriority""",
+    "q_join_skew_salted" ->
+      """SELECT o_orderstatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
