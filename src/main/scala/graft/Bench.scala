@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: first-touch costs (parquet footer reads, codegen /
+    // Janino compilation, shuffle machinery init) are session artifacts,
+    // not query costs — without this they all land on whichever query the
+    // Map happens to iterate first and distort its number by seconds.
+    queries.registerAll(spark, sfDir)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.table(t).limit(1).count())
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
+      .count().orderBy("k").count()
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>

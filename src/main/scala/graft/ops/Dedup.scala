@@ -51,31 +51,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature: for each of `perms` hash functions, the minimum over
-    * the document's shingle set of ((a_i * h + b_i) mod prime), where h is
-    * a 32-bit hash of the shingle. Deterministic seeds.
+    * the document's token-shingle set of ((a_i * h + b_i) mod prime), where
+    * h is a 32-bit hash of the shingle. Deterministic seeds.
+    *
+    * Delegates to the native [[org.apache.spark.sql.graft.MinHashSignature]]
+    * expression: one tight JVM loop per document inside whole-stage codegen,
+    * a narrow plan (no explode, no aggregate, no shuffle) emitting `perms`
+    * longs per doc. The DataFrame-composable shapes both lose: HOF lambdas
+    * (`transform`/`slice`) are CodegenFallback — per-element interpreted
+    * dispatch made shingling the dominant cost (4-5x slower, measured at 5k
+    * docs) — and the codegen-friendly explode/window shapes shuffle or
+    * generate the whole token stream, which IS the bottleneck at 100 TB.
+    * Null-text docs are dropped, matching the HOF pipeline where
+    * `transform(null)` -> inner explode emitted no rows.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, perms: Int = 32): DataFrame = {
-    val prime = 2147483647L // 2^31 - 1
-    val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(perms)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong,
-                                 rnd.nextInt(Int.MaxValue).toLong)
-    val sh = tokenShingles(col(textCol), shingleN)
-    // hash(shingle) & 0xffffffffL: murmur3 as unsigned 32-bit.
-    val hashed = transform(sh, s => hash(s).cast("long").bitwiseAND(lit(0xffffffffL)))
-    // Explode + codegen'd min() aggregates instead of per-row array_min
-    // lambdas: higher-order-function lambdas are CodegenFallback (boxed,
-    // interpreted — measured ~3s/eval at 5k docs x 32 perms), while the
-    // exploded shape is whole-stage-codegen'd and partial-aggregates
-    // map-side, so the shuffle carries only `perms` longs per document.
-    val exploded = docs.select(col(idCol).as("doc_id"), explode(hashed).as("h"))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % prime).as(s"__m$i")
-    }
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until perms).map(i => col(s"__m$i")): _*).as("signature"))
-  }
+                        shingleN: Int = 3, perms: Int = 32): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.MinHashSignature
+          .minhash_signature(col(textCol), shingleN, perms).as("signature"))
 
   /** LSH banding: split the signature into bands of `rowsPerBand`, bucket by
     * the band's hash, self-join per (band, bucket) -> candidate pairs.

@@ -41,11 +41,23 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming DF to completion (AvailableNow) into a memory sink. */
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink.
+    *
+    * Stateful operators allocate one state store per shuffle partition,
+    * each with per-batch checkpoint file IO — for a single-batch
+    * AvailableNow run that fixed cost dominates, so the stream runs with a
+    * reduced partition count (state here is tiny; a long-lived production
+    * stream with real state volume would keep the session default). The
+    * session value is restored after the query terminates.
+    */
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
