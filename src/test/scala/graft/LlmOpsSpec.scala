@@ -47,6 +47,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("native minhash signature: deterministic, similarity-sensitive, total on edge cases") {
+    val base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).trim
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base + " tail"),
+      (3L, "entirely different words everywhere"), (4L, ""), (5L, "one"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // every doc (even empty / sub-shingle-length text) gets a full signature
+    assert(sigs.size == 6 && sigs.values.forall(_.length == 32))
+    // identical text => identical signature (deterministic seeds)
+    assert(sigs(0L) == sigs(1L))
+    // near-dup shares far more minima than an unrelated doc
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(overlap(sigs(0L), sigs(2L)) > overlap(sigs(0L), sigs(3L)))
+    // null text is dropped, matching the old HOF pipeline's inner-explode
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(Dedup.minHashSignatures(withNull, "doc_id", "text").count() == 0)
+  }
+
   test("simhash: identical texts agree, and hamming distance to a near-dup is small") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
