@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** Co-located join via bucketing — the 100 TB layout story: a fact table
+  * bucketed by its join key joins a same-bucketed dimension with ZERO
+  * shuffle exchanges (both sides' output partitioning already satisfies the
+  * join's distribution requirement). At scale this turns the nightly
+  * fact-fact join from the dominant network cost into a local merge.
+  */
+class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("join on the bucket key plans without a shuffle exchange") {
+    import spark.implicits._
+    // Disable broadcast so the join would otherwise need a full shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1L to 1000L).map(i => (i % 97, i, i * 2.0)).toDF("k", "id", "v")
+      val dims = (0L to 96L).map(i => (i, s"name_$i")).toDF("k", "name")
+      facts.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("facts_b")
+      dims.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("dims_b")
+
+      val joined = spark.table("facts_b").join(spark.table("dims_b"), "k")
+        .groupBy("name").agg(sum("v").as("sv"))
+      val n = joined.count()
+      assert(n == 97)
+      val plan = joined.queryExecution.executedPlan
+      // the groupBy("name") aggregation legitimately shuffles; the join must not
+      val joinShuffles = collectWithSubqueries(plan) {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(joinShuffles.size <= 1,
+        s"expected only the post-join aggregate shuffle, got:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
