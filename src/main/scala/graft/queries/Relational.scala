@@ -78,6 +78,46 @@ object Relational {
         .orderBy("orderstatus", "orderpriority")
     }),
 
+    // Statistical aggregates (single pass, map-side partials like any agg).
+    "q_agg_stats" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+    // Exact percentiles (sort-based within group) + median.
+    "q_agg_percentiles" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(median(col("o_totalprice")), 4).as("med_price"),
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+        .orderBy("o_orderpriority")
+    }),
+    // Pivot: one output column per l_linestatus value (conditional agg).
+    "q_agg_pivot" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    }),
+    // collect_set + deterministic serialization (sorted, joined) — the
+    // grouped-list shape; string output keeps the oracle compare scalar.
+    "q_agg_collect" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag")
+    }),
+
     // GROUPING SETS: per-status and per-priority totals plus the grand total
     // in one pass (one shuffle, expand-then-aggregate), instead of three
     // separate group-bys unioned together.
@@ -253,6 +293,29 @@ object Relational {
          round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_rows
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY orderstatus, orderpriority""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_quantity), 6) AS sd_qty,
+         round(var_samp(l_quantity), 6) AS var_qty,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_percentiles" ->
+      """SELECT o_orderpriority,
+         round(median(o_totalprice), 4) AS med_price,
+         round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+         round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_collect" ->
+      """SELECT l_returnflag,
+         string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+         count(DISTINCT l_linestatus) AS n_statuses
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
          coalesce(o_orderpriority, 'ALL') AS orderpriority,

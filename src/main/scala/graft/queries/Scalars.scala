@@ -81,6 +81,20 @@ object Scalars {
           element_at(col("arr"), -1).as("last_el"))
         .orderBy("l_linenumber")
     }),
+    // Map type: construction, lookup, cardinality (scalar outputs so the
+    // DuckDB compare stays hash-stable).
+    "q_scalar_map" -> ((s, dir) => {
+      val m = map(
+        lit("size"), col("p_size").cast("double"),
+        lit("retail"), col("p_retailprice"))
+      tbl(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          element_at(m, "size").as("size_val"),
+          element_at(m, "retail").as("retail_val"),
+          size(m).as("m_size"))
+        .orderBy("p_partkey")
+    }),
     "q_json_get" -> ((s, dir) => {
       tbl(s, dir, "events")
         .select(
@@ -147,6 +161,12 @@ object Scalars {
          CAST(range(1, l_linenumber + 1)[-1] AS INT) AS last_el
          FROM (SELECT DISTINCT l_linenumber FROM lineitem)
          ORDER BY l_linenumber""",
+    "q_scalar_map" ->
+      """SELECT p_partkey,
+         (MAP {'size': CAST(p_size AS DOUBLE), 'retail': p_retailprice})['size'][1] AS size_val,
+         (MAP {'size': CAST(p_size AS DOUBLE), 'retail': p_retailprice})['retail'][1] AS retail_val,
+         CAST(cardinality(MAP {'size': CAST(p_size AS DOUBLE), 'retail': p_retailprice}) AS INT) AS m_size
+         FROM part ORDER BY p_partkey""",
     "q_json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",
