@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Multi-batch streaming semantics the single-batch AvailableNow oracle
+  * can't exercise: watermark-driven late-data drop, cross-batch dedup
+  * state, and state persistence in flatMapGroupsWithState. Each test
+  * drives a MemoryStream through explicit micro-batches with
+  * processAllAvailable() (deterministic replay — no wall-clock coupling).
+  */
+class StreamingSemanticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1688342400000L + min * 60000L) // 2023-07-03 00:00 UTC
+
+  test("watermark finalizes windows and drops late events (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum("v").as("sv"))
+      .select(col("window.start").cast("long").as("w"), col("sv"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events in window [0,10); max ts 9min -> watermark 4min,
+      // window not finalized yet -> append emits nothing
+      in.addData((ts(1), 1L), (ts(9), 2L))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").count() == 0)
+      // batch 2: ts 21min -> watermark 16min > 10 -> window [0,10) closes.
+      in.addData((ts(21), 10L))
+      q.processAllAvailable()
+      val closed = spark.table("wm_test").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(closed.toSeq == Seq((1688342400L, 3L)))
+      // batch 3: a very late event for the closed window is DROPPED -> the
+      // closed window's sum never changes, no duplicate emission
+      in.addData((ts(2), 100L))
+      q.processAllAvailable()
+      val after = spark.table("wm_test").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.toSeq == Seq((1688342400L, 3L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "b"), (ts(1), "a"))
+      q.processAllAvailable()
+      // duplicate "a" arriving in a LATER batch, still within the watermark
+      in.addData((ts(3), "a"))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_test").collect().map(_.getString(1)).sorted
+      assert(keys.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((key, n, s))
+      }.toDF("user", "n", "s")
+    val q = counts.writeStream.format("memory").queryName("state_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((7L, 1.0), (7L, 2.0))
+      q.processAllAvailable()
+      in.addData((7L, 4.0))
+      q.processAllAvailable()
+      // update mode emits one row per batch; the LAST reflects merged state
+      val rows = spark.table("state_test").filter(col("user") === 7)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(rows.last == ((3L, 7.0)))
+      assert(rows.head == ((2L, 3.0)))
+    } finally q.stop()
+  }
+}
