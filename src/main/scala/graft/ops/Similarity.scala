@@ -77,6 +77,56 @@ object Similarity {
     df.withColumn("bucket", sig)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` inverted lists; each query scores only the lists
+    * of its `nProbe` nearest centroids. Candidate fan-in per query drops
+    * from N to ~N·nProbe/nLists, and — unlike LSH — list sizes are balanced
+    * by construction, so no bucket blows up on skewed data.
+    *
+    * Scale shape: centroids are tiny (nLists × dim) and ship as literals
+    * inside the probe expression (broadcast, no shuffle); the corpus is
+    * assigned once (narrow map via the fitted model) and can be written
+    * out partitioned by `list_id` so each probe reads only its lists'
+    * partitions. Scoring uses the codegen'd native cosine expression.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+    val feat = embeddings
+      .withColumn("__fv", array_to_vector(col("embedding").cast("array<double>")))
+    // Coarse quantization needs rough balance, not converged clusters:
+    // random init + few iterations keeps the fit to a handful of Spark
+    // jobs (k-means|| init alone runs ~2 jobs per round over the corpus).
+    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
+      .setInitMode("random").setFeaturesCol("__fv").fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    def centroidLit(i: Int): Column = array(centroids(i).map(v => lit(v)).toSeq: _*)
+    val assigned = model.transform(feat)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("prediction").as("list_id"))
+    // per-query probe list: nProbe centroids by cosine, deterministic ties
+    val probeSims = array((0 until nLists).map { i =>
+      struct(lit(i).as("list_id"), cosine_sim(col("q_emb"), centroidLit(i)).as("csim"))
+    }: _*)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("p.csim").desc, col("p.list_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"), explode(probeSims).as("p"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("p.list_id").as("list_id"))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
   /** Approximate top-k: neighbors restricted to the query's LSH bucket. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int,
               bits: Int = 8): DataFrame = {

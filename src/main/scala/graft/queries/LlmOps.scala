@@ -81,6 +81,12 @@ object LlmOps {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), dim = 64, k = 3, bits = 4)
         .orderBy("query_id", "rnk")
     }),
+    // IVF ANN — k-means inverted lists, balanced by construction (rows-only).
+    "q_sim_ivf_ann" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), k = 3, nLists = 8, nProbe = 2)
+        .orderBy("query_id", "rnk")
+    }),
     // Embedding-cosine near-dup pairs above a threshold, within label blocks.
     // Scored with the codegen'd native expression: the pair loop is the
     // O(block^2) hot path, so it must stay inside whole-stage codegen.

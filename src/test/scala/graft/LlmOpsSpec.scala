@@ -103,6 +103,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(top == Seq(1L, 2L))
   }
 
+  test("ivfTopK finds the planted nearest neighbour within its probed list") {
+    // two well-separated clusters around (1,0,...) and (0,1,...); with
+    // nLists=2/nProbe=1 each query stays inside its own inverted list
+    val mk = (base: Int, i: Int) =>
+      Array.tabulate(4)(d => (if (d == base) 1.0f else 0.0f) + i * 0.01f)
+    val vecs = ((0 until 10).map(i => (i.toLong, mk(0, i))) ++
+      (10 until 20).map(i => (i.toLong, mk(1, i - 10)))).toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), k = 3,
+        nLists = 2, nProbe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // all neighbours come from cluster 0 (ids 1..9), never cluster 1
+    assert(top.nonEmpty && top.forall(_ < 10))
+  }
+
   test("langId picks the marker-dominant language; fingerprint is stable") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
