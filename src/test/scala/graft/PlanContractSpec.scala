@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{Dedup, IntervalExpand}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts for the scale-critical operators: these encode
+  * the `.explain` audits as assertions so a regression (lost pushdown, a
+  * broadcast degrading to shuffle, an operator growing an exchange) fails
+  * the suite instead of only showing up as a slow benchmark.
+  */
+class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  test("filter + projection push down to the parquet scan") {
+    val scans = collectWithSubqueries(plan("q_filter_pushdown")) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("LessThan(l_quantity,5.0)"),
+      s"missing pushed filter: ${scan.metadata("PushedFilters")}")
+    // column pruning: only the 4 projected columns are read
+    assert(scan.schema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
+  }
+
+  test("dimension join plans as a broadcast hash join") {
+    val bhj = collectWithSubqueries(plan("q_join_broadcast")) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "nation x region should broadcast")
+  }
+
+  test("interval expansion is narrow: the only exchange is the explicit sort") {
+    val df = IntervalExpand.faithful(
+      graft.queries.Flagship.syntheticReadings(spark, sfDir), sort = false)
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"expansion must not shuffle:\n$df")
+  }
+
+  test("native minhash signatures plan with zero exchanges") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigs = Dedup.minHashSignatures(d, "doc_id", "text")
+    val exchanges = collectWithSubqueries(sigs.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "signature computation must be map-only")
+  }
+
+  test("top-k per group plans a single shuffle (window) plus the output sort") {
+    val exchanges = collectWithSubqueries(plan("q_topk_per_group")) {
+      case e: ShuffleExchangeExec => e
+    }
+    // one hash exchange for the window partition, one range for ORDER BY
+    assert(exchanges.size <= 2, s"unexpected extra shuffles: ${exchanges.size}")
+  }
+}
