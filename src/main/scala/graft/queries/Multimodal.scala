@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/featurized by a pluggable kernel.
@@ -8,20 +10,37 @@ import org.apache.spark.sql.functions._
   * The decode step is a clearly-marked STUB (no image/audio codecs in this
   * container): a deterministic fake that maps the first 16 bytes to a
   * normalized float feature vector. Everything around it — binary encoding,
-  * metadata struct, batch-friendly UDF signature (`Array[Byte] =>
-  * Array[Float]`), per-partition execution — is the real pipeline shape:
-  * swap the stub body for a JNI/codec call and nothing else changes.
+  * metadata struct, per-partition batch execution — is the real pipeline
+  * shape: swap [[StubCodec.decode]] for a JNI/codec call and nothing else
+  * changes.
   */
 object Multimodal {
 
-  /** STUB decoder — stands in for image/audio decode + feature extraction. */
-  private val decodeStub = udf((bytes: Array[Byte]) => {
-    if (bytes == null) null
-    else {
-      val n = math.min(bytes.length, 16)
-      Array.tabulate(16)(i => if (i < n) (bytes(i) & 0xff).toFloat / 255f else 0f)
-    }
-  })
+  /** STUB codec — stands in for an image/audio decoder whose *construction*
+    * is expensive (native lib load, model weights). Instantiated once per
+    * partition by [[decodeBatch]], reused across that partition's rows. */
+  final class StubCodec {
+    def decode(bytes: Array[Byte]): Array[Float] =
+      if (bytes == null) null
+      else {
+        val n = math.min(bytes.length, 16)
+        Array.tabulate(16)(i => if (i < n) (bytes(i) & 0xff).toFloat / 255f else 0f)
+      }
+  }
+
+  /** Batch decode via mapPartitions — the one place the library drops below
+    * the DataFrame API, and the canonical reason to: per-partition codec
+    * init amortized over the partition's rows, rows streamed (no
+    * materialization of the whole partition). Input must carry a binary
+    * `media` column; output appends `features: array<float>`. */
+  def decodeBatch(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("features", ArrayType(FloatType))
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      val codec = new StubCodec // once per partition, NOT per row
+      rows.map(r => Row.fromSeq(r.toSeq :+ codec.decode(r.getAs[Array[Byte]](mediaIdx))))
+    }(Encoders.row(outSchema))
+  }
 
   val defs: Map[String, Q] = Map(
     // Metadata path: binary payload + typed metadata struct (oracled).
@@ -34,11 +53,12 @@ object Multimodal {
             lit("text/plain").as("mime")).as("meta"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), col("meta.mime").as("mime"))
         .orderBy("doc_id")),
-    // Decode path: binary -> feature vector via the stub kernel (rows-only).
+    // Decode path: binary -> feature vector via the per-partition batch
+    // codec (rows-only).
     "q_multimodal_decode" -> ((s, dir) =>
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
-        .withColumn("features", decodeStub(col("media")))
+      decodeBatch(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")))
         .select(col("doc_id"),
           size(col("features")).as("n_features"),
           round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x) / 16.0, 6)

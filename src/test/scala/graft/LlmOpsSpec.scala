@@ -117,6 +117,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.forall(_ < 10))
   }
 
+  test("multimodal decodeBatch appends per-row features; null media stays null") {
+    import graft.queries.Multimodal
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "txt")
+      .select(col("doc_id"), encode(col("txt"), "UTF-8").as("media"))
+      .unionByName(Seq(3L).toDF("doc_id").withColumn("media", lit(null).cast("binary")))
+    val out = Multimodal.decodeBatch(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[scala.collection.Seq[Float]]("features"))).toMap
+    assert(out(1L).get.length == 16)
+    assert(out(1L).get.head == 'a'.toInt / 255f)
+    assert(out(2L).get.forall(_ == 0f))
+    assert(out(3L).isEmpty)
+  }
+
   test("langId picks the marker-dominant language; fingerprint is stable") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
