@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.{Dedup, IntervalExpand}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+// Throwaway scaling probe: times the narrow flagship ops at 1x and 10x
+// input to confirm linear behavior. Not part of the driver contract.
+object ScaleProbeMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    def x10(df: DataFrame, idCol: String): DataFrame =
+      (0 until 10).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+
+    val readings = graft.queries.Flagship.syntheticReadings(spark, dir).cache()
+    readings.count()
+    time("interval_expand 1x")(IntervalExpand.faithful(readings, sort = false).count())
+    val readings10 = x10(readings, "event_id").cache()
+    readings10.count()
+    time("interval_expand 10x")(IntervalExpand.faithful(readings10, sort = false).count())
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+    docs.count()
+    time("minhash signatures 1x")(Dedup.minHashSignatures(docs, "doc_id", "text").count())
+    val docs10 = x10(docs, "doc_id").cache()
+    docs10.count()
+    time("minhash signatures 10x")(Dedup.minHashSignatures(docs10, "doc_id", "text").count())
+    time("minhash+lsh pairs 10x")(
+      Dedup.lshCandidatePairs(Dedup.minHashSignatures(docs10, "doc_id", "text")).count())
+    spark.stop()
+  }
+}
