@@ -53,6 +53,39 @@ object Multimodal {
             lit("text/plain").as("mime")).as("meta"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), col("meta.mime").as("mime"))
         .orderBy("doc_id")),
+    // Resize path: media -> smaller media (stub: keep the first quarter of
+    // the bytes — stands in for a thumbnail/downsample kernel). The sliced
+    // binary is materialized; the oracle checks the byte accounting.
+    "q_multimodal_resize" -> ((s, dir) => {
+      val media = encode(col("text"), "UTF-8")
+      val target = greatest(ceil(length(media) / lit(4.0)).cast("int"), lit(1))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), media.as("media"), target.as("target"))
+        .withColumn("resized", col("media").substr(lit(1), col("target")))
+        .select(col("doc_id"),
+          length(col("media")).as("orig_bytes"),
+          length(col("resized")).as("resized_bytes"))
+        .orderBy("doc_id")
+    }),
+    // Frame-sampling path: fixed 32-byte "frames", keep every 4th — the
+    // video keyframe-sampling shape (binary slicing via sequence+transform,
+    // then an indexed filter).
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = encode(col("text"), "UTF-8")
+      // floor at 1: sequence(0, -1) would step DOWNWARD ([0,-1], SURVEY Q3)
+      // for empty media; an empty doc is one empty frame instead
+      val nFrames = greatest(ceil(length(media) / lit(32.0)).cast("int"), lit(1))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), media.as("media"), nFrames.as("n_frames"))
+        .withColumn("frames",
+          transform(sequence(lit(0), col("n_frames") - 1),
+            i => col("media").substr(i * 32 + 1, lit(32))))
+        .withColumn("sampled", filter(col("frames"), (_, i) => i % 4 === 0))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("sampled")).as("n_sampled"),
+          length(element_at(col("sampled"), 1)).as("first_frame_bytes"))
+        .orderBy("doc_id")
+    }),
     // Decode path: binary -> feature vector via the per-partition batch
     // codec (rows-only).
     "q_multimodal_decode" -> ((s, dir) =>
@@ -71,6 +104,17 @@ object Multimodal {
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          'text/plain' AS mime
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
+         CAST(greatest(ceil(octet_length(encode(text)) / 4.0), 1) AS INT) AS resized_bytes
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+         CAST(greatest(ceil(octet_length(encode(text)) / 32.0), 1) AS INT) AS n_frames,
+         CAST(ceil(greatest(ceil(octet_length(encode(text)) / 32.0), 1) / 4.0) AS INT) AS n_sampled,
+         CAST(least(octet_length(encode(text)), 32) AS INT) AS first_frame_bytes
          FROM documents ORDER BY doc_id"""
   )
 }
