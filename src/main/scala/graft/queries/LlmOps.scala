@@ -87,6 +87,32 @@ object LlmOps {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), k = 3, nLists = 8, nProbe = 2)
         .orderBy("query_id", "rnk")
     }),
+    // Deterministic train/val/test assignment by content hash: stable
+    // across runs, engines, partitionings, and corpus growth (a doc's split
+    // never changes when other docs are added) — the reproducible-split
+    // pattern for training corpora. First hex nibble of md5: 12/16 train,
+    // 2/16 val, 2/16 test.
+    "q_split_hash" -> ((s, dir) => {
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":graft"))), 1, 1)
+      val split = when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), split.as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+    // Seeded stratified sampling per label — subsample a corpus keeping
+    // class balance (rows-only: Bernoulli draws differ across engines).
+    "q_sample_stratified" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val fractions = e.select("label").distinct().collect()
+        .map(r => r.get(0) -> 0.5).toMap
+      e.stat.sampleBy("label", fractions, seed = 42L)
+        .groupBy("label").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("label")
+    }),
     // Embedding-cosine near-dup pairs above a threshold, within label blocks.
     // Scored with the codegen'd native expression: the pair loop is the
     // O(block^2) hot path, so it must stay inside whole-stage codegen.
@@ -119,6 +145,17 @@ object LlmOps {
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY a.doc_id""",
+    "q_split_hash" ->
+      """SELECT split, count(*) AS n_docs,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM (SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 1)
+                     IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split
+           FROM documents) t
+         GROUP BY split ORDER BY split""",
     "q_sim_topk_native" ->
       """SELECT q.vec_id AS query_id,
            CAST(row_number() OVER (PARTITION BY q.vec_id
