@@ -15,9 +15,7 @@ object Bench {
     // not query costs — without this they all land on whichever query the
     // Map happens to iterate first and distort its number by seconds.
     queries.registerAll(spark, sfDir)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
-      .foreach(t => spark.table(t).limit(1).count())
+    queries.tableNames.foreach(t => spark.table(t).limit(1).count())
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
       .count().orderBy("k").count()
     // optional comma-separated subset for local iteration

@@ -75,9 +75,15 @@ object Dedup {
   /** LSH banding: split the signature into bands of `rowsPerBand`, bucket by
     * the band's hash, self-join per (band, bucket) -> candidate pairs.
     * Returns distinct (id_a < id_b) candidate pairs.
+    *
+    * `perms` MUST equal the signature length produced by
+    * [[minHashSignatures]] — a mismatch would slice past the end (empty
+    * slices hash to one constant bucket, degenerating the self-join to
+    * all-pairs) or silently ignore signature tail values.
     */
-  def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 8): DataFrame = {
-    val perms = 32
+  def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 8,
+                        perms: Int = 32): DataFrame = {
+    require(perms % rowsPerBand == 0, s"perms=$perms not divisible by rowsPerBand=$rowsPerBand")
     val bands = perms / rowsPerBand
     val banded = signatures.select(
       col("doc_id"),

@@ -33,28 +33,35 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
 
-  /** Exact top-k neighbors for each query vector (excluding self).
-    * `sim` lets callers swap in the codegen'd native expression; the default
-    * (`null`) is HOF cosine with per-row norms precomputed *before* the
-    * pair join — HOF lambdas are interpreted (CodegenFallback), so moving
-    * 2 of the 3 array passes from O(|q|·|c|) pairs to O(|q|+|c|) rows cuts
-    * the dominant cost by ~3x while producing the identical IEEE result. */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-                     sim: (Column, Column) => Column = null): DataFrame = {
+  /** Exact top-k via HOF cosine with per-row norms precomputed *before*
+    * the pair join — HOF lambdas are interpreted (CodegenFallback), so
+    * moving 2 of the 3 array passes from O(|q|·|c|) pairs to O(|q|+|c|)
+    * rows cuts the dominant cost by ~3x while producing the identical IEEE
+    * result as [[cosine]] per pair. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val norm = sqrt(sqNorm(col("embedding")))
-    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c0 = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val scored =
-      if (sim != null)
-        c0.join(broadcast(q0), col("query_id") =!= col("neighbor_id"))
-          .withColumn("cos", sim(col("q_emb"), col("c_emb")))
-      else
-        candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-            norm.as("c_norm"))
-          .join(broadcast(queries.select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb"), norm.as("q_norm"))),
-            col("query_id") =!= col("neighbor_id"))
-          .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val scored = candidates
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), norm.as("c_norm"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), norm.as("q_norm"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    rankTopK(scored, k)
+  }
+
+  /** Exact top-k neighbors with a caller-supplied similarity — e.g. the
+    * codegen'd native `cosine_sim` expression. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     sim: (Column, Column) => Column): DataFrame = {
+    val scored = candidates
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", sim(col("q_emb"), col("c_emb")))
+    rankTopK(scored, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored

@@ -31,7 +31,9 @@ object Flagship {
   val defs: Map[String, Q] = Map(
     // sort=false: the catalog query imposes its own total ORDER BY for the
     // oracle compare, so the reference's pre-expansion global sort (Q6)
-    // would be a second, wasted range-shuffle here. `entry` keeps it.
+    // would be a second, wasted range-shuffle here. The reference-shaped
+    // pre-sort remains the default of IntervalExpand.faithful and is
+    // exercised by graft.io.Pipeline.run.
     "q_interval_expand" -> ((s, dir) =>
       IntervalExpand.faithful(syntheticReadings(s, dir), sort = false)
         .orderBy("event_id", "start_time", "end_time")),

@@ -30,11 +30,13 @@ object LlmOps {
     // murmur-based signatures aren't expressible in DuckDB).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      // Both the LSH self-join and the verification reuse these lineages;
-      // without persist Spark recomputes the signature pipeline 4x.
-      // (perms longs per doc — a few MB even at 100x this corpus; at real
-      // scale this is a checkpoint to distributed storage instead.)
-      val sigs = Dedup.minHashSignatures(d, "doc_id", "text").persist()
+      // Signatures are NOT persisted: the native expression makes them a
+      // cheap map-only recompute. The candidate pairs feed two consumers
+      // (the id semi-join and the final verification join), so they persist;
+      // the entry is tiny (pair ids only), deduplicated by Spark's plan
+      // cache across re-invocations, and lives until session shutdown — at
+      // real scale this is a checkpoint to distributed storage instead.
+      val sigs = Dedup.minHashSignatures(d, "doc_id", "text")
       val cands = Dedup.lshCandidatePairs(sigs).persist()
       // Exact-Jaccard verification only for candidate docs: semi-join the
       // (small) candidate id set before computing shingles, so the

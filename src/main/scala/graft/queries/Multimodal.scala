@@ -108,7 +108,8 @@ object Multimodal {
     "q_multimodal_resize" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS orig_bytes,
-         CAST(greatest(ceil(octet_length(encode(text)) / 4.0), 1) AS INT) AS resized_bytes
+         CAST(least(octet_length(encode(text)),
+                    greatest(ceil(octet_length(encode(text)) / 4.0), 1)) AS INT) AS resized_bytes
          FROM documents ORDER BY doc_id""",
     "q_multimodal_frames" ->
       """SELECT doc_id,

@@ -28,9 +28,13 @@ package object queries {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every test table as a temp view (for spark.sql-based queries). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** The driver's test tables (TESTDATA.md) — single source of truth for
+    * registration and warmup. */
+  val tableNames: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-      .foreach(n => tbl(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register every test table as a temp view (for spark.sql-based queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => tbl(spark, dir, n).createOrReplaceTempView(n))
 }

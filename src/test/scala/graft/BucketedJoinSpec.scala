@@ -15,6 +15,7 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("join on the bucket key plans without a shuffle exchange") {
     import spark.implicits._
     // Disable broadcast so the join would otherwise need a full shuffle.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val facts = (1L to 1000L).map(i => (i % 97, i, i * 2.0)).toDF("k", "id", "v")
@@ -36,7 +37,7 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally {
       spark.sql("DROP TABLE IF EXISTS facts_b")
       spark.sql("DROP TABLE IF EXISTS dims_b")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 }
