@@ -38,4 +38,34 @@ object Pipeline {
     out.unpersist()
     n
   }
+
+  /** Incremental variant — the Glue-bookmark contract (SURVEY §2.8 Q8):
+    * process EVERY dated file not yet in the ledger, oldest first, each
+    * into its own `ingest_date` partition; record files as processed only
+    * after their write commits. A crashed run re-processes its in-flight
+    * file into the same partition (overwrite), so the pipeline is
+    * exactly-once at the partition level with at-least-once execution.
+    *
+    * @return (files processed this run, total rows written).
+    */
+  def runIncremental(spark: SparkSession, sourceDir: String, targetDir: String,
+                     ledgerDir: String, strict: Boolean = false): (Seq[String], Long) = {
+    val done = Ledger.processed(spark, ledgerDir)
+    val pending = Sources.listFiles(spark, sourceDir)
+      .flatMap(f => Sources.filenameDate(new org.apache.hadoop.fs.Path(f).getName).map(_ -> f))
+      .filterNot { case (_, f) => done.contains(f) }
+      .sortBy(_._1)
+    var rows = 0L
+    pending.foreach { case (date, file) =>
+      val readings = Sources.readCsv(spark, file)
+      val expanded =
+        (if (strict) IntervalExpand.strict(readings)
+         else IntervalExpand.faithful(readings)).cache()
+      rows += expanded.count()
+      Sinks.writeIdempotent(expanded, targetDir, date.toString)
+      Ledger.record(spark, ledgerDir, Seq(file))
+      expanded.unpersist()
+    }
+    (pending.map(_._2), rows)
+  }
 }

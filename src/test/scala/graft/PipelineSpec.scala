@@ -56,6 +56,31 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out2).count() == 8)
   }
 
+  test("incremental run processes each dated file once, new files only on re-run") {
+    val dir = mkSource()
+    val out = dir + "_inc_out"
+    val ledger = dir + "_ledger"
+    // first run: both valid dated files (bad-date + unanchored skipped)
+    val (files1, rows1) = Pipeline.runIncremental(spark, dir, out, ledger)
+    assert(files1.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted ==
+      Seq("20230601_measurement_data.csv", "20230703_measurement_data.csv"))
+    assert(rows1 == 6) // 2 samples (June) + 4 samples (July)
+    assert(spark.read.parquet(out).count() == 6)
+    // second run: ledger says everything is processed
+    val (files2, rows2) = Pipeline.runIncremental(spark, dir, out, ledger)
+    assert(files2.isEmpty && rows2 == 0)
+    assert(spark.read.parquet(out).count() == 6)
+    // a newly landed file is picked up alone; existing partitions untouched
+    Files.write(Paths.get(dir, "20230801_measurement_data.csv"),
+      ("start_time,end_time,samples,temperature\n" +
+       "2023-08-01 00:00:00,2023-08-01 00:00:20,2,25.0\n").getBytes)
+    val (files3, rows3) = Pipeline.runIncremental(spark, dir, out, ledger)
+    assert(files3.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("20230801_measurement_data.csv"))
+    assert(rows3 == 2)
+    assert(spark.read.parquet(out).count() == 8)
+  }
+
   test("explicit schema matches the inferSchema path on clean data") {
     val dir = mkSource()
     val f = dir + "/20230703_measurement_data.csv"
