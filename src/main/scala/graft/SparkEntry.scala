@@ -12,7 +12,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Flagship.defs, Flagship.oracles),
       (Relational.defs, Relational.oracles),
