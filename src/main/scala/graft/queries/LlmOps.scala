@@ -43,8 +43,11 @@ object LlmOps {
       // expensive shingling runs on ~|candidates| docs, not the corpus.
       val candIds = cands
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      // persisted: joined twice (as sh_x and sh_y) — without it the scan +
+      // interpreted shingling lineage runs once per side
       val sh = d.join(broadcast(candIds), "doc_id")
         .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
+        .persist()
       cands
         .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_x"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_y"), "id_b")
