@@ -20,7 +20,11 @@ object StreamingQueries {
     "q_stream_dedup" -> ((s, dir) =>
       StreamOps.dedupKeys(s, dir).orderBy("user_id", "event_type")),
     "q_stream_stateful" -> ((s, dir) =>
-      StreamOps.statefulCounts(s, dir).orderBy("user_id"))
+      StreamOps.statefulCounts(s, dir).orderBy("user_id")),
+    "q_stream_static_join" -> ((s, dir) =>
+      StreamOps.staticJoin(s, dir).orderBy("c_mktsegment")),
+    "q_stream_stream_join" -> ((s, dir) =>
+      StreamOps.streamStreamJoin(s, dir).orderBy("click_id", "purchase_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -54,6 +58,16 @@ object StreamingQueries {
          ORDER BY user_id, event_type""",
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_stream_stream_join" ->
+      """SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id
+         FROM events l JOIN events r ON l.user_id = r.user_id
+         AND l.event_type = 'click' AND r.event_type = 'purchase'
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES
+         ORDER BY click_id, purchase_id"""
   )
 }

@@ -41,6 +41,16 @@ object TextQueries {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Fuzzy matching: edit distance between consecutive docs' prefixes
+    // (bounded to 30 chars — levenshtein is O(n*m) per pair).
+    "q_text_levenshtein" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = d.select(col("doc_id"), substring(col("text"), 1, 30).as("pfx_a"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), substring(col("text"), 1, 30).as("pfx_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), levenshtein(col("pfx_a"), col("pfx_b")).as("edit_dist"))
+        .orderBy("doc_id")
+    }),
     // Corpus-level quality rollup by language.
     "q_text_quality_by_lang" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -73,6 +83,11 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_text_levenshtein" ->
+      """SELECT a.doc_id,
+         CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS INT) AS edit_dist
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         ORDER BY a.doc_id""",
     "q_text_stats" ->
       """SELECT doc_id,
          CAST(length(text) AS INT) AS n_chars,

@@ -54,6 +54,17 @@ object Windows {
         .drop("o_orderdate")
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // Distribution functions: relative rank and cumulative share of the
+    // partition — one window shuffle for both.
+    "q_window_distribution" -> ((s, dir) => {
+      val byBal = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      tbl(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("pct_rank", round(percent_rank().over(byBal), 6))
+        .withColumn("cume", round(cume_dist().over(byBal), 6))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
     "q_window_ntile_share" -> ((s, dir) => {
       val byPrice = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -100,6 +111,13 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey, o_orderkey""",
+    "q_window_distribution" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_nationkey, c_custkey""",
     "q_window_ntile_share" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(ntile(4) OVER (PARTITION BY o_orderpriority

@@ -93,6 +93,38 @@ object StreamOps {
     runToTable(s, agg, "stream_sessions", "complete")
   }
 
+  /** Stream-static join: the streaming fact enriched by a broadcast
+    * dimension read once per micro-batch — no stream state at all, the
+    * scale-default for fact-dim enrichment. */
+  def staticJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val joined = eventsStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    runToTable(s, joined, "stream_static_join", "complete")
+  }
+
+  /** Stream-stream inner join: clicks matched to purchases by the same user
+    * within 30 minutes. Both sides watermarked — with the time-range
+    * condition that bounds join state to the watermark horizon (unbounded
+    * otherwise); inner matches emit as soon as both sides arrive. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    runToTable(s, joined, "stream_stream_join", "append")
+  }
+
   /** Stateful dedup on (user_id, event_type) within the watermark; output
     * is the kept key set (deterministic regardless of arrival order). */
   def dedupKeys(s: SparkSession, dir: String): DataFrame = {
