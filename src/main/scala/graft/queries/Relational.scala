@@ -239,6 +239,18 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // SQL entry path: a correlated scalar subquery through spark.sql —
+    // Catalyst decorrelates it into an aggregate + join, same physical
+    // shape as the hand-written DataFrame equivalent.
+    "q_sql_subquery" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+               FROM customer c
+               WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                  WHERE c2.c_nationkey = c.c_nationkey)
+               ORDER BY c_custkey""")
+    }),
+
     // -- sort / limit / top-k ---------------------------------------------
     "q_sort_limit" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -376,6 +388,12 @@ object Relational {
     "q_join_cross" ->
       """SELECT a.r_name AS r1, b.r_name AS r2
          FROM region a CROSS JOIN region b ORDER BY r1, r2""",
+    "q_sql_subquery" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",

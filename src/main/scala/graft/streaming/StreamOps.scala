@@ -136,6 +136,27 @@ object StreamOps {
     runToTable(s, deduped, "stream_dedup", "append")
   }
 
+  /** foreachBatch sink: per-micro-batch idempotent parquet write keyed by
+    * batch id — the production pattern for sinks without native
+    * exactly-once support (JDBC upserts, MERGE INTO, services). A replayed
+    * batch after a crash overwrites exactly its own `batch_id=` partition,
+    * turning at-least-once delivery into exactly-once output. Runs the
+    * stream to completion (AvailableNow) and returns the sink contents. */
+  def runForeachBatchSink(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(path)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(path)
+  }
+
   /** Custom state machine via flatMapGroupsWithState: per-user running
     * (count, sum) emitted once per batch. */
   def statefulCounts(s: SparkSession, dir: String): DataFrame = {

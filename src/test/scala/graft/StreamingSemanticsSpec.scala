@@ -66,6 +66,23 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes idempotent batch_id partitions") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamOps
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "febatch").toString + "/out"
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 10.0), (2L, 20.0))
+    val out = StreamOps.runForeachBatchSink(spark, in.toDF().toDF("k", "v"), dir)
+    assert(out.count() == 2)
+    assert(out.select("batch_id").distinct().count() == 1)
+    // replaying the same batch id overwrites, not duplicates (idempotency)
+    val replay = MemoryStream[(Long, Double)]
+    replay.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    val out2 = StreamOps.runForeachBatchSink(spark, replay.toDF().toDF("k", "v"), dir)
+    assert(out2.count() == 3)
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
