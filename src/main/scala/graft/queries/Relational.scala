@@ -239,6 +239,19 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Data-quality profile: one scan, one row — nulls, domain violations,
+    // key uniqueness (graft.ops.Quality).
+    "q_quality_profile" -> ((s, dir) => {
+      graft.ops.Quality.profile(
+        tbl(s, dir, "lineitem"),
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        violations = Seq(
+          "null_shipdate" -> col("l_shipdate").isNull,
+          "nonpositive_qty" -> (col("l_quantity") <= 0),
+          "discount_out_of_range" -> (col("l_discount") < 0 || col("l_discount") > 1),
+          "negative_price" -> (col("l_extendedprice") < 0)))
+    }),
+
     // SQL entry path: a correlated scalar subquery through spark.sql —
     // Catalyst decorrelates it into an aggregate + join, same physical
     // shape as the hand-written DataFrame equivalent.
@@ -388,6 +401,14 @@ object Relational {
     "q_join_cross" ->
       """SELECT a.r_name AS r1, b.r_name AS r2
          FROM region a CROSS JOIN region b ORDER BY r1, r2""",
+    "q_quality_profile" ->
+      """SELECT count(*) AS n_rows,
+         count(*) - count(DISTINCT concat_ws(' ', l_orderkey, l_linenumber)) AS n_dup_keys,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+         CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_price
+         FROM lineitem""",
     "q_sql_subquery" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
          FROM customer c

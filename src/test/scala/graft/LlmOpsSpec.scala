@@ -131,6 +131,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("quality profile counts planted duplicates and violations") {
+    import graft.ops.Quality
+    val df = Seq(
+      (1L, 1, 5.0), (1L, 1, 6.0), // duplicate key
+      (2L, 1, -3.0),              // negative value
+      (3L, 1, 4.0))
+      .toDF("k1", "k2", "v")
+    val r = Quality.profile(df, Seq("k1", "k2"),
+      Seq("neg_v" -> (col("v") < 0))).head()
+    assert(r.getAs[Long]("n_rows") == 4)
+    assert(r.getAs[Long]("n_dup_keys") == 1)
+    assert(r.getAs[Long]("neg_v") == 1)
+  }
+
   test("langId picks the marker-dominant language; fingerprint is stable") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
