@@ -35,6 +35,16 @@ object Events {
         .select(col("event_id").as("click_id"), col("user_id"), col("matched_purchase"))
         .orderBy("click_id")
     }),
+    // session_window in BATCH mode: same gap-based sessionization as the
+    // streaming query, no state store — one shuffle on (user, window-merge).
+    "q_batch_sessions" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")),
     "q_from_json" -> ((s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
       tbl(s, dir, "events")
@@ -53,6 +63,21 @@ object Events {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY click_id""",
+    "q_batch_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1
+                  ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM x)
+         SELECT user_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_events
+         FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""",
     "q_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed, event_type
          FROM events

@@ -81,6 +81,39 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 8)
   }
 
+  test("compaction merges small files without changing the data") {
+    import graft.io.Maintenance
+    import spark.implicits._
+    val dir = Files.createTempDirectory(Paths.get("target"), "compact").toString + "/t"
+    // write deliberately fragmented: 16 partitions -> 16 small files
+    (1L to 1000L).toDF("id").repartition(16).write.parquet(dir)
+    val sumBefore = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id"))
+      .head().getLong(0)
+    val (before, after) = Maintenance.compact(spark, dir)
+    assert(before == 16 && after == 1)
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 1000)
+    assert(out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == sumBefore)
+  }
+
+  test("clustered write partitions by key and sorts within files") {
+    import graft.io.Maintenance
+    import spark.implicits._
+    val dir = Files.createTempDirectory(Paths.get("target"), "clustered").toString + "/t"
+    val df = (1L to 500L).map(i => (i % 3, (i * 37) % 101, i)).toDF("p", "c", "id")
+    Maintenance.writeClustered(df, dir, "p", Seq("c"))
+    // directory layout gives pruning
+    assert(spark.read.parquet(dir).where($"p" === 1).count() == df.where($"p" === 1).count())
+    // each physical file is sorted by the clustering key
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("p="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val cs = spark.read.parquet(f.getAbsolutePath).select("c").collect().map(_.getLong(0))
+      assert(cs.sameElements(cs.sorted), s"file ${f.getName} not sorted by c")
+    }
+  }
+
   test("explicit schema matches the inferSchema path on clean data") {
     val dir = mkSource()
     val f = dir + "/20230703_measurement_data.csv"
