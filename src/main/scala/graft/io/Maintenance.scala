@@ -12,12 +12,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Maintenance {
 
-  /** Compact a parquet directory to ~`targetFileBytes` files: read, compute
-    * the file count from the actual data size, rewrite atomically via a
-    * temp directory + rename. Returns (files before, files after).
+  /** Compact a LEAF parquet directory to ~`targetFileBytes` files: read,
+    * compute the file count from the actual data size, rewrite via a temp
+    * directory and a two-rename swap. Returns (files before, files after).
     *
-    * At cluster scale this runs per-partition (compact only partitions whose
-    * small-file count crosses a threshold) so the rewrite is incremental.
+    * Refuses partitioned roots (no top-level data files): compacting one
+    * would flatten the `col=value/` layout and destroy partition pruning —
+    * at cluster scale compaction runs per leaf partition (only those whose
+    * small-file count crosses a threshold), keeping the rewrite incremental.
+    *
+    * The swap is rename(live -> backup); rename(tmp -> live); delete backup
+    * — each rename is atomic on HDFS-like filesystems, so no window leaves
+    * the path nonexistent alongside a successful reader-visible state; a
+    * crash between the renames is recoverable from the `_precompact` backup
+    * (unlike delete-then-rename, which can lose the only copy's listing).
+    * Object stores without atomic rename should use a table format instead.
     */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -26,13 +35,19 @@ object Maintenance {
     def dataFiles = fs.listStatus(path).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles
+    require(before.nonEmpty,
+      s"$dir has no top-level parquet files — partitioned root or empty; " +
+        "compact each leaf partition directory instead")
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(dir + "_compacting")
+    val backup = new Path(dir + "_precompact")
+    fs.delete(tmp, true); fs.delete(backup, true)
     spark.read.parquet(dir).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    require(fs.rename(path, backup), s"rename $path -> $backup failed")
+    require(fs.rename(tmp, path), s"rename $tmp -> $path failed; original at $backup")
+    fs.delete(backup, true)
     (before.size, dataFiles.size)
   }
 

@@ -54,18 +54,23 @@ object Pipeline {
     val pending = Sources.listFiles(spark, sourceDir)
       .flatMap(f => Sources.filenameDate(new org.apache.hadoop.fs.Path(f).getName).map(_ -> f))
       .filterNot { case (_, f) => done.contains(f) }
-      .sortBy(_._1)
+    // Group by date: files sharing a yyyyMMdd prefix land in the SAME
+    // ingest_date partition, and the overwrite-by-partition sink would
+    // otherwise let the last file erase its siblings' rows. One write per
+    // date, covering every file of that date, keeps overwrite = idempotent.
+    val byDate = pending.groupBy(_._1).toSeq.sortBy(_._1)
     var rows = 0L
-    pending.foreach { case (date, file) =>
-      val readings = Sources.readCsv(spark, file)
+    byDate.foreach { case (date, dateFiles) =>
+      val files = dateFiles.map(_._2)
+      val readings = files.map(Sources.readCsv(spark, _)).reduce(_ unionByName _)
       val expanded =
         (if (strict) IntervalExpand.strict(readings)
          else IntervalExpand.faithful(readings)).cache()
       rows += expanded.count()
       Sinks.writeIdempotent(expanded, targetDir, date.toString)
-      Ledger.record(spark, ledgerDir, Seq(file))
+      Ledger.record(spark, ledgerDir, files)
       expanded.unpersist()
     }
-    (pending.map(_._2), rows)
+    (byDate.flatMap(_._2.map(_._2)), rows)
   }
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PipelineMain <sourceDir> <targetDir> [--strict] [--append]")
+    require(args.length >= 2,
+      "usage: PipelineMain <sourceDir> <targetDir> [--strict] [--append] [--incremental]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

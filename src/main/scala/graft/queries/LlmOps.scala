@@ -44,7 +44,10 @@ object LlmOps {
       val candIds = cands
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
       // persisted: joined twice (as sh_x and sh_y) — without it the scan +
-      // interpreted shingling lineage runs once per side
+      // interpreted shingling lineage runs once per side. Bounded by the
+      // CANDIDATE set (LSH keeps that near-linear and small), deduplicated
+      // across invocations by the plan cache, and freed at session end;
+      // a long-lived service would checkpoint + unpersist instead.
       val sh = d.join(broadcast(candIds), "doc_id")
         .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
         .persist()

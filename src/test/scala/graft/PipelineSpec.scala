@@ -81,6 +81,21 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 8)
   }
 
+  test("incremental run unions same-date files into one partition write") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "pipe_samedate").toString
+    def write(name: String, row: String): Unit =
+      Files.write(Paths.get(dir, name),
+        s"start_time,end_time,samples,temperature\n$row\n".getBytes)
+    // two files with the SAME date prefix -> same ingest_date partition
+    write("20230901_station_a.csv", "2023-09-01 00:00:00,2023-09-01 00:00:10,2,20.0")
+    write("20230901_station_b.csv", "2023-09-01 01:00:00,2023-09-01 01:00:30,3,21.0")
+    val out = dir + "_out"
+    val (files, rows) = Pipeline.runIncremental(spark, dir, out, dir + "_ledger")
+    assert(files.size == 2 && rows == 5)
+    // the overwrite-by-partition write must keep BOTH files' rows
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
   test("compaction merges small files without changing the data") {
     import graft.io.Maintenance
     import spark.implicits._
