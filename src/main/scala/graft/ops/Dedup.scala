@@ -98,7 +98,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: sum +/-1 per bit weighted by
-    * token hash bits, take the sign vector. */
+    * token hash bits, take the sign vector. Column-level (per-row HOF)
+    * variant — fine for small inputs and tests; the corpus-scale path is
+    * [[simHashes]]. */
   def simHash(text: Column): Column = {
     val tokens = split(text, "\\s+")
     val hashes = transform(tokens, t => xxhash64(t))
@@ -114,10 +116,41 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Exact Jaccard similarity of two shingle-set columns. */
+  /** Corpus-scale SimHash: same value as [[simHash]] but computed as
+    * explode + 64 codegen'd conditional sums, not 64 interpreted HOF
+    * passes per document. Explode preserves document locality, so the 64
+    * bit counters partial-aggregate map-side and the shuffle carries 65
+    * longs per doc. */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)).cast("int")).as(s"__b$b")
+    }
+    val grouped = exploded.groupBy("doc_id")
+      .agg(bitAggs.head, (bitAggs.tail :+ count(lit(1)).as("__n")): _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"__b$b") * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    grouped.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. NOTE: evaluates
+    * `array_intersect` twice (no let-binding in the Column DSL) — in
+    * per-pair hot paths use [[withJaccard]], which materializes the
+    * intersection size once. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(a) + size(b) - size(array_intersect(a, b))
     inter / union
   }
+
+  /** Append `out` = Jaccard(aCol, bCol), computing the intersection size
+    * once per row — array_intersect dominates per-pair verification cost. */
+  def withJaccard(df: DataFrame, aCol: String, bCol: String, out: String): DataFrame =
+    df.withColumn("__inter", size(array_intersect(col(aCol), col(bCol))))
+      .withColumn(out,
+        col("__inter").cast("double") / (size(col(aCol)) + size(col(bCol)) - col("__inter")))
+      .drop("__inter")
 }

@@ -15,10 +15,11 @@ object Quality {
     * count per named predicate (predicates flag BAD rows). */
   def profile(df: DataFrame, keyCols: Seq[String],
               violations: Seq[(String, Column)]): DataFrame = {
-    // NUL separator: cannot occur in normal values, so composite keys are
-    // unambiguous ("a b"+"c" never collides with "a"+"b c"). For numeric
-    // keys any separator yields identical counts (the oracle uses a space).
-    val key = concat_ws("\u0000", keyCols.map(col): _*)
+    // struct equality, not string concatenation: concat_ws silently skips
+    // NULL fields, so ("x", NULL), (NULL, "x") and a single-column "x" would
+    // all collapse to the same key and inflate n_dup_keys on nullable keys.
+    // countDistinct over a struct distinguishes NULL per field.
+    val key = struct(keyCols.map(col): _*)
     val aggs =
       (count(lit(1)) - countDistinct(key)).as("n_dup_keys") +:
         violations.map { case (name, bad) =>

@@ -128,10 +128,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: neighbors restricted to the query's LSH bucket. */
@@ -147,9 +144,6 @@ object Similarity {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+    rankTopK(scored, k)
   }
 }

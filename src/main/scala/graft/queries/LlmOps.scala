@@ -22,8 +22,8 @@ object LlmOps {
       val d = tbl(s, dir, "documents")
       val a = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh_a"))
       val b = d.select((col("doc_id") - 1).as("doc_id"), Dedup.shingles(col("text"), 3).as("sh_b"))
-      a.join(b, "doc_id")
-        .select(col("doc_id"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      Dedup.withJaccard(a.join(b, "doc_id"), "sh_a", "sh_b", "jac")
+        .select(col("doc_id"), col("jac"))
         .orderBy("doc_id")
     }),
     // MinHash+LSH candidates verified with exact Jaccard (no SQL oracle —
@@ -51,22 +51,19 @@ object LlmOps {
       val sh = d.join(broadcast(candIds), "doc_id")
         .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
         .persist()
-      cands
-        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_x"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_y"), "id_b")
-        // materialize the intersection size once (jaccard() would compute
-        // array_intersect twice per pair)
-        .withColumn("__inter", size(array_intersect(col("sh_x"), col("sh_y"))))
-        .withColumn("jac",
-          col("__inter").cast("double") / (size(col("sh_x")) + size(col("sh_y")) - col("__inter")))
+      Dedup.withJaccard(
+          cands
+            .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_x"), "id_a")
+            .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_y"), "id_b"),
+          "sh_x", "sh_y", "jac")
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
         .orderBy("id_a", "id_b")
     }),
     // SimHash signatures; near-dups share high bit-overlap (rows-only).
+    // Corpus-scale shape: explode + codegen'd bit sums, not per-row HOFs.
     "q_dedup_simhash" -> ((s, dir) =>
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      Dedup.simHashes(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // Brute-force exact top-5 via the codegen'd native Catalyst expression.

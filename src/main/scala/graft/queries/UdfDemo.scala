@@ -39,9 +39,13 @@ object UdfDemo {
     "q_udf_scale" ->
       """SELECT event_id, round(value * 1.8 + 32, 6) AS fahrenheit
          FROM events ORDER BY event_id""",
+    // FILTER inside the aggregate (not WHERE): a group with no positive
+    // totals must still appear with geo_mean 0.0 — matching the
+    // Aggregator's finish() on an empty buffer — not vanish from output.
     "q_udaf_geomean" ->
-      """SELECT o_orderstatus, round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
-         FROM orders WHERE o_totalprice > 0
+      """SELECT o_orderstatus,
+         round(coalesce(exp(avg(ln(o_totalprice)) FILTER (WHERE o_totalprice > 0)), 0.0), 4) AS geo_mean
+         FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_udtf_explode" ->
       """SELECT s_suppkey, CAST(unnest(range(1, s_suppkey % 3 + 2)) AS INT) AS slot

@@ -29,7 +29,9 @@ object StreamOps {
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = new java.io.File(dir, "events.parquet")
-    val stage = new java.io.File(s"/root/repo/target/stream_src/${src.getParentFile.getName}")
+    val stage = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_stream_src"),
+      src.getParentFile.getName)
     stage.mkdirs()
     java.nio.file.Files.copy(src.toPath, new java.io.File(stage, "events.parquet").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
