@@ -23,7 +23,13 @@ object Events {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"),
           lit(1).as("side"), lit(null).cast(LongType).as("r_id"))
+      // Pre-reduce to one purchase per (user_id, ts): DuckDB's ASOF JOIN pick
+      // among equal-ts right rows is unspecified, so ties (possible after
+      // ns→µs truncation) would be oracle-flaky. max(event_id) is the same
+      // row Spark's window tie-break (ts, side, event_id asc) already keeps.
       val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
         .select(col("user_id"), col("ts"), col("event_id"),
           lit(0).as("side"), col("event_id").as("r_id"))
       val w = Window.partitionBy("user_id")
@@ -47,11 +53,16 @@ object Events {
         .orderBy("user_id", "sess_start")),
     "q_from_json" -> ((s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
+      // Filtering on the from_json alias would push the (CodegenFallback)
+      // JsonToStructs into the Filter and evaluate it twice per row; the
+      // cheap codegen'd path probe prunes rows first, so the heavyweight
+      // struct parse runs once and only on survivors. Same predicate on the
+      // same value — output is identical.
       tbl(s, dir, "events")
+        .filter(get_json_object(col("props"), "$.k").cast(IntegerType) >= 50)
         .select(col("event_id"),
           from_json(col("props"), schema).getField("k").as("k_parsed"),
           col("event_type"))
-        .filter(col("k_parsed") >= 50)
         .orderBy("event_id")
     })
   )
@@ -60,7 +71,9 @@ object Events {
     "q_asof_join" ->
       """SELECT l.event_id AS click_id, l.user_id, r.event_id AS matched_purchase
          FROM (SELECT * FROM events WHERE event_type = 'click') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+         ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY click_id""",
     "q_batch_sessions" ->

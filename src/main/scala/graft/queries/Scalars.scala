@@ -137,8 +137,8 @@ object Scalars {
     "q_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
          round(abs(l_discount - 0.05), 4) AS disc_dev,
-         floor(l_extendedprice) AS price_floor,
-         ceil(l_extendedprice) AS price_ceil,
+         CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
          round(power(l_quantity, 2), 2) AS qty_sq,
          round(sqrt(l_quantity), 6) AS qty_sqrt,
          greatest(l_tax, l_discount) AS max_rate,

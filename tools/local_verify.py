@@ -52,6 +52,15 @@ def main(sf_dir, out_dir):
         if len(a) != len(b):
             results[name] = f"ROWCOUNT spark={len(a)} duck={len(b)}"
             continue
+        # Driver hashes stringified values, so a float-vs-int column (900.0 vs
+        # 900) hash-mismatches even when numerically equal. Flag any dtype-KIND
+        # divergence (int/float/object/datetime/bool); width-only differences
+        # (int32 vs int64) stringify identically and are allowed.
+        kinds = [(c, a[c].dtype.kind, b[c].dtype.kind) for c in a.columns
+                 if a[c].dtype.kind != b[c].dtype.kind]
+        if kinds:
+            results[name] = f"DTYPE-KIND-MISMATCH {kinds}"
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             results[name] = f"OK rows={len(a)}"
