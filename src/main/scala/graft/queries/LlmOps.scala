@@ -108,30 +108,27 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("split")
     }),
-    // Seeded stratified sampling per label — subsample a corpus keeping
-    // class balance (rows-only: Bernoulli draws differ across engines).
-    "q_sample_stratified" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val fractions = e.select("label").distinct().collect()
-        .map(r => r.get(0) -> 0.5).toMap
-      e.stat.sampleBy("label", fractions, seed = 42L)
+    // Deterministic stratified sampling per label: hash-of-id acceptance
+    // (ops.Sampling) with caller-supplied per-label fractions — map-only,
+    // no RNG, no driver collect, and (unlike df.stat.sampleBy) exactly
+    // expressible in ANSI SQL, so this is fully oracled.
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          tbl(s, dir, "embeddings"), "vec_id", "label",
+          fractions = Map(0 -> 0.75, 1 -> 0.25), defaultFraction = 0.5)
         .groupBy("label").agg(count(lit(1)).as("n_sampled"))
-        .orderBy("label")
-    }),
-    // Embedding-cosine near-dup pairs above a threshold, within label blocks.
-    // Scored with the codegen'd native expression: the pair loop is the
-    // O(block^2) hot path, so it must stay inside whole-stage codegen.
-    "q_sim_threshold_pairs" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine_sim(col("emb_a"), col("emb_b")))
-        .filter(col("cos") > 0.35)
+        .orderBy("label")),
+    // Embedding-cosine near-dup pairs above a threshold — exact semantics
+    // via the chunk-salted pair join (see Similarity.thresholdPairs for why
+    // an LSH prefilter cannot be lossless at this threshold): a hot label
+    // fans out to chunks² balanced tasks instead of one quadratic straggler.
+    // Scored with the codegen'd native expression inside whole-stage codegen.
+    "q_sim_threshold_pairs" -> ((s, dir) =>
+      Similarity.thresholdPairs(tbl(s, dir, "embeddings"),
+          "label", "vec_id", "embedding", threshold = 0.35, chunks = 8,
+          (x, y) => cosine_sim(x, y))
         .select(col("label"), col("id_a"), col("id_b"))
-        .orderBy("label", "id_a", "id_b")
-    })
+        .orderBy("label", "id_a", "id_b"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +186,14 @@ object LlmOps {
            ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) > 0.35
-         ORDER BY a.label, id_a, id_b"""
+         ORDER BY a.label, id_a, id_b""",
+    "q_sample_stratified" ->
+      """SELECT label, count(*) AS n_sampled
+         FROM embeddings
+         WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':graft-sample'), 1, 4)) AS INT) / 65536.0
+               < (CASE WHEN label = 0 THEN 0.75
+                       WHEN label = 1 THEN 0.25
+                       ELSE 0.5 END)
+         GROUP BY label ORDER BY label"""
   )
 }
