@@ -27,13 +27,15 @@ object StreamOps {
     * new files drop into — exactly the reference's S3 ingest contract).
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = new java.io.File(dir, "events.parquet")
-    val stage = new java.io.File(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_stream_src"),
-      src.getParentFile.getName)
-    stage.mkdirs()
-    java.nio.file.Files.copy(src.toPath, new java.io.File(stage, "events.parquet").toPath,
+    // Per-invocation unique staging dir: a fixed path keyed by the dataset
+    // basename would let concurrent sessions (or two datasets sharing a
+    // basename) race and cross-contaminate the file-stream source.
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src_").toFile
+    stage.deleteOnExit()
+    val staged = new java.io.File(stage, "events.parquet")
+    staged.deleteOnExit()
+    java.nio.file.Files.copy(src.toPath, staged.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -50,16 +52,29 @@ object StreamOps {
     * AvailableNow run that fixed cost dominates, so the stream runs with a
     * reduced partition count (state here is tiny; a long-lived production
     * stream with real state volume would keep the session default). The
-    * session value is restored after the query terminates.
+    * session values are restored after the query terminates.
+    *
+    * The legacy `nanosAsLong` conf (required to scan the TIMESTAMP(NANOS)
+    * events parquet — there is no per-read option for it) is scoped here
+    * rather than set-and-leaked by [[eventsStream]]: parquet scans re-read
+    * SQLConf per micro-batch, so termination is the earliest safe restore
+    * point.
     */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos = s.conf.get(NanosConf)
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set(NanosConf, "true")
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(NanosConf, prevNanos)
+    }
     s.table(name)
   }
 

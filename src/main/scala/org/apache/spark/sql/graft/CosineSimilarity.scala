@@ -27,13 +27,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // Nullable even for non-null children: ragged inputs yield null (below),
+  // and codegen needs a mutable isNull slot for that.
+  override def nullable: Boolean = true
 
+  // Length-mismatched vectors are upstream data bugs — silently truncating
+  // to min(length) would produce a plausible score and mask them. Null makes
+  // them surface (and count) instead; DOUBLE[]-engine oracles (DuckDB
+  // list_cosine_similarity) error on ragged input, so agreement claims only
+  // cover equal-length vectors either way.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
+    if (x.length != y.length) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
+    val n = x.length
     while (i < n) {
       val xd = x(i).toDouble; val yd = y(i).toDouble
       dot += xd * yd; na += xd * xd; nb += yd * yd; i += 1
@@ -51,15 +60,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xd = ctx.freshName("xd")
       val yd = ctx.freshName("yd")
       s"""
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int $i = 0; $i < $n; $i++) {
-          double $xd = (double) $a.getFloat($i);
-          double $yd = (double) $b.getFloat($i);
-          $dot += $xd * $yd; $na += $xd * $xd; $nb += $yd * $yd;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          int $n = $a.numElements();
+          for (int $i = 0; $i < $n; $i++) {
+            double $xd = (double) $a.getFloat($i);
+            double $yd = (double) $b.getFloat($i);
+            $dot += $xd * $yd; $na += $xd * $xd; $nb += $yd * $yd;
+          }
+          ${ev.value} = ($na == 0.0 || $nb == 0.0)
+            ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = ($na == 0.0 || $nb == 0.0)
-          ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

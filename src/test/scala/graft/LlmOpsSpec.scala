@@ -77,6 +77,10 @@ class LlmOpsSpec extends SparkSpec {
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(0L), m(1L)) < hamming(m(0L), m(2L)))
+    // absolute bound: a 7/8-token overlap near-dup stays within 16 of 64
+    // bits — the band a simhash near-dup filter would actually use
+    assert(hamming(m(0L), m(1L)) <= 16,
+      s"planted near-dup hamming ${hamming(m(0L), m(1L))} > 16")
   }
 
   test("native cosine expression agrees with HOF cosine and handles nulls") {
@@ -91,6 +95,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
     val withNull = df.limit(1).select(cosine_sim(lit(null).cast("array<float>"), col("b")))
     assert(withNull.head().isNullAt(0))
+  }
+
+  test("native cosine yields NULL for length-mismatched vectors (codegen + interpreted)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.CosineSimilarity
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // codegen path: ragged pair in a DataFrame
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(cosine_sim(col("a"), col("b"))).head().isNullAt(0))
+    // interpreted path: direct eval
+    val ragged = CosineSimilarity(
+      Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType)),
+      Literal.create(Array(1.0f), ArrayType(FloatType)))
+    assert(ragged.eval(null) == null)
+    val equal = CosineSimilarity(
+      Literal.create(Array(1.0f, 0.0f), ArrayType(FloatType)),
+      Literal.create(Array(1.0f, 0.0f), ArrayType(FloatType)))
+    assert(math.abs(equal.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("lshTopK recovers planted cluster neighbours (recall 1 on clustered data)") {
+    // two tight, well-separated clusters: members agree on every random
+    // hyperplane w.h.p., so each cluster maps to one bucket and the ANN
+    // answer within the bucket is the exact answer
+    val mk = (base: Int, i: Int) =>
+      Array.tabulate(8)(d => (if (d == base) 1.0f else 0.0f) + i * 0.005f)
+    val vecs = ((0 until 10).map(i => (i.toLong, mk(0, i))) ++
+      (10 until 20).map(i => (i.toLong, mk(4, i - 10)))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id").isin(0, 10))
+    val exact = Similarity.bruteForceTopK(queries, vecs, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(vecs, queries, dim = 8, k = 3, bits = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exact.size == 6)
+    assert((ann & exact).size == exact.size, s"planted recall < 1: $ann vs $exact")
   }
 
   test("bruteForceTopK ranks the exact nearest neighbour first") {

@@ -96,6 +96,71 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 5)
   }
 
+  test("incremental run keeps processed rows when a same-date file arrives LATER") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "pipe_latedate").toString
+    def write(name: String, row: String): Unit =
+      Files.write(Paths.get(dir, name),
+        s"start_time,end_time,samples,temperature\n$row\n".getBytes)
+    val out = dir + "_out"
+    val ledger = dir + "_ledger"
+    write("20231001_station_a.csv", "2023-10-01 00:00:00,2023-10-01 00:00:10,2,20.0")
+    val (_, rows1) = Pipeline.runIncremental(spark, dir, out, ledger)
+    assert(rows1 == 2)
+    // a SECOND file lands for the already-processed date: the partition
+    // rebuild must union the ledger's same-date files, not erase them
+    write("20231001_station_b.csv", "2023-10-01 01:00:00,2023-10-01 01:00:30,3,21.0")
+    val (files2, rows2) = Pipeline.runIncremental(spark, dir, out, ledger)
+    assert(files2.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("20231001_station_b.csv"))
+    assert(rows2 == 5) // rebuilt partition: 2 (station_a) + 3 (station_b)
+    assert(spark.read.parquet(out).count() == 5)
+    // third run: nothing pending, nothing lost
+    val (files3, _) = Pipeline.runIncremental(spark, dir, out, ledger)
+    assert(files3.isEmpty && spark.read.parquet(out).count() == 5)
+    // a recorded file that vanished from the source fails LOUDLY on the
+    // next same-date rebuild instead of silently dropping its rows
+    write("20231001_station_c.csv", "2023-10-01 02:00:00,2023-10-01 02:00:10,1,22.0")
+    Files.delete(Paths.get(dir, "20231001_station_a.csv"))
+    intercept[IllegalStateException] {
+      Pipeline.runIncremental(spark, dir, out, ledger)
+    }
+  }
+
+  test("loader stages the newest dated CSV into the source dir (S6)") {
+    import graft.io.Loader
+    val staging = Files.createTempDirectory(Paths.get("target"), "stage").toString
+    def write(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(staging, name),
+        ("start_time,end_time,samples,temperature" +: rows).mkString("\n").getBytes)
+    write("20230601_measurement_data.csv",
+      Seq("2023-06-01 00:00:00,2023-06-01 00:00:10,2,99.0"))
+    write("20230703_measurement_data.csv",
+      Seq("2023-07-03 00:00:00,2023-07-03 00:00:30,3,21.5"))
+    write("notadate.csv", Seq("2023-01-01 00:00:00,2023-01-01 00:00:10,1,0.0"))
+    val source = staging + "_source"
+    // empty staging -> None (no crash), nothing staged
+    assert(Loader.stageLatest(spark, staging + "_missing", source).isEmpty)
+    // stages ONLY the newest dated file; end-to-end run consumes it
+    val staged = Loader.stageLatest(spark, staging, source)
+    assert(staged.exists(_.endsWith("20230703_measurement_data.csv")))
+    assert(Sources.listFiles(spark, source).size == 1)
+    assert(Pipeline.run(spark, source, source + "_out") == 3)
+    // re-staging is idempotent (overwrite, not duplicate)
+    Loader.stageLatest(spark, staging, source)
+    assert(Sources.listFiles(spark, source).size == 1)
+  }
+
+  test("retry wrapper retries then rethrows (sync retry-or-fail contract)") {
+    val empty = Files.createTempDirectory(Paths.get("target"), "retry_empty").toString
+    // empty source: every attempt fails -> last failure is rethrown
+    intercept[IllegalStateException] {
+      Pipeline.runWithRetry(spark, empty, empty + "_out", maxAttempts = 2, backoffMs = 1)
+    }
+    // healthy source: first attempt succeeds
+    val dir = mkSource()
+    assert(Pipeline.runWithRetry(spark, dir, dir + "_retry_out", backoffMs = 1) == 4)
+  }
+
   test("compaction merges small files without changing the data") {
     import graft.io.Maintenance
     import spark.implicits._
