@@ -39,6 +39,18 @@ object ScaleProbeMain {
     time("minhash signatures 10x")(Dedup.minHashSignatures(docs10, "doc_id", "text").count())
     time("minhash+lsh pairs 10x")(
       Dedup.lshCandidatePairs(Dedup.minHashSignatures(docs10, "doc_id", "text")).count())
+
+    // LSH candidate growth vs corpus size, on INDEPENDENT corpora (sf0.01
+    // vs sf0.1 — real 10x, no synthetic duplication that would plant
+    // near-dups): near-linear candidates/doc is the property that keeps
+    // the verify join from going quadratic at 100 TB.
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val dd = spark.read.parquet(s"$d/documents.parquet")
+      val n = dd.count()
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(dd, "doc_id", "text")).count()
+      println(f"[scale] lsh-candidates $d%-28s docs=$n%6d candidates=$cands%8d per-doc=${cands.toDouble / n}%8.4f")
+    }
     spark.stop()
   }
 }
