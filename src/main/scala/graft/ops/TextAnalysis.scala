@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for training-data pipelines: token counting,
@@ -36,6 +37,34 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Top-k terms per document by tf-idf — the classic text-relational
+    * pipeline: tokenize (map) → tf per (doc, term) and df per term (two
+    * shuffles on term-sized keys) → idf join → per-doc top-k window.
+    *
+    * Scale shape: the corpus-size scalar ships as a broadcast (one-row
+    * cross join, no collect); the per-doc window is bounded by a doc's
+    * distinct terms, never corpus-wide; scores are rounded before ranking
+    * so cross-engine ulp noise in `ln` cannot flip the order (ties then
+    * break on term). Tokenization is lower + split on non-alphanumeric —
+    * chosen because it is expressible identically in ANSI SQL, keeping the
+    * operator DuckDB-oracleable. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("rnk"))
+  }
 
   /** Predicted language: argmax of marker scores, fixed precedence order on
     * ties (earlier entry in [[langMarkers]] wins). */

@@ -128,7 +128,18 @@ object LlmOps {
           "label", "vec_id", "embedding", threshold = 0.35, chunks = 8,
           (x, y) => cosine_sim(x, y))
         .select(col("label"), col("id_a"), col("id_b"))
-        .orderBy("label", "id_a", "id_b"))
+        .orderBy("label", "id_a", "id_b")),
+    // Near-dup CLUSTERS: threshold pairs -> connected components (min-label
+    // propagation, ops.Components). Production dedup keeps min-id per
+    // component as representative; this emits the per-vertex component map.
+    "q_sim_clusters" -> ((s, dir) => {
+      val pairs = Similarity.thresholdPairs(tbl(s, dir, "embeddings"),
+        "label", "vec_id", "embedding", threshold = 0.35, chunks = 8,
+        (x, y) => cosine_sim(x, y))
+      graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("component"))
+        .orderBy("vec_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,6 +198,22 @@ object LlmOps {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) > 0.35
          ORDER BY a.label, id_a, id_b""",
+    "q_sim_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.35),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS vec_id, min(lbl) AS component
+         FROM reach GROUP BY id ORDER BY vec_id""",
     "q_sample_stratified" ->
       """SELECT label, count(*) AS n_sampled
          FROM embeddings

@@ -51,6 +51,11 @@ object TextQueries {
         .select(col("doc_id"), levenshtein(col("pfx_a"), col("pfx_b")).as("edit_dist"))
         .orderBy("doc_id")
     }),
+    // Top-3 terms per document by tf-idf (tokenize -> tf/df -> idf join ->
+    // per-doc top-k window; see TextAnalysis.tfidfTopTerms for the shape).
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")),
     // Corpus-level quality rollup by language.
     "q_text_quality_by_lang" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -112,6 +117,21 @@ object TextQueries {
                             t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, term, rnk FROM (
+           SELECT tf.doc_id, tf.term,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC,
+                        tf.term ASC) AS INT) AS rnk
+           FROM tf JOIN df USING (term) CROSS JOIN n) x
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_text_quality_by_lang" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS total_chars,

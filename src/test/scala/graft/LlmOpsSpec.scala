@@ -156,6 +156,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.forall(_ < 10))
   }
 
+  test("connectedComponents labels chain, clique, and pair correctly") {
+    import graft.ops.Components
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val cc = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // unconverged graphs fail loudly instead of returning partial labels
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(longChain, "a", "b", maxIter = 3)
+    }
+  }
+
+  test("tfidfTopTerms ranks a doc's distinctive term above corpus-common terms") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common words only here"),
+      (3L, "common words again still"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc (idf = ln(1) = 0); doc 1's top term
+    // must be its unique word despite 'common' having 3x the tf
+    assert(top(1L) == "zebra")
+  }
+
   test("multimodal decodeBatch appends per-row features; null media stays null") {
     import graft.queries.Multimodal
     val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "txt")
