@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt's logger prefixes every forked-run stdout line with
+// "[info] ", which breaks downstream parsers expecting a bare JSON line
+// (graft.Bench's contract). StdoutOutput pipes the child's stdout through
+// unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
