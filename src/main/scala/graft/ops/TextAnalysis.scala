@@ -39,23 +39,28 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Top-k terms per document by tf-idf — the classic text-relational
-    * pipeline: tokenize (map) → tf per (doc, term) and df per term (two
-    * shuffles on term-sized keys) → idf join → per-doc top-k window.
+    * pipeline: tokenize (map) → tf per (doc, term) → df per term derived
+    * FROM tf (tf rows are already distinct (doc, term) pairs, so df is a
+    * plain count — the corpus is exploded once and the two-phase
+    * countDistinct agg disappears) → idf join → per-doc top-k window.
     *
     * Scale shape: the corpus-size scalar ships as a broadcast (one-row
-    * cross join, no collect); the per-doc window is bounded by a doc's
-    * distinct terms, never corpus-wide; scores are rounded before ranking
-    * so cross-engine ulp noise in `ln` cannot flip the order (ties then
-    * break on term). Tokenization is lower + split on non-alphanumeric —
-    * chosen because it is expressible identically in ANSI SQL, keeping the
-    * operator DuckDB-oracleable. */
+    * cross join, no collect); the df join stays a shuffle join rather
+    * than a count-over-window so AQE skew handling can split hot terms
+    * ("the") that a term-partitioned window would pin to one task; the
+    * per-doc window is bounded by a doc's distinct terms, never
+    * corpus-wide; scores are rounded before ranking so cross-engine ulp
+    * noise in `ln` cannot flip the order (ties then break on term).
+    * Tokenization is lower + split on non-alphanumeric — chosen because
+    * it is expressible identically in ANSI SQL, keeping the operator
+    * DuckDB-oracleable. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docFreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     tf.join(docFreq, "term")
