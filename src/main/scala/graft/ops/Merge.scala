@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE / upsert: apply a keyed delta onto a base table in one
+  * pass — the engine-side half of the classic incremental-load contract
+  * (MERGE INTO in SQL warehouses; the reference's monthly batch rewrites
+  * its whole output instead, `pyspark_skript/pyspark_script.py:110-113`,
+  * which this generalizes).
+  *
+  * Semantics: rows present in both take the delta's values (update);
+  * delta-only rows are inserted; base-only rows pass through. Delta nulls
+  * overwrite base values only when the whole row is an update — a matched
+  * delta row IS the new row (standard MERGE "WHEN MATCHED THEN UPDATE SET
+  * *" semantics), not a per-column patch.
+  *
+  * Scale shape: one full-outer join shuffled on the key. A delta below the
+  * broadcast threshold turns it into a broadcast join automatically; a
+  * bucketed base makes it narrow on the base side. Pair with
+  * `Sinks.overwritePartitions` to write back only the partitions the
+  * delta touched (idempotent re-runs).
+  */
+object Merge {
+
+  /** Upsert `delta` onto `base`; both must share the same schema. The
+    * row-presence flag distinguishes a genuine delta row from a matched
+    * row whose columns happen to be null. */
+  def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = base.columns.filterNot(keys.contains).toSeq
+    val d = delta.withColumn("__is_delta", lit(true))
+    base.as("b").join(d.as("d"), keys, "full_outer")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("d.__is_delta"), col(s"d.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
+}

@@ -71,6 +71,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("rnk"))
   }
 
+  /** Per-document repetition score: the fraction of character n-gram
+    * occurrences that repeat an already-seen n-gram (1 - distinct/total).
+    * Boilerplate, template spam, and degenerate generation loops score
+    * high; natural prose scores low — a cheap single-pass quality filter
+    * for training-corpus curation. Map-only (no shuffle): each row is
+    * scored from its own text. */
+  def repetition(text: Column, n: Int): (Column, Column, Column) = {
+    val total = greatest(length(text) - (n - 1), lit(1))
+    val uniq = size(Dedup.shingles(text, n))
+    val ratio = round(lit(1.0) - uniq.cast("double") / total, 6)
+    (total, uniq, ratio)
+  }
+
   /** Predicted language: argmax of marker scores, fixed precedence order on
     * ties (earlier entry in [[langMarkers]] wins). */
   def langId(text: Column): Column = {

@@ -118,6 +118,40 @@ object LlmOps {
           fractions = Map(0 -> 0.75, 1 -> 0.25), defaultFraction = 0.5)
         .groupBy("label").agg(count(lit(1)).as("n_sampled"))
         .orderBy("label")),
+    // Benchmark-contamination sweep: which training docs share token
+    // 5-grams with an eval doc? Shingle-explode both sides and equi-join
+    // on the shingle — linear in shingle volume, never doc-pairs (the
+    // all-pairs list-intersect the oracle runs is exactly the plan this
+    // avoids). Eval set = doc_id % 100 == 0, a stand-in benchmark table.
+    "q_contamination" -> ((s, dir) => {
+      val sh = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.tokenShingles(col("text"), 5)).as("sh"))
+      val evalSh = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("eval_id"), col("sh"))
+      sh.filter(col("doc_id") % 100 =!= 0)
+        .join(evalSh, "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 3)
+        .orderBy("doc_id", "eval_id")
+    }),
+    // Domain mixing: downsample every label to the smallest label's size —
+    // deterministic multiplicative-hash acceptance (no RNG), per-label
+    // quotas arriving via aggregate + broadcast join (no driver collect,
+    // no caller-supplied map). Plain integer arithmetic throughout, so the
+    // operator is fully oracle-expressible.
+    "q_sample_weighted" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val cnt = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+      val minCnt = cnt.agg(min("cnt").as("min_cnt"))
+      val quota = cnt.crossJoin(broadcast(minCnt))
+        .withColumn("ppm", floor(col("min_cnt") * lit(1000000.0) / col("cnt")))
+      e.join(broadcast(quota), "label")
+        .filter((col("vec_id") * lit(2654435761L)) % lit(1000000L) < col("ppm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), max("cnt").as("label_size"))
+        .orderBy("label")
+    }),
     // Embedding-cosine near-dup pairs above a threshold — exact semantics
     // via the chunk-salted pair join (see Similarity.thresholdPairs for why
     // an LSH prefilter cannot be lossless at this threshold): a hot label
@@ -221,6 +255,27 @@ object LlmOps {
                < (CASE WHEN label = 0 THEN 0.75
                        WHEN label = 1 THEN 0.25
                        ELSE 0.5 END)
-         GROUP BY label ORDER BY label"""
+         GROUP BY label ORDER BY label""",
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len(t) - 4, 1) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 4), ' '))) s
+                FROM toks)
+         SELECT t.doc_id, e.doc_id AS eval_id,
+           CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS overlap
+         FROM sh t JOIN sh e ON t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
+         WHERE len(list_intersect(t.s, e.s)) >= 3
+         ORDER BY t.doc_id, eval_id""",
+    "q_sample_weighted" ->
+      """WITH cnt AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label),
+         m AS (SELECT min(cnt) AS min_cnt FROM cnt),
+         q AS (SELECT label, cnt,
+                 CAST(floor(min_cnt * 1000000.0 / cnt) AS BIGINT) AS ppm
+               FROM cnt CROSS JOIN m)
+         SELECT e.label, count(*) AS n_kept, max(q.cnt) AS label_size
+         FROM embeddings e JOIN q USING (label)
+         WHERE (e.vec_id * 2654435761) % 1000000 < q.ppm
+         GROUP BY e.label ORDER BY e.label"""
   )
 }

@@ -279,6 +279,37 @@ object Relational {
         .filter(col("rk") <= 3)
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rk")
+    }),
+    // MERGE/upsert (ops.Merge): apply a deterministic delta — a status +
+    // price update for every 7th order, plus insert rows re-keyed past the
+    // key space — onto orders in one full-outer pass. The price update is
+    // an exact double addition, not a multiply, so no rounding step can
+    // diverge between engines.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      graft.ops.Merge.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    // Point-in-interval range join via binning (ops.RangeJoin): ship dates
+    // falling inside sampled 7-day order windows. A naive inequality join
+    // plans as a nested loop; the binned plan is an ordinary equi-join.
+    "q_join_range_binned" -> ((s, dir) => {
+      val week = 7L * 86400
+      val iv = tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + make_dt_interval(days = lit(7))).as("w_end"))
+      val pts = tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      graft.ops.RangeJoin.pointInInterval(pts, "l_shipdate", iv,
+          "w_start", "w_end", binSeconds = week)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_ship"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -424,6 +455,29 @@ object Relational {
              CAST(row_number() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
            FROM orders) t
-         WHERE rk <= 3 ORDER BY o_orderpriority, rk"""
+         WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         delta AS (
+           SELECT o_orderkey, 'X' AS o_orderstatus,
+                  o_totalprice + 10.0 AS o_totalprice
+           FROM base WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+           FROM base WHERE o_orderkey % 97 = 0)
+         SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+         FROM base b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey
+         ORDER BY o_orderkey""",
+    "q_join_range_binned" ->
+      """SELECT o.o_orderkey, count(*) AS n_ship
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         WHERE o.o_orderkey % 100 = 0
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""
   )
 }

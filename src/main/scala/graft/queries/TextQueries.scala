@@ -66,6 +66,15 @@ object TextQueries {
           sum("nc").as("total_chars"),
           round(sum("nc").cast("double") / sum("nt"), 6).as("chars_per_token"))
         .orderBy("lang")
+    }),
+    // Repetition scoring (corpus-curation quality filter): fraction of
+    // trigram occurrences that repeat an already-seen trigram. Map-only.
+    "q_text_repetition" -> ((s, dir) => {
+      val (total, uniq, ratio) = TextAnalysis.repetition(col("text"), 3)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), total.as("n_shingles"), uniq.as("n_uniq"),
+          ratio.as("rep_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -137,6 +146,17 @@ object TextQueries {
          CAST(sum(length(text)) AS BIGINT) AS total_chars,
          round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
            AS chars_per_token
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_text_repetition" ->
+      """SELECT doc_id,
+         CAST(greatest(length(text) - 2, 1) AS INT) AS n_shingles,
+         CAST(len(list_distinct(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substring(text, CAST(i AS INT), 3)))) AS INT) AS n_uniq,
+         round(1.0 - CAST(len(list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 1) + 1),
+             i -> substring(text, CAST(i AS INT), 3)))) AS DOUBLE)
+           / greatest(length(text) - 2, 1), 6) AS rep_ratio
+         FROM documents ORDER BY doc_id"""
   )
 }

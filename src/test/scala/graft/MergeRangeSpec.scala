@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.{Merge, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the batch MERGE/upsert and the binned range join — both
+  * verified against first-principles expectations, the range join also
+  * against the naive inequality join it replaces. */
+class MergeRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert updates matched rows, inserts new rows, passes the rest through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val delta = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val out = Merge.upsert(base, delta, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert applies a matched delta row wholesale, including its nulls") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val delta = Seq((1L, null.asInstanceOf[String])).toDF("k", "s")
+    val out = Merge.upsert(base, delta, Seq("k")).collect()
+    // MERGE "update set *": the delta row replaces the base row entirely,
+    // so a null delta value overwrites — it is not a per-column patch
+    assert(out.length == 1 && out.head.isNullAt(1))
+  }
+
+  test("binned range join matches the naive inequality join exactly") {
+    // intervals of varying length, some spanning multiple bins; points on
+    // boundaries to pin the [start, end) inclusivity contract
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 35L), (3L, 100L, 101L))
+      .toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    val pts = Seq((10L, 0L), (11L, 9L), (12L, 10L), (13L, 34L), (14L, 35L),
+      (15L, 100L), (16L, 101L), (17L, 20L))
+      .toDF("pt_id", "t_raw")
+      .select(col("pt_id"), col("t_raw").cast("timestamp").as("t"))
+    val binned = RangeJoin.pointInInterval(pts, "t", iv, "s", "e", binSeconds = 8L)
+      .select("iv_id", "pt_id").orderBy("iv_id", "pt_id")
+      .as[(Long, Long)].collect().toSeq
+    val naive = pts.join(iv, col("t") >= col("s") && col("t") < col("e"))
+      .select("iv_id", "pt_id").orderBy("iv_id", "pt_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(binned == naive)
+    // start inclusive (pt 10 in iv 1), end exclusive (pt 12 not in iv 1;
+    // pt 14 not in iv 2), multi-bin interval catches interior point (17)
+    assert(binned == Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L),
+      (2L, 13L), (2L, 17L), (3L, 15L)))
+  }
+}

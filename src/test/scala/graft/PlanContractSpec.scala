@@ -64,4 +64,27 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // one hash exchange for the window partition, one range for ORDER BY
     assert(exchanges.size <= 2, s"unexpected extra shuffles: ${exchanges.size}")
   }
+
+  test("binned range join plans as an equi-join, never a nested loop") {
+    val p = plan("q_join_range_binned")
+    val bad = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"range join degraded to a nested loop:\n$p")
+  }
+
+  test("merge/upsert broadcasts a small delta instead of shuffling the base") {
+    val bhj = collectWithSubqueries(plan("q_merge_upsert")) {
+      case j: BroadcastHashJoinExec => j
+    }
+    // full-outer can't broadcast-hash in Spark; accept either a broadcast
+    // or a single-shuffle sort-merge — but never more than the join's own
+    // exchanges (base + delta) plus the output range sort
+    val exchanges = collectWithSubqueries(plan("q_merge_upsert")) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(bhj.nonEmpty || exchanges.size <= 3,
+      s"merge plan has ${exchanges.size} exchanges and no broadcast")
+  }
 }
