@@ -74,6 +74,30 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bad.isEmpty, s"range join degraded to a nested loop:\n$p")
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // Semi-join reduction: the filtered creation side builds a bloom filter
+    // that prunes fact rows BEFORE the join shuffle — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling only
+    // rows that can match. Thresholds are lowered because the test tables
+    // are far below the 10 MB production default.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val small = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 350000)
+      val j = big.join(small, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      assert(j.queryExecution.executedPlan.toString.contains("might_contain"),
+        "runtime bloom filter was not injected on the fact side")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("merge/upsert broadcasts a small delta instead of shuffling the base") {
     val bhj = collectWithSubqueries(plan("q_merge_upsert")) {
       case j: BroadcastHashJoinExec => j
