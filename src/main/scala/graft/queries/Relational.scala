@@ -271,12 +271,15 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
     }),
+    // Heap-pruned top-k (ops.TopK): 5 priority values must not become 5
+    // straggler sort tasks.
     "q_topk_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      tbl(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+      graft.ops.TopK.perGroup(
+          tbl(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 3, rankCol = "rk")
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rk")
     }),

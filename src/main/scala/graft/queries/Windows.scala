@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   val defs: Map[String, Q] = Map(
+    // Rank trio per return flag — computed with the heap-pruned top-k
+    // (ops.TopK) so 3 flag values never become 3 straggler sort tasks.
     "q_window_rank" -> ((s, dir) => {
-      val byPrice = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-      tbl(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(byPrice))
-        .withColumn("rnk", rank().over(byPrice))
-        .withColumn("drnk", dense_rank().over(byPrice))
-        .filter(col("rn") <= 10)
+      graft.ops.TopK.rankTrio(
+          tbl(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_linenumber"), col("l_extendedprice")),
+          Seq("l_returnflag"),
+          Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+            "l_linenumber" -> true),
+          k = 10)
         .orderBy("l_returnflag", "rn")
     }),
     "q_window_lag_lead" -> ((s, dir) => {

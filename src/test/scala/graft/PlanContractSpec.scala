@@ -57,12 +57,16 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(exchanges.isEmpty, "signature computation must be map-only")
   }
 
-  test("top-k per group plans a single shuffle (window) plus the output sort") {
+  test("top-k per group prunes narrowly before its only window shuffle") {
     val exchanges = collectWithSubqueries(plan("q_topk_per_group")) {
       case e: ShuffleExchangeExec => e
     }
-    // one hash exchange for the window partition, one range for ORDER BY
+    // the heap prune is narrow, so only the survivor window exchange and
+    // the ORDER BY range exchange remain — the full table never shuffles
     assert(exchanges.size <= 2, s"unexpected extra shuffles: ${exchanges.size}")
+    val p = plan("q_topk_per_group").toString
+    assert(p.contains("MapPartitions"),
+      "heap prune (mapPartitions) missing from the plan")
   }
 
   test("binned range join plans as an equi-join, never a nested loop") {
