@@ -124,8 +124,12 @@ object LlmOps {
     // all-pairs list-intersect the oracle runs is exactly the plan this
     // avoids). Eval set = doc_id % 100 == 0, a stand-in benchmark table.
     "q_contamination" -> ((s, dir) => {
+      // persisted: both join branches read it, and the shingle transform
+      // (interpreted HOF lambda) is the dominant cost — without the cache
+      // the corpus is shingled twice
       val sh = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(Dedup.tokenShingles(col("text"), 5)).as("sh"))
+        .persist()
       val evalSh = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("eval_id"), col("sh"))
       sh.filter(col("doc_id") % 100 =!= 0)
