@@ -51,6 +51,42 @@ object ScaleProbeMain {
         Dedup.minHashSignatures(dd, "doc_id", "text")).count()
       println(f"[scale] lsh-candidates $d%-28s docs=$n%6d candidates=$cands%8d per-doc=${cands.toDouble / n}%8.4f")
     }
+
+    // Heap-pruned top-k: 1x vs 10x of the low-cardinality worst case. The
+    // interesting number is the survivor count (k x partitions x groups,
+    // NOT data-proportional) — the window input stays constant-sized as
+    // the table grows.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .cache()
+    li.count()
+    time("topk rank trio 1x")(graft.ops.TopK.rankTrio(li, Seq("l_returnflag"),
+      Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+        "l_linenumber" -> true), 10).count())
+    val li10 = x10(li, "l_orderkey").cache()
+    li10.count()
+    time("topk rank trio 10x")(graft.ops.TopK.rankTrio(li10, Seq("l_returnflag"),
+      Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+        "l_linenumber" -> true), 10).count())
+
+    // Binned range join: candidate-to-match ratio — binning is effective
+    // when candidates stay within a small constant of true matches.
+    val week = 7L * 86400
+    val iv = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + make_dt_interval(days = lit(7))).as("w_end"))
+    val pts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate")
+    val matches = graft.ops.RangeJoin.pointInInterval(
+      pts, "l_shipdate", iv, "w_start", "w_end", binSeconds = week).count()
+    val candidates = pts
+      .withColumn("__bin", floor(col("l_shipdate").cast("timestamp").cast("long") / week))
+      .join(iv.withColumn("__bin", explode(sequence(
+        floor(col("w_start").cast("timestamp").cast("long") / week),
+        floor(col("w_end").cast("timestamp").cast("long") / week)))), Seq("__bin"))
+      .count()
+    println(f"[scale] range-join                    matches=$matches%8d candidates=$candidates%8d ratio=${candidates.toDouble / matches}%6.2f")
     spark.stop()
   }
 }
