@@ -64,7 +64,20 @@ object Events {
           from_json(col("props"), schema).getField("k").as("k_parsed"),
           col("event_type"))
         .orderBy("event_id")
-    })
+    }),
+    // PII hygiene for shared/training datasets: user ids become stable
+    // keyed pseudonyms (salted sha256 — joinable across tables salted the
+    // same way, not reversible without the salt), and every digit run in
+    // the free-form props blob is masked. Map-only, codegen'd, zero
+    // shuffle: scrubbing 100 TB is exactly one pass over the bytes.
+    "q_pii_pseudonymize" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          sha2(concat(col("user_id").cast("string"), lit(":graft-pii")), 256)
+            .as("user_pseudo"),
+          col("event_type"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,6 +108,12 @@ object Events {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed, event_type
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    "q_pii_pseudonymize" ->
+      """SELECT event_id,
+         sha256(CAST(user_id AS VARCHAR) || ':graft-pii') AS user_pseudo,
+         event_type,
+         regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+         FROM events ORDER BY event_id"""
   )
 }

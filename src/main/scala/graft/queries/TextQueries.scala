@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.TextAnalysis
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis catalog queries over `documents`: quality stats, token
@@ -66,6 +67,26 @@ object TextQueries {
           sum("nc").as("total_chars"),
           round(sum("nc").cast("double") / sum("nt"), 6).as("chars_per_token"))
         .orderBy("lang")
+    }),
+    // Sequence packing for context windows: assign docs to fixed-budget
+    // token packs by cumulative token count within deterministic shards.
+    // The shard (doc_id % 8) is the scale unit — each shard's running sum
+    // is an independent window, so packing 100 TB is shards-many balanced
+    // window partitions, never one global cumsum. A doc may straddle its
+    // pack boundary (standard cumsum binning — exact greedy packing is
+    // inherently sequential).
+    "q_pack_sequences" -> ((s, dir) => {
+      val budget = 2048
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tok"))
+        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("pack_id", floor(col("cum_before") / (budget * 1.0)))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("shard", "pack_id")
     }),
     // Repetition scoring (corpus-curation quality filter): fraction of
     // trigram occurrences that repeat an already-seen trigram. Map-only.
@@ -147,6 +168,19 @@ object TextQueries {
          round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
            AS chars_per_token
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT shard, doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM d)
+         SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
     "q_text_repetition" ->
       """SELECT doc_id,
          CAST(greatest(length(text) - 2, 1) AS INT) AS n_shingles,
