@@ -31,4 +31,13 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** Format-generic write for the interchange formats the engine speaks:
+    * "parquet" and "orc" (columnar, splittable — the only choices for
+    * data that will be scanned again at scale), "json" (json-lines) and
+    * "csv" (header row) for flat exports to other systems. Text formats
+    * serialize flat schemas only — keep nested data columnar. */
+  def writeFormat(df: DataFrame, path: String, format: String,
+                  mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).option("header", "true").format(format).save(path)
 }

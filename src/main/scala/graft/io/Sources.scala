@@ -72,4 +72,16 @@ object Sources {
       case None => base.option("inferSchema", "true").csv(path)
     }
   }
+
+  /** ORC reader — columnar alternate to parquet; schema travels with the
+    * files. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** JSON-lines reader with a MANDATORY explicit schema: inference would
+    * be a second full pass and, worse, schema drift across 100 TB of
+    * heterogeneous lines silently widens types. */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
