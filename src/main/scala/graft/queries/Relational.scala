@@ -57,6 +57,19 @@ object Relational {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")
     }),
+    // Single-pass heavy hitters (Misra-Gries via df.stat.freqItems): every
+    // value above the support threshold is guaranteed present (false
+    // positives possible, false negatives not) — one scan, map-side
+    // summaries merged once, no shuffle of the data itself. Oracled:
+    // with fewer distinct values (5 priorities) than sketch counters
+    // (ceil(1/0.15) = 7) nothing is ever evicted, so the output is
+    // exactly the distinct set — deterministic despite the approximate
+    // algorithm. Output exploded + sorted into a stable row set.
+    "q_agg_freq_items" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .stat.freqItems(Seq("o_orderpriority"), 0.15)
+        .select(explode(col("o_orderpriority_freqItems")).as("heavy_hitter"))
+        .orderBy("heavy_hitter")),
     "q_agg_rollup" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -317,6 +330,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_freq_items" ->
+      """SELECT DISTINCT o_orderpriority AS heavy_hitter
+         FROM orders ORDER BY heavy_hitter""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
