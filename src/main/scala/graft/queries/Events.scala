@@ -77,7 +77,27 @@ object Events {
             .as("user_pseudo"),
           col("event_type"),
           regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    // Time-series gap fill — the sibling of the flagship densification:
+    // hourly event counts per user with ZERO rows materialized for silent
+    // hours between that user's first and last activity. The hour spine is
+    // generated per user (sequence + explode — narrow, sized by each
+    // user's own span, never a global calendar cross join) and the
+    // observed counts left-join onto it co-partitioned by user.
+    "q_timeseries_gapfill" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val counts = ev.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+      val spine = counts.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            make_dt_interval(lit(0), lit(1)))).as("h"))
+      spine.join(counts, Seq("user_id", "h"), "left")
+        .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "hour_us")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +134,19 @@ object Events {
          sha256(CAST(user_id AS VARCHAR) || ':graft-pii') AS user_pseudo,
          event_type,
          regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "q_timeseries_gapfill" ->
+      """WITH counts AS (
+           SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY user_id, date_trunc('hour', ts)),
+         spine AS (
+           SELECT user_id, unnest(generate_series(min(h), max(h),
+             INTERVAL 1 HOUR)) AS h
+           FROM counts GROUP BY user_id)
+         SELECT s.user_id, epoch_us(s.h) AS hour_us,
+           coalesce(c.n, 0) AS n_events
+         FROM spine s LEFT JOIN counts c
+           ON s.user_id = c.user_id AND s.h = c.h
+         ORDER BY s.user_id, hour_us"""
   )
 }
