@@ -23,12 +23,22 @@ object Sinks {
     df.write.mode(SaveMode.Append).parquet(path)
 
   /** Idempotent overwrite-by-partition write: same ingestDate re-run
-    * replaces only that partition. */
-  def writeIdempotent(df: DataFrame, path: String, ingestDate: String): Unit =
+    * replaces only that partition.
+    *
+    * `storageOptions` is the encryption-at-rest seam: the reference sets
+    * SSE-KMS on every S3 write (`batch_processing_IaC.py:309`,
+    * `upload_csv_to_s3.py:40-43`). Storage encryption is a filesystem
+    * concern, not an engine one — on a real object store these become the
+    * committer/FS options (e.g. the S3A server-side-encryption settings);
+    * on a local filesystem they are a no-op. The seam exists so callers
+    * configure it per write rather than globally. */
+  def writeIdempotent(df: DataFrame, path: String, ingestDate: String,
+                      storageOptions: Map[String, String] = Map.empty): Unit =
     df.withColumn("ingest_date", lit(ingestDate))
       .write
       .partitionBy("ingest_date")
       .option("partitionOverwriteMode", "dynamic")
+      .options(storageOptions)
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
