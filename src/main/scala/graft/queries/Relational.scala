@@ -70,6 +70,20 @@ object Relational {
         .stat.freqItems(Seq("o_orderpriority"), 0.15)
         .select(explode(col("o_orderpriority_freqItems")).as("heavy_hitter"))
         .orderBy("heavy_hitter")),
+    // Unpivot (melt) — the inverse of q_agg_pivot: wide metric columns to
+    // long (metric, value) rows. Narrow (each input row expands in place,
+    // no shuffle until the aggregate); sums rounded to absorb double
+    // partial-sum ulp, the catalog's standard float-agg pattern.
+    "q_unpivot_metrics" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("metric")),
     "q_agg_rollup" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -333,6 +347,14 @@ object Relational {
     "q_agg_freq_items" ->
       """SELECT DISTINCT o_orderpriority AS heavy_hitter
          FROM orders ORDER BY heavy_hitter""",
+    "q_unpivot_metrics" ->
+      """WITH u AS (
+           SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+         SELECT metric, count(*) AS n, round(sum(value), 2) AS total
+         FROM u GROUP BY metric ORDER BY metric""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
