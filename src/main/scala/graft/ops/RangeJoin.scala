@@ -25,7 +25,9 @@ object RangeJoin {
 
   /** Join `points` to `intervals` where `points.ptCol` falls in
     * `[startCol, endCol)`. Columns from both sides survive; timestamps
-    * are compared at their native precision. */
+    * are compared at their native precision. Malformed intervals
+    * (end before start) match nothing: their bin rows exist (sequence
+    * steps down) but the exact recheck is vacuously false. */
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       binSeconds: Long): DataFrame = {

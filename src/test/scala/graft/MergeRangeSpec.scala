@@ -51,4 +51,33 @@ class MergeRangeSpec extends SparkSpec {
     assert(binned == Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L),
       (2L, 13L), (2L, 17L), (3L, 15L)))
   }
+
+  test("upsert handles composite keys and an empty delta") {
+    val base = Seq((1L, "x", 10.0), (1L, "y", 20.0)).toDF("k1", "k2", "v")
+    val delta = Seq((1L, "y", 99.0)).toDF("k1", "k2", "v")
+    val out = Merge.upsert(base, delta, Seq("k1", "k2"))
+      .orderBy("k1", "k2").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq((1L, "x", 10.0), (1L, "y", 99.0)))
+    val noop = Merge.upsert(base, delta.limit(0), Seq("k1", "k2"))
+      .orderBy("k1", "k2").as[(Long, String, Double)].collect()
+    assert(noop.toSeq == Seq((1L, "x", 10.0), (1L, "y", 20.0)))
+  }
+
+  test("malformed intervals (end before start) match nothing") {
+    // sequence() infers a descending step for end<start, so the interval
+    // explodes onto bins — but the exact [start, end) recheck is vacuously
+    // false, so a malformed interval contributes zero matches
+    val iv = Seq((1L, 100L, 50L)).toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    val pts = Seq((10L, 75L)).toDF("pt_id", "t_raw")
+      .select(col("pt_id"), col("t_raw").cast("timestamp").as("t"))
+    assert(RangeJoin.pointInInterval(pts, "t", iv, "s", "e", binSeconds = 8L)
+      .count() == 0)
+  }
+
+  test("connected components of an empty edge list is empty, not an error") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.Components.connectedComponents(edges, "a", "b").count() == 0)
+  }
 }
