@@ -80,12 +80,8 @@ object ScaleProbeMain {
       .select("l_orderkey", "l_shipdate")
     val matches = graft.ops.RangeJoin.pointInInterval(
       pts, "l_shipdate", iv, "w_start", "w_end", binSeconds = week).count()
-    val candidates = pts
-      .withColumn("__bin", floor(col("l_shipdate").cast("timestamp").cast("long") / week))
-      .join(iv.withColumn("__bin", explode(sequence(
-        floor(col("w_start").cast("timestamp").cast("long") / week),
-        floor(col("w_end").cast("timestamp").cast("long") / week)))), Seq("__bin"))
-      .count()
+    val candidates = graft.ops.RangeJoin.candidates(
+      pts, "l_shipdate", iv, "w_start", "w_end", binSeconds = week).count()
     println(f"[scale] range-join                    matches=$matches%8d candidates=$candidates%8d ratio=${candidates.toDouble / matches}%6.2f")
     spark.stop()
   }

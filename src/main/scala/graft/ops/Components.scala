@@ -51,6 +51,13 @@ object Components {
                           maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // refuse non-integral id columns rather than silently truncating
+    // (10.2 and 10.9 must not merge into vertex 10) or NPE-ing on strings
+    Seq(aCol, bCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"vertex id column '$c' must be integral, got ${dt.typeName}")
+    }
     val raw = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }

@@ -28,18 +28,29 @@ object RangeJoin {
     * are compared at their native precision. Malformed intervals
     * (end before start) match nothing: their bin rows exist (sequence
     * steps down) but the exact recheck is vacuously false. */
+  /** Bin id of a timestamp. The intermediate cast("timestamp") lets NTZ
+    * timestamps bin too (NTZ -> BIGINT is not a legal direct cast);
+    * session TZ is UTC. Public so measurement code (ScaleProbeMain's
+    * candidate count) uses THIS binning, not a hand-rolled copy that
+    * could drift. */
+  def bin(ts: Column, binSeconds: Long): Column =
+    floor(ts.cast("timestamp").cast("long") / binSeconds)
+
+  /** The equi-join candidate set before the exact recheck — the join the
+    * shuffle actually pays for. Exposed for measurement. */
+  def candidates(points: DataFrame, ptCol: String,
+                 intervals: DataFrame, startCol: String, endCol: String,
+                 binSeconds: Long): DataFrame = {
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(bin(col(startCol), binSeconds), bin(col(endCol), binSeconds))))
+    val pt = points.withColumn("__bin", bin(col(ptCol), binSeconds))
+    pt.join(iv, Seq("__bin"))
+  }
+
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      binSeconds: Long): DataFrame = {
-    // the intermediate cast("timestamp") lets NTZ timestamps bin too
-    // (NTZ -> BIGINT is not a legal direct cast); session TZ is UTC
-    def bin(ts: Column): Column =
-      floor(ts.cast("timestamp").cast("long") / binSeconds)
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
-    val pt = points.withColumn("__bin", bin(col(ptCol)))
-    pt.join(iv, Seq("__bin"))
+                      binSeconds: Long): DataFrame =
+    candidates(points, ptCol, intervals, startCol, endCol, binSeconds)
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
-  }
 }

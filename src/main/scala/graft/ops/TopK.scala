@@ -41,6 +41,11 @@ object TopK {
   def rankTrio(df: DataFrame, groupCols: Seq[String],
                keys: Seq[(String, Boolean)], k: Int): DataFrame = {
     val schema = df.schema
+    // the rank trio is appended by name; silently replacing caller data
+    // (e.g. re-ranking a previous ranking's output) would lose columns
+    Seq("rn", "rnk", "drnk").foreach(c =>
+      require(!schema.fieldNames.contains(c),
+        s"input already has a '$c' column — rename it before ranking"))
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val kIdx = keys.map { case (n, _) => schema.fieldIndex(n) }.toArray
     val kAsc = keys.map(_._2).toArray

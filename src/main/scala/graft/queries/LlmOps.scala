@@ -126,7 +126,10 @@ object LlmOps {
     "q_contamination" -> ((s, dir) => {
       // persisted: both join branches read it, and the shingle transform
       // (interpreted HOF lambda) is the dominant cost — without the cache
-      // the corpus is shingled twice
+      // the corpus is shingled twice. Deliberately not unpersisted: the
+      // frame is consumed lazily by the caller, so release would have to
+      // happen before materialization; the entry lives until the session's
+      // next clearCache (the bench clears between warmup and timed runs)
       val sh = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(Dedup.tokenShingles(col("text"), 5)).as("sh"))
         .persist()

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational envelope: scans, filters, the join family, aggregations.
@@ -321,8 +320,11 @@ object Relational {
       val updates = base.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", lit("X"))
         .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      // re-key far past any scale factor's key range: TPC-H orderkeys pass
+      // 1e6 near sf0.25, which would collide re-keyed inserts with real
+      // keys (two delta rows per key, ORDER BY no longer total)
       val inserts = base.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000000L)
       graft.ops.Merge.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
@@ -504,7 +506,7 @@ object Relational {
                   o_totalprice + 10.0 AS o_totalprice
            FROM base WHERE o_orderkey % 7 = 0
            UNION ALL
-           SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+           SELECT o_orderkey + 100000000000, o_orderstatus, o_totalprice
            FROM base WHERE o_orderkey % 97 = 0)
          SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
            CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus
