@@ -56,6 +56,15 @@ object Bench {
     // is listed in "failed" — silent failure would otherwise masquerade as
     // a phantom speedup in recorded baselines
     val results = selected.map { case (name, fn) =>
+      // Cache scoping (untimed): queries that persist() internally leave
+      // session-lifetime entries; across a 95-query timed pass those
+      // accumulate in the driver heap and one eviction-thrashed run can put
+      // a 10x outlier into the gating artifact (BENCH_r03: q_contamination
+      // 28.9 s recorded vs 2.3 s reproduced). Clearing BEFORE each timed
+      // query isolates it: every query starts from zero cache, pays its own
+      // materialization, and inherits nothing from predecessors. Codegen
+      // stays warm (keyed by generated source, not cache entries).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

@@ -119,29 +119,18 @@ object LlmOps {
         .groupBy("label").agg(count(lit(1)).as("n_sampled"))
         .orderBy("label")),
     // Benchmark-contamination sweep: which training docs share token
-    // 5-grams with an eval doc? Shingle-explode both sides and equi-join
-    // on the shingle — linear in shingle volume, never doc-pairs (the
-    // all-pairs list-intersect the oracle runs is exactly the plan this
-    // avoids). Eval set = doc_id % 100 == 0, a stand-in benchmark table.
-    "q_contamination" -> ((s, dir) => {
-      // persisted: both join branches read it, and the shingle transform
-      // (interpreted HOF lambda) is the dominant cost — without the cache
-      // the corpus is shingled twice. Deliberately not unpersisted: the
-      // frame is consumed lazily by the caller, so release would have to
-      // happen before materialization; the entry lives until the session's
-      // next clearCache (the bench clears between warmup and timed runs)
-      val sh = tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(Dedup.tokenShingles(col("text"), 5)).as("sh"))
-        .persist()
-      val evalSh = sh.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("eval_id"), col("sh"))
-      sh.filter(col("doc_id") % 100 =!= 0)
-        .join(evalSh, "sh")
-        .groupBy("doc_id", "eval_id")
-        .agg(count(lit(1)).as("overlap"))
-        .filter(col("overlap") >= 3)
-        .orderBy("doc_id", "eval_id")
-    }),
+    // 5-grams with an eval doc? Codegen'd shingle hashes + a broadcast
+    // benchmark-shingle index — linear in shingle volume, never doc-pairs,
+    // zero caching (ops.Contamination documents the 100 TB shape). Eval
+    // set = doc_id % 100 == 0, a stand-in benchmark table. maxShingleDf
+    // sits far above the test corpus's max DF (measured 4 at sf0.1), so the
+    // hot-gram cap is inactive here and the oracle's exact all-pairs
+    // list-intersect semantics are preserved bit-for-bit.
+    "q_contamination" -> ((s, dir) =>
+      graft.ops.Contamination.sweep(tbl(s, dir, "documents"), "doc_id", "text",
+          isEval = id => id % 100 === 0, shingleN = 5, minOverlap = 3,
+          maxShingleDf = 100000L)
+        .orderBy("doc_id", "eval_id")),
     // Domain mixing: downsample every label to the smallest label's size —
     // deterministic multiplicative-hash acceptance (no RNG), per-label
     // quotas arriving via aggregate + broadcast join (no driver collect,
