@@ -23,10 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Upsert `delta` onto `base`; both must share the same schema. The
-    * row-presence flag distinguishes a genuine delta row from a matched
-    * row whose columns happen to be null. */
+  /** Upsert `delta` onto `base`. The row-presence flag distinguishes a
+    * genuine delta row from a matched row whose columns happen to be null.
+    *
+    * Preconditions: `delta` must cover every base column (checked — a
+    * missing value column would otherwise resolve against the base side
+    * and silently undo the update), and delta keys MUST be unique — SQL
+    * MERGE raises on multiple matches per target row; this operator is a
+    * join, so a duplicated delta key would instead emit one output row per
+    * duplicate. Deduplicate first (e.g. keep the latest by version) —
+    * checking here would cost an extra full action per call.
+    */
   def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val missing = base.columns.filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"delta is missing base columns: ${missing.mkString(", ")} — " +
+        "MERGE semantics need the full row on the delta side")
     val valueCols = base.columns.filterNot(keys.contains).toSeq
     val d = delta.withColumn("__is_delta", lit(true))
     base.as("b").join(d.as("d"), keys, "full_outer")

@@ -35,12 +35,19 @@ object ZOrder {
 
   /** Quantize a numeric column to `[0, 2^bits)` for [[zValue]] — callers
     * supply the (min, max) domain so the mapping is deterministic and
-    * identical across writes (derive them once, not per batch). */
+    * identical across writes (derive them once, not per batch).
+    *
+    * NULL propagates as NULL (it must not silently land in bucket 0 —
+    * `greatest`/`least` skip nulls, so without the explicit branch a null
+    * input would co-locate with the domain minimum and poison that
+    * z-region's min/max bounds). Decide null placement upstream: filter
+    * them out or assign an explicit bucket before clustering. */
   def quantize(c: Column, min: Double, max: Double, bits: Int): Column = {
     require(max > min, s"empty domain [$min, $max]")
     val buckets = (1L << bits) - 1
-    least(lit(buckets), greatest(lit(0L),
-      floor((c.cast("double") - min) / (max - min) * buckets)))
+    when(c.isNull, lit(null))
+      .otherwise(least(lit(buckets), greatest(lit(0L),
+        floor((c.cast("double") - min) / (max - min) * buckets))))
   }
 
   /** Z-ordered parquet write: range-partition and sort by the interleaved

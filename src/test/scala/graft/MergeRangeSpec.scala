@@ -80,4 +80,11 @@ class MergeRangeSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(graft.ops.Components.connectedComponents(edges, "a", "b").count() == 0)
   }
+
+  test("upsert refuses a delta missing base columns instead of silently dropping them") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val delta = Seq((1L, 99.0)).toDF("k", "v") // no "name"
+    val e = intercept[IllegalArgumentException](graft.ops.Merge.upsert(base, delta, Seq("k")))
+    assert(e.getMessage.contains("name"))
+  }
 }

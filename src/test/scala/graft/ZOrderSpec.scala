@@ -43,4 +43,11 @@ class ZOrderSpec extends SparkSpec {
       .agg(min("q"), max("q")).first()
     assert(q.getLong(0) == 0 && q.getLong(1) == 15)
   }
+
+  test("quantize propagates null instead of folding it into bucket 0") {
+    val df = Seq[java.lang.Double](null, 0.0, 50.0, 100.0).toDF("x")
+      .select(ZOrder.quantize(col("x"), 0.0, 100.0, 4).as("q"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(None, Some(0L), Some(7L), Some(15L)))
+  }
 }
