@@ -84,37 +84,61 @@ object Similarity {
     df.withColumn("bucket", sig)
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-    * corpus into `nLists` inverted lists; each query scores only the lists
-    * of its `nProbe` nearest centroids. Candidate fan-in per query drops
-    * from N to ~N·nProbe/nLists, and — unlike LSH — list sizes are balanced
-    * by construction, so no bucket blows up on skewed data.
+  /** A fitted IVF index: the coarse-quantizer centroids plus the corpus
+    * written to `path` PARTITIONED BY `list_id` — the on-disk layout that
+    * lets probes read only their lists' partitions. Centroids are tiny
+    * (nLists × dim floats) and live on the driver, like any ANN index's
+    * coarse level. */
+  final case class IvfIndex(path: String, centroids: Array[Array[Float]]) {
+    def nLists: Int = centroids.length
+  }
+
+  /** Fit the IVF coarse quantizer ONCE and materialize the inverted-list
+    * layout: k-means over the corpus, then the corpus written partitioned
+    * by `list_id`. This is the expensive half of IVF — a handful of Spark
+    * jobs plus one partitioned write — and it runs per CORPUS, not per
+    * query batch; [[probeIvf]] then serves any number of query batches
+    * against the same index (the round-3 implementation refit on every
+    * invocation, ~5 jobs of index build inside each query).
     *
-    * Scale shape: centroids are tiny (nLists × dim) and ship as literals
-    * inside the probe expression (broadcast, no shuffle); the corpus is
-    * assigned once (narrow map via the fitted model) and can be written
-    * out partitioned by `list_id` so each probe reads only its lists'
-    * partitions. Scoring uses the codegen'd native cosine expression.
-    */
-  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    * Coarse quantization needs rough balance, not converged clusters:
+    * random init + few iterations keeps the fit cheap (k-means|| init
+    * alone runs ~2 jobs per round over the corpus). List sizes are
+    * balanced by construction — unlike LSH, no bucket blows up on skew. */
+  def fitIvf(embeddings: DataFrame, nLists: Int, indexDir: String,
+             seed: Long = 42, maxIter: Int = 5): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
     val feat = embeddings
       .withColumn("__fv", array_to_vector(col("embedding").cast("array<double>")))
-    // Coarse quantization needs rough balance, not converged clusters:
-    // random init + few iterations keeps the fit to a handful of Spark
-    // jobs (k-means|| init alone runs ~2 jobs per round over the corpus).
-    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random").setFeaturesCol("__fv").fit(feat)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    def centroidLit(i: Int): Column = array(centroids(i).map(v => lit(v)).toSeq: _*)
-    val assigned = model.transform(feat)
+    model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+      .write.partitionBy("list_id").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(indexDir)
+    IvfIndex(indexDir, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Probe a fitted IVF index: each query scores only the corpus rows in
+    * the inverted lists of its `nProbe` nearest centroids. Candidate
+    * fan-in per query drops from N to ~N·nProbe/nLists — and because the
+    * index is PARTITIONED by `list_id` and the (broadcast) probe side
+    * joins on it, Spark's dynamic partition pruning drops unprobed
+    * partitions at the SCAN: the corpus I/O itself shrinks by
+    * ~nProbe/nLists, not just the join input (plan-asserted in
+    * PlanContractSpec). Scoring uses the codegen'd native cosine. */
+  def probeIvf(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+               queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+    require(nProbe >= 1 && nProbe <= index.nLists,
+      s"nProbe=$nProbe out of range [1, ${index.nLists}]")
+    val corpus = spark.read.parquet(index.path)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        col("prediction").as("list_id"))
+        col("list_id"))
+    def centroidLit(i: Int): Column = array(index.centroids(i).map(v => lit(v)).toSeq: _*)
     // per-query probe list: nProbe centroids by cosine, deterministic ties
-    val probeSims = array((0 until nLists).map { i =>
+    val probeSims = array((0 until index.nLists).map { i =>
       struct(lit(i).as("list_id"), cosine_sim(col("q_emb"), centroidLit(i)).as("csim"))
     }: _*)
     val wProbe = Window.partitionBy("query_id")
@@ -125,10 +149,22 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("p.list_id").as("list_id"))
-    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
     rankTopK(scored, k)
+  }
+
+  /** Self-contained IVF ANN demo: fit to a fresh temp index dir, then
+    * probe. Production code calls [[fitIvf]] once per corpus and
+    * [[probeIvf]] per query batch — this wrapper exists for the catalog
+    * query, which must be a single expression over the test tables. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toFile
+    dir.deleteOnExit()
+    val index = fitIvf(embeddings, nLists, dir.getAbsolutePath)
+    probeIvf(embeddings.sparkSession, index, queries, k, nProbe)
   }
 
   /** Exact cosine-threshold pair join within `labelCol` blocks, skew-proof.

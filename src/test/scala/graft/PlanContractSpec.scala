@@ -102,6 +102,29 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("IVF probe scan partition-prunes to the probed lists") {
+    // fit once -> corpus partitioned by list_id; the probe joins the scan
+    // on the partition column against a broadcast probe set, so dynamic
+    // partition pruning must reach the file scan: at 100 TB this is the
+    // difference between reading nProbe/nLists of the corpus and all of it
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toFile
+    dir.deleteOnExit()
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = graft.ops.Similarity.fitIvf(e, nLists = 4, dir.getAbsolutePath)
+    val probe = graft.ops.Similarity.probeIvf(
+      spark, index, e.filter(col("vec_id") < 5), k = 3, nProbe = 2)
+    val scans = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.schema.fieldNames.contains("c_emb") ||
+        s.output.exists(_.name == "list_id") => s
+    }
+    assert(scans.nonEmpty, "no corpus scan found in the probe plan")
+    val pruned = scans.exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])))
+    assert(pruned,
+      s"corpus scan lacks a dynamic partition-pruning filter: " +
+        scans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("merge/upsert broadcasts a small delta instead of shuffling the base") {
     val bhj = collectWithSubqueries(plan("q_merge_upsert")) {
       case j: BroadcastHashJoinExec => j
