@@ -84,4 +84,23 @@ object Sources {
   def readJsonLines(spark: SparkSession, path: String,
                     schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Binary-file ingest for multimodal payloads: each matched file becomes
+    * one row of (path, modificationTime, length, content) — Spark's
+    * `binaryFile` source, the real entry point for image/audio/video
+    * corpora (the typed-metadata + `decodeBatch` plumbing in
+    * `queries.Multimodal` consumes exactly this shape).
+    *
+    * Scale notes: listing and scheduling distribute like any file source
+    * (one row per file; files never split), so media corpora parallelize
+    * by file count. Whole files materialize in memory as single binary
+    * cells — `spark.sql.sources.binaryFile.maxLength` (default 2 GiB)
+    * bounds a row; shard long videos upstream. Pushdown works on the
+    * METADATA columns (path/length/modTime filters prune before any byte
+    * is read); content is only fetched for surviving rows. */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
 }

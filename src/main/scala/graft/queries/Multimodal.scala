@@ -86,6 +86,26 @@ object Multimodal {
           length(element_at(col("sampled"), 1)).as("first_frame_bytes"))
         .orderBy("doc_id")
     }),
+    // Ingest path: REAL files from disk via the binaryFile source (one row
+    // per file: path/length/content), fed straight into the per-partition
+    // batch codec — the actual entry point of a media pipeline, replacing
+    // the text-encoded stand-in the other queries use for oracle-ability.
+    // The staged media directory is the scale-factor dir itself (its
+    // parquet files are genuine binary payloads present at every SF).
+    // Rows-only: DuckDB cannot scan arbitrary files as blobs; the byte
+    // accounting is invariant-tested in MultimodalIngestSpec instead.
+    "q_multimodal_ingest" -> ((s, dir) =>
+      decodeBatch(
+        graft.io.Sources.binaryFiles(s, dir, glob = "*.parquet")
+          .select(
+            regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+            col("length").as("n_bytes"),
+            col("content").as("media")))
+        .select(col("file_name"), col("n_bytes"),
+          size(col("features")).as("n_features"),
+          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x) / 16.0, 6)
+            .as("feature_mean"))
+        .orderBy("file_name")),
     // Decode path: binary -> feature vector via the per-partition batch
     // codec (rows-only).
     "q_multimodal_decode" -> ((s, dir) =>
