@@ -24,7 +24,23 @@ object StreamingQueries {
     "q_stream_static_join" -> ((s, dir) =>
       StreamOps.staticJoin(s, dir).orderBy("c_mktsegment")),
     "q_stream_stream_join" -> ((s, dir) =>
-      StreamOps.streamStreamJoin(s, dir).orderBy("click_id", "purchase_id"))
+      StreamOps.streamStreamJoin(s, dir).orderBy("click_id", "purchase_id")),
+    // Exactly-once sink without native transactionality: foreachBatch
+    // writes each micro-batch into its OWN batch_id= partition with
+    // idempotent dynamic overwrite, so a replayed batch (at-least-once
+    // delivery after a crash) rewrites exactly its partition instead of
+    // duplicating rows — replay-proven in StreamingSemanticsSpec. The
+    // sink contents equal the streamed projection, so this IS oracled.
+    "q_stream_foreach_batch" -> ((s, dir) => {
+      val sink = java.nio.file.Files.createTempDirectory("graft_fb_sink_").toFile
+      sink.deleteOnExit()
+      val purchases = StreamOps.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      StreamOps.runForeachBatchSink(s, purchases, sink.getAbsolutePath)
+        .drop("batch_id")
+        .orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +84,9 @@ object StreamingQueries {
          FROM events l JOIN events r ON l.user_id = r.user_id
          AND l.event_type = 'click' AND r.event_type = 'purchase'
          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES
-         ORDER BY click_id, purchase_id"""
+         ORDER BY click_id, purchase_id""",
+    "q_stream_foreach_batch" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id"""
   )
 }

@@ -160,17 +160,29 @@ object StreamOps {
     * turning at-least-once delivery into exactly-once output. Runs the
     * stream to completion (AvailableNow) and returns the sink contents. */
   def runForeachBatchSink(s: SparkSession, df: DataFrame, path: String): DataFrame = {
-    val q = df.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write
-          .partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .parquet(path)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // same conf scoping as runToTable: the events file-stream needs the
+    // legacy nanos read conf per micro-batch, and a single AvailableNow
+    // batch shouldn't pay 32 state/shuffle partitions of fixed cost
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos = s.conf.get(NanosConf)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set(NanosConf, "true")
+    try {
+      val q = df.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(NanosConf, prevNanos)
+    }
     s.read.parquet(path)
   }
 

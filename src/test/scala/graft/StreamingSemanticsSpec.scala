@@ -83,6 +83,18 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(out2.count() == 3)
   }
 
+  test("q_stream_foreach_batch is deterministic across full replays, no duplicates") {
+    // the catalog entry runs the whole stream into a fresh sink per
+    // invocation; two runs must agree exactly, and within a run every
+    // event appears once (exactly-once output from at-least-once delivery)
+    val run1 = SparkEntry.queries("q_stream_foreach_batch")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val run2 = SparkEntry.queries("q_stream_foreach_batch")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(run1.nonEmpty && run1 == run2)
+    assert(run1.map(_.head).distinct.size == run1.size, "duplicate event_ids in sink")
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
