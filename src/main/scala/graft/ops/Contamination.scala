@@ -38,8 +38,16 @@ import org.apache.spark.sql.graft.TokenShingleHashes.token_shingle_hashes
   * smaller than training corpora), so the training side — the 100 TB side —
   * joins map-side with ZERO shuffle; its only wide stage is the final
   * (doc_id, eval_id) overlap count, whose input is already
-  * contamination-candidate rows. `collect_list` of eval ids is likewise
-  * bounded per gram by eval-corpus occurrences, not corpus DF.
+  * contamination-candidate rows.
+  *
+  * Index construction is deliberately two-phase so NO aggregation buffer
+  * is ever unbounded: phase 1 computes per-gram counts only (constant-size
+  * partial-agg buffers over the full corpus) and applies the DF cap;
+  * phase 2 runs `collect_list` of eval ids only over eval-side grams that
+  * SURVIVED the cap — a gram hot on the eval side (benchmark boilerplate)
+  * is capped before any id list accumulates. Both phase-2 stages reuse
+  * phase 1's hash partitioning on `h` (no extra exchange of the gram
+  * stream).
   */
 object Contamination {
 
@@ -56,15 +64,23 @@ object Contamination {
     val grams = docs.where(col(textCol).isNotNull).select(
       col(idCol).as("doc_id"),
       explode(token_shingle_hashes(col(textCol), shingleN)).as("h"))
-    // benchmark-shingle index: grams present in >=1 eval doc and not hot.
-    // count(*) = corpus DF (grams are distinct within a doc); collect_list
-    // skips the nulls that non-eval docs contribute.
-    val index = grams
+    // phase 1 — per-gram counts only (count buffers are constant-size, so
+    // this pass is safe on any corpus): corpus DF (grams are distinct
+    // within a doc, so count(*) = document frequency) + eval presence,
+    // with the hot-gram cap applied HERE, before any list accumulates
+    val surviving = grams
       .groupBy("h")
       .agg(count(lit(1)).as("df"),
-        collect_list(when(isEval(col("doc_id")), col("doc_id"))).as("eval_ids"))
-      .where(col("df") <= maxShingleDf && size(col("eval_ids")) > 0)
-      .select(col("h"), col("eval_ids"))
+        count(when(isEval(col("doc_id")), lit(1))).as("n_eval"))
+      .where(col("df") <= maxShingleDf && col("n_eval") > 0)
+      .select(col("h"))
+    // phase 2 — eval-id lists, only for surviving grams: the semi-join
+    // runs over the (benchmark-sized) eval gram stream, and both it and
+    // the groupBy reuse phase 1's partitioning on h
+    val index = grams.where(isEval(col("doc_id")))
+      .join(surviving, Seq("h"), "left_semi")
+      .groupBy("h")
+      .agg(collect_list(col("doc_id")).as("eval_ids"))
     grams.where(!isEval(col("doc_id")))
       .join(broadcast(index), "h")
       .select(col("doc_id"), explode(col("eval_ids")).as("eval_id"))
