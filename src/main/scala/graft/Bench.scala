@@ -44,13 +44,7 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () } }
-      // Queries that persist() internally (contamination, LSH dedup,
-      // clusters) registered their caches during warmup; a structurally
-      // identical timed plan would read the materialized InMemoryRelation
-      // and skip the dominant compute. Drop all caches so every timed run
-      // pays its own persist materialization — codegen stays warm (it is
-      // keyed by generated source, not by cache entries).
-      spark.catalog.clearCache()
+      // warmup caches are dropped by the per-query clearCache below
     }
     // a failed query reports time -1 (never a plausible elapsed value) and
     // is listed in "failed" — silent failure would otherwise masquerade as

@@ -45,9 +45,11 @@ import org.apache.spark.sql.graft.TokenShingleHashes.token_shingle_hashes
   * partial-agg buffers over the full corpus) and applies the DF cap;
   * phase 2 runs `collect_list` of eval ids only over eval-side grams that
   * SURVIVED the cap — a gram hot on the eval side (benchmark boilerplate)
-  * is capped before any id list accumulates. Both phase-2 stages reuse
-  * phase 1's hash partitioning on `h` (no extra exchange of the gram
-  * stream).
+  * is capped before any id list accumulates. Phase 2 re-derives the eval
+  * gram stream from a fresh (eval-docs-only) scan, so it pays its own
+  * exchange on `h` for the semi-join — an exchange of the BENCHMARK-sized
+  * side, not the corpus; only phase 1's aggregate output arrives already
+  * hash-partitioned on `h`.
   */
 object Contamination {
 

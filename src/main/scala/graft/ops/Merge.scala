@@ -35,7 +35,14 @@ object Merge {
     * checking here would cost an extra full action per call.
     */
   def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
-    val missing = base.columns.filterNot(delta.columns.contains)
+    // honor the session's resolver: Spark matches columns case-
+    // insensitively unless spark.sql.caseSensitive is set, and this guard
+    // must not reject a delta the join below would resolve fine
+    val caseSensitive =
+      base.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(c: String): String = if (caseSensitive) c else c.toLowerCase
+    val deltaCols = delta.columns.map(canon).toSet
+    val missing = base.columns.filterNot(c => deltaCols.contains(canon(c)))
     require(missing.isEmpty,
       s"delta is missing base columns: ${missing.mkString(", ")} — " +
         "MERGE semantics need the full row on the delta side")

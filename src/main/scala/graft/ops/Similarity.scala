@@ -161,8 +161,7 @@ object Similarity {
     * query, which must be a single expression over the test tables. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 8, nProbe: Int = 2): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toFile
-    dir.deleteOnExit()
+    val dir = graft.io.TempDirs.createDeletedOnExit("graft_ivf_")
     val index = fitIvf(embeddings, nLists, dir.getAbsolutePath)
     probeIvf(embeddings.sparkSession, index, queries, k, nProbe)
   }

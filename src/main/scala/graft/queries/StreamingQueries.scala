@@ -32,8 +32,7 @@ object StreamingQueries {
     // duplicating rows — replay-proven in StreamingSemanticsSpec. The
     // sink contents equal the streamed projection, so this IS oracled.
     "q_stream_foreach_batch" -> ((s, dir) => {
-      val sink = java.nio.file.Files.createTempDirectory("graft_fb_sink_").toFile
-      sink.deleteOnExit()
+      val sink = graft.io.TempDirs.createDeletedOnExit("graft_fb_sink_")
       val purchases = StreamOps.eventsStream(s, dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))

@@ -183,7 +183,11 @@ object StreamOps {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set(NanosConf, prevNanos)
     }
-    s.read.parquet(path)
+    // explicit schema (input columns + the batch_id partition column): an
+    // all-empty stream writes no part files, and schema inference over an
+    // empty sink would throw instead of returning the empty frame
+    s.read.schema(df.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+      .parquet(path)
   }
 
   /** Custom state machine via flatMapGroupsWithState: per-user running

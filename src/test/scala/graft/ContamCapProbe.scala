@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-// Throwaway probe for SCALING.md: join-input volume with/without the
-// hot-shingle DF cap, on a derived corpus with injected boilerplate
-// (the real corpus's max DF is 4 — no natural hot grams to measure).
+// Measurement probe behind SCALING.md §9's contamination DF-cap numbers
+// (`sbt "Test/runMain graft.ContamCapProbe [sfDir]"`): join-input volume
+// with/without the hot-shingle cap, on a derived corpus with injected
+// boilerplate (the real corpus's max DF is 4 — no natural hot grams to
+// measure). Mirrors Contamination.sweep's phase-1 index shape; kept so
+// the published numbers stay reproducible.
 object ContamCapProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,7 +15,7 @@ object ContamCapProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.graft.TokenShingleHashes.token_shingle_hashes
-    val d = "/root/testdata/sf0.1"
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     // every doc gets the same 12-token license-header boilerplate prefix —
     // 8 hot 5-grams with DF = |corpus|, the classic contamination-sweep trap
     val docs = spark.read.parquet(s"$d/documents.parquet")

@@ -85,6 +85,23 @@ class ContaminationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect()
     rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
       s"doc ${r.getLong(0)}: ${r.getInt(1)} string grams vs ${r.getInt(2)} hashes"))
+    // cross-doc: equal gram STRINGS in different documents must produce
+    // equal hashes (a doc-dependent salt would zero every overlap while
+    // passing the per-doc counts above) — per-doc hash-set intersections
+    // must equal the string-shingle intersections
+    val hashSets = corpus.where(col("text").isNotNull)
+      .select(col("doc_id"), token_shingle_hashes(col("text"), 5).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val strSets = corpus.where(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.tokenShingles(col("text"), 5).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    for (a <- hashSets.keys; b <- hashSets.keys if a < b) {
+      assert((hashSets(a) & hashSets(b)).size == (strSets(a) & strSets(b)).size,
+        s"docs $a/$b: hash intersection disagrees with string intersection")
+    }
+    // and the planted overlaps are actually present cross-doc
+    assert((hashSets(1L) & hashSets(100L)).size == 3)
+    assert((hashSets(2L) & hashSets(100L)).size == 1)
   }
 
   test("train side joins against a broadcast index — no train-side shuffle before the join") {

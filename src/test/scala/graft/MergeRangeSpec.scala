@@ -87,4 +87,13 @@ class MergeRangeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](graft.ops.Merge.upsert(base, delta, Seq("k")))
     assert(e.getMessage.contains("name"))
   }
+
+  test("upsert column guard matches the session's case-insensitive resolution") {
+    // Spark resolves columns case-insensitively by default; the guard must
+    // accept a delta the join would resolve fine
+    val base = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val delta = Seq((1L, "b", 99.0)).toDF("K", "NAME", "V")
+    val out = graft.ops.Merge.upsert(base, delta, Seq("k")).collect()
+    assert(out.length == 1 && out.head.getString(1) == "b")
+  }
 }

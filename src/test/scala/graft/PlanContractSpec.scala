@@ -107,8 +107,7 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // on the partition column against a broadcast probe set, so dynamic
     // partition pruning must reach the file scan: at 100 TB this is the
     // difference between reading nProbe/nLists of the corpus and all of it
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toFile
-    dir.deleteOnExit()
+    val dir = graft.io.TempDirs.createDeletedOnExit("graft_ivf_spec_")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val index = graft.ops.Similarity.fitIvf(e, nLists = 4, dir.getAbsolutePath)
     val probe = graft.ops.Similarity.probeIvf(

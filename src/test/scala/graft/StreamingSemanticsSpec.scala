@@ -83,6 +83,21 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(out2.count() == 3)
   }
 
+  test("foreachBatch sink returns an empty frame for an all-empty stream, not a schema error") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamOps
+    // the batch fires but writes zero rows -> no part files in the sink;
+    // schema inference would throw, the explicit read schema must not
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "febatch_empty").toString + "/out"
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 10.0))
+    val out = StreamOps.runForeachBatchSink(spark,
+      in.toDF().toDF("k", "v").filter(org.apache.spark.sql.functions.col("k") < 0), dir)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "v", "batch_id"))
+  }
+
   test("q_stream_foreach_batch is deterministic across full replays, no duplicates") {
     // the catalog entry runs the whole stream into a fresh sink per
     // invocation; two runs must agree exactly, and within a run every
