@@ -58,7 +58,7 @@ object Contamination {
     * null-text docs are dropped (they have no grams). */
   def sweep(docs: DataFrame, idCol: String, textCol: String,
             isEval: Column => Column, shingleN: Int = 5, minOverlap: Int = 3,
-            maxShingleDf: Long = 1000L): DataFrame = {
+            maxShingleDf: Long = 1000L, broadcastIndex: Boolean = true): DataFrame = {
     require(shingleN > 0, s"shingleN must be positive: $shingleN")
     require(minOverlap > 0, s"minOverlap must be positive: $minOverlap")
     require(maxShingleDf > 0, s"maxShingleDf must be positive: $maxShingleDf")
@@ -83,8 +83,13 @@ object Contamination {
       .join(surviving, Seq("h"), "left_semi")
       .groupBy("h")
       .agg(collect_list(col("doc_id")).as("eval_ids"))
+    // broadcast is a forced hint with no size check: the DF cap bounds each
+    // gram's eval_ids list but NOT the number of surviving eval grams, so a
+    // caller whose isEval marks a huge eval set can opt into a shuffle join
+    // instead of risking a driver/executor OOM on the forced broadcast
+    val indexSide = if (broadcastIndex) broadcast(index) else index
     grams.where(!isEval(col("doc_id")))
-      .join(broadcast(index), "h")
+      .join(indexSide, "h")
       .select(col("doc_id"), explode(col("eval_ids")).as("eval_id"))
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("overlap"))

@@ -40,7 +40,11 @@ object Merge {
     // must not reject a delta the join below would resolve fine
     val caseSensitive =
       base.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def canon(c: String): String = if (caseSensitive) c else c.toLowerCase
+    // Locale.ROOT: Spark's resolver is locale-independent (equalsIgnoreCase),
+    // so canonicalization must be too — default-locale toLowerCase would
+    // mangle e.g. "ID" under a Turkish JVM locale and falsely reject it
+    def canon(c: String): String =
+      if (caseSensitive) c else c.toLowerCase(java.util.Locale.ROOT)
     val deltaCols = delta.columns.map(canon).toSet
     val missing = base.columns.filterNot(c => deltaCols.contains(canon(c)))
     require(missing.isEmpty,

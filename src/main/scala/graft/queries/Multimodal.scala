@@ -103,7 +103,8 @@ object Multimodal {
             col("content").as("media")))
         .select(col("file_name"), col("n_bytes"),
           size(col("features")).as("n_features"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x) / 16.0, 6)
+          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x)
+            / size(col("features")), 6)
             .as("feature_mean"))
         .orderBy("file_name")),
     // Decode path: binary -> feature vector via the per-partition batch
@@ -114,7 +115,8 @@ object Multimodal {
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")))
         .select(col("doc_id"),
           size(col("features")).as("n_features"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x) / 16.0, 6)
+          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x)
+            / size(col("features")), 6)
             .as("feature_mean"))
         .orderBy("doc_id"))
   )

@@ -39,6 +39,11 @@ import scala.util.hashing.MurmurHash3
 case class TokenShingleHashes(child: Expression, shingleN: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // validate here, not only in callers: a direct construction with
+  // shingleN <= 0 would otherwise silently emit one constant-hash gram
+  // per document (grams = max(n - (shingleN-1), 1) floors at 1)
+  require(shingleN > 0, s"shingleN must be positive: $shingleN")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_shingle_hashes"

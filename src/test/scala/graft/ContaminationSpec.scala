@@ -115,4 +115,30 @@ class ContaminationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val shuffles = collectWithSubqueries(trainSide) { case e: ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, s"train side must be map-only up to the index join:\n$trainSide")
   }
+
+  test("broadcastIndex=false gives identical pairs via a shuffle join") {
+    def run(b: Boolean) = Contamination.sweep(corpus, "doc_id", "text",
+        isEval = id => id >= 100, shingleN = 5, minOverlap = 1,
+        maxShingleDf = 1000L, broadcastIndex = b)
+      .select("doc_id", "eval_id", "overlap").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(run(false) == run(true) && run(true).nonEmpty)
+    // and the opt-out really removes the forced hint (the OOM escape hatch
+    // for caller-controlled giant eval sets) — auto-broadcast must be off
+    // here or the planner re-broadcasts the tiny test index on size alone
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Contamination.sweep(corpus, "doc_id", "text",
+          isEval = id => id >= 100, broadcastIndex = false)
+        .queryExecution.executedPlan
+      val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.isEmpty, s"broadcastIndex=false must not broadcast the index:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("TokenShingleHashes rejects non-positive shingleN at construction") {
+    intercept[IllegalArgumentException](token_shingle_hashes(col("text"), 0))
+    intercept[IllegalArgumentException](token_shingle_hashes(col("text"), -3))
+  }
 }
