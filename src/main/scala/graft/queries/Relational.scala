@@ -194,6 +194,28 @@ object Relational {
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     }),
+    // Co-located join on a bucketed layout: both sides bucketed + bucket-
+    // sorted on the join key (one-time layout cost, amortized across every
+    // downstream join/agg on that key), then MERGE-hinted so the tiny test
+    // tables don't fall back to broadcast — the plan has NO hash exchange:
+    // scan -> zero-exchange sort-merge join -> zero-exchange aggregation
+    // (the groupBy key IS the bucket key), plus only the presentation
+    // sort's range exchange. PlanContractSpec pins that shape.
+    "q_join_bucketed" -> ((s, dir) => {
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ob = graft.ops.Bucketing.ensureBucketed(s, s"graft_orders_bkt$sfx",
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        buckets = 8, key = "o_custkey")
+      val cb = graft.ops.Bucketing.ensureBucketed(s, s"graft_customer_bkt$sfx",
+        tbl(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        buckets = 8, key = "c_custkey")
+      s.table(ob).hint("merge")
+        .join(s.table(cb), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_custkey")
+    }),
     "q_join_multiway" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
       val n = tbl(s, dir, "nation")
@@ -446,6 +468,11 @@ object Relational {
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_bucketed" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_multiway" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS sum_price, count(*) AS n_orders
          FROM orders

@@ -32,7 +32,29 @@ object UdfDemo {
       tbl(s, dir, "supplier")
         .select(col("s_suppkey"),
           explode(sequence(lit(1), (col("s_suppkey") % 3 + 1).cast("int"))).as("slot"))
-        .orderBy("s_suppkey", "slot"))
+        .orderBy("s_suppkey", "slot")),
+    // SQL-registered native expressions (SparkSessionExtensions path):
+    // the same codegen'd CosineSimilarity kernel, reached through
+    // spark.sql(...) by name — proving SQL-only users get the native
+    // function surface, not a UDF fallback. Rank-ordered output (ids, not
+    // raw doubles) keeps the oracle float-precision-proof, mirroring
+    // q_sim_topk_native.
+    "q_sql_native_fns" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """SELECT query_id, rnk, neighbor_id FROM (
+             SELECT q.vec_id AS query_id,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.vec_id ASC) AS INT) AS rnk,
+               c.vec_id AS neighbor_id
+             FROM graft_embeddings q JOIN graft_embeddings c
+               ON q.vec_id <> c.vec_id
+             WHERE q.vec_id >= 40 AND q.vec_id < 60)
+           WHERE rnk <= 5
+           ORDER BY query_id, rnk""")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +71,17 @@ object UdfDemo {
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_udtf_explode" ->
       """SELECT s_suppkey, CAST(unnest(range(1, s_suppkey % 3 + 2)) AS INT) AS slot
-         FROM supplier ORDER BY s_suppkey, slot"""
+         FROM supplier ORDER BY s_suppkey, slot""",
+    "q_sql_native_fns" ->
+      """SELECT q.vec_id AS query_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS INT) AS rnk,
+           c.vec_id AS neighbor_id
+         FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         WHERE q.vec_id >= 40 AND q.vec_id < 60
+         QUALIFY rnk <= 5
+         ORDER BY query_id, rnk"""
   )
 }

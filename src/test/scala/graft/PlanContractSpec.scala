@@ -39,6 +39,24 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "nation x region should broadcast")
   }
 
+  test("bucketed join + same-key agg: the only exchange is the presentation sort") {
+    // layout pays the shuffle once; join AND aggregation reuse the bucket
+    // partitioning, so the executed plan's only exchange is the final
+    // ORDER BY's range exchange — at 100 TB this is the difference between
+    // shuffling the fact table nightly and never shuffling it at all
+    val p = plan("q_join_bucketed")
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length == 1,
+      s"expected only the sort's range exchange, got ${exchanges.length}:\n$p")
+    assert(exchanges.head.outputPartitioning.getClass.getSimpleName
+      .contains("RangePartitioning"),
+      s"the single exchange must be the ORDER BY: ${exchanges.head.outputPartitioning}")
+    val smj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"bucketed join must be sort-merge, not broadcast:\n$p")
+  }
+
   test("interval expansion is narrow: the only exchange is the explicit sort") {
     val df = IntervalExpand.faithful(
       graft.queries.Flagship.syntheticReadings(spark, sfDir), sort = false)
