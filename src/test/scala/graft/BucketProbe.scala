@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Bucketing
+import graft.queries.tbl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Measurement probe for SCALING.md §3: shuffle volume of the same
+  * join + same-key aggregation over raw parquet vs a bucketed layout.
+  * Usage: `Test/runMain graft.BucketProbe [sfDir]`
+  * Prints per-plan shuffle exchange count and total exchanged bytes
+  * (ShuffleExchangeExec "dataSize" metric, summed after execution).
+  */
+object BucketProbe extends AdaptiveSparkPlanHelper {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("bucket-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def shuffled(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // execute THIS QueryExecution (df.write/count would plan a fresh one
+      // whose metrics we couldn't read back)
+      val qe = df.queryExecution
+      qe.toRdd.foreach(_ => ())
+      val ex = collectWithSubqueries(qe.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }
+      (ex.length.toLong, ex.map(_.metrics("dataSize").value).sum)
+    }
+
+    val ordersRaw = tbl(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val custRaw = tbl(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
+
+    def agg(o: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+
+    val (nRaw, bytesRaw) = shuffled(agg(ordersRaw, custRaw))
+
+    val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val ob = Bucketing.ensureBucketed(spark, s"probe_orders_bkt$sfx", ordersRaw, 8, "o_custkey")
+    val cb = Bucketing.ensureBucketed(spark, s"probe_customer_bkt$sfx", custRaw, 8, "c_custkey")
+    val (nBkt, bytesBkt) = shuffled(agg(spark.table(ob), spark.table(cb)))
+
+    println(f"[bucket-probe] raw parquet: $nRaw exchanges, ${bytesRaw / 1024.0 / 1024.0}%.1f MiB exchanged")
+    println(f"[bucket-probe] bucketed:    $nBkt exchanges, ${bytesBkt / 1024.0 / 1024.0}%.1f MiB exchanged")
+    spark.stop()
+  }
+}
