@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.IntegerType
   * Lives under `org.apache.spark.sql` because `SparkSession.sessionState`
   * (needed for post-hoc registration) is `private[sql]` in Spark 4.
   */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // Spark's conf-path loader does classForName(name).getConstructor()
+  // .newInstance() — it needs a public zero-arg CLASS; a Scala object's
+  // mirror class has no constructor and would crash session construction.
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftExtensions(extensions)
+}
+
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   type FunctionDescription =

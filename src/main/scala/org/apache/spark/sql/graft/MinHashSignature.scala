@@ -33,6 +33,14 @@ import scala.util.hashing.MurmurHash3
 case class MinHashSignature(child: Expression, shingleN: Int, perms: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // same silent-failure mode as TokenShingleHashes: grams floor at 1, so
+  // shingleN <= 0 would give every document the SAME constant-gram
+  // signature (the whole corpus becomes mutual near-duplicates), and
+  // perms <= 0 an empty one — and SQL registration makes both reachable
+  // by name. Fail at construction instead.
+  require(shingleN > 0, s"shingleN must be positive: $shingleN")
+  require(perms > 0, s"perms must be positive: $perms")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"

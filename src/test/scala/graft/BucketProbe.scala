@@ -35,21 +35,19 @@ object BucketProbe extends AdaptiveSparkPlanHelper {
       (ex.length.toLong, ex.map(_.metrics("dataSize").value).sum)
     }
 
-    val ordersRaw = tbl(spark, sfDir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-    val custRaw = tbl(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
+    // the probe measures the catalog query's OWN inputs and join/agg body
+    // (shared builders in Relational), so the SCALING.md numbers cannot
+    // silently drift from the q_join_bucketed plan
+    import graft.queries.Relational.{bucketedJoinAgg, customerProjection, ordersProjection}
+    val ordersRaw = ordersProjection(spark, sfDir)
+    val custRaw = customerProjection(spark, sfDir)
 
-    def agg(o: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
-      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    val (nRaw, bytesRaw) = shuffled(bucketedJoinAgg(ordersRaw, custRaw))
 
-    val (nRaw, bytesRaw) = shuffled(agg(ordersRaw, custRaw))
-
-    val sfx = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val ob = Bucketing.ensureBucketed(spark, s"probe_orders_bkt$sfx", ordersRaw, 8, "o_custkey")
-    val cb = Bucketing.ensureBucketed(spark, s"probe_customer_bkt$sfx", custRaw, 8, "c_custkey")
-    val (nBkt, bytesBkt) = shuffled(agg(spark.table(ob), spark.table(cb)))
+    val sfx = Bucketing.tableSuffix(sfDir)
+    val ob = Bucketing.ensureBucketed(spark, s"probe_orders_bkt_$sfx", ordersRaw, 8, "o_custkey")
+    val cb = Bucketing.ensureBucketed(spark, s"probe_customer_bkt_$sfx", custRaw, 8, "c_custkey")
+    val (nBkt, bytesBkt) = shuffled(bucketedJoinAgg(spark.table(ob), spark.table(cb)))
 
     println(f"[bucket-probe] raw parquet: $nRaw exchanges, ${bytesRaw / 1024.0 / 1024.0}%.1f MiB exchanged")
     println(f"[bucket-probe] bucketed:    $nBkt exchanges, ${bytesBkt / 1024.0 / 1024.0}%.1f MiB exchanged")

@@ -40,4 +40,29 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("ensureBucketed refuses to reuse a table with a different bucket spec") {
+    import spark.implicits._
+    import graft.ops.Bucketing
+    val df = (1L to 100L).map(i => (i % 7, i)).toDF("k", "id")
+    try {
+      Bucketing.ensureBucketed(spark, "spec_guard_b", df, buckets = 4, key = "k")
+      // same spec: silent reuse
+      Bucketing.ensureBucketed(spark, "spec_guard_b", df, buckets = 4, key = "k")
+      // different bucket count or key: loud refusal, not wrong-layout reuse
+      val e1 = intercept[IllegalArgumentException](
+        Bucketing.ensureBucketed(spark, "spec_guard_b", df, buckets = 8, key = "k"))
+      assert(e1.getMessage.contains("different bucket spec"))
+      val e2 = intercept[IllegalArgumentException](
+        Bucketing.ensureBucketed(spark, "spec_guard_b", df, buckets = 4, key = "id"))
+      assert(e2.getMessage.contains("different bucket spec"))
+    } finally spark.sql("DROP TABLE IF EXISTS spec_guard_b")
+  }
+
+  test("tableSuffix is collision-free where sanitization alone is not") {
+    import graft.ops.Bucketing.tableSuffix
+    // these sanitize to the same identifier; the hash keeps them apart
+    assert(tableSuffix("/data/sf0.1") != tableSuffix("/data/sf0_1"))
+    assert(tableSuffix("/data/sf0.1") == tableSuffix("/data/sf0.1"))
+  }
 }

@@ -122,7 +122,8 @@ class ContaminationSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         maxShingleDf = 1000L, broadcastIndex = b)
       .select("doc_id", "eval_id", "overlap").as[(Long, Long, Long)]
       .collect().toSet
-    assert(run(false) == run(true) && run(true).nonEmpty)
+    val (viaShuffle, viaBroadcast) = (run(false), run(true))
+    assert(viaShuffle == viaBroadcast && viaBroadcast.nonEmpty)
     // and the opt-out really removes the forced hint (the OOM escape hatch
     // for caller-controlled giant eval sets) — auto-broadcast must be off
     // here or the planner re-broadcasts the tiny test index on size alone

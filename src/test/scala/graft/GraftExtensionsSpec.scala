@@ -17,6 +17,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ExtensionsTestBridge.installedNames(GraftExtensions, names) == names)
   }
 
+  test("conf-path loading works: zero-arg constructor, same functions") {
+    // mirrors what spark.sql.extensions does at session build:
+    // classForName(name).getConstructor().newInstance() — a Scala object's
+    // mirror class has no constructor, so this MUST be a zero-arg class
+    val installer = Class.forName("org.apache.spark.sql.graft.GraftExtensions")
+      .getConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val names = Seq("cosine_similarity", "minhash_signature", "token_shingle_hashes")
+    assert(ExtensionsTestBridge.installedNames(installer, names) == names)
+  }
+
+  test("MinHashSignature rejects non-positive shingleN/perms at construction") {
+    import org.apache.spark.sql.graft.MinHashSignature.minhash_signature
+    intercept[IllegalArgumentException](minhash_signature(col("text"), 0, 32))
+    intercept[IllegalArgumentException](minhash_signature(col("text"), 3, 0))
+  }
+
   test("SQL cosine_similarity equals the Column API on the same pairs") {
     GraftExtensions.register(spark)
     val df = Seq(
