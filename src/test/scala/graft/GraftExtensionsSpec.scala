@@ -51,6 +51,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql(1)._2.contains(0.0) && viaSql(2)._2.isEmpty)
   }
 
+  test("SQL path resolves to the native expression — no UDF fallback") {
+    GraftExtensions.register(spark)
+    Seq((1L, Array(1.0f), Array(2.0f))).toDF("id", "a", "b")
+      .createOrReplaceTempView("ext_native_check")
+    val analyzed = spark.sql(
+      "SELECT cosine_similarity(a, b) FROM ext_native_check")
+      .queryExecution.analyzed
+    val native = analyzed.expressions.flatMap(_.collect {
+      case e: org.apache.spark.sql.graft.CosineSimilarity => e
+    })
+    assert(native.nonEmpty, s"SQL must resolve to CosineSimilarity:\n$analyzed")
+  }
+
   test("SQL minhash/shingle functions match the Column API and reject non-literal ints") {
     GraftExtensions.register(spark)
     val df = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")
