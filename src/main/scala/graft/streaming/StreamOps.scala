@@ -62,11 +62,28 @@ object StreamOps {
     */
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+  /** Spark's disk-backed state store. The default (HDFS-backed) provider
+    * keeps every store's working state ON HEAP — fine for these demo
+    * volumes, a hard wall at 100 TB scale where session/join state can
+    * reach hundreds of GB per executor-week. RocksDB keeps state off-heap
+    * on local disk with incremental checkpointing; it is the production
+    * choice for long-lived stateful streams and is proven
+    * result-identical to the default provider in
+    * `StreamingSemanticsSpec` (providers change WHERE state lives, never
+    * what it contains). */
+  val RocksDbProviderConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String,
+                 stateStoreProvider: Option[String] = None): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNanos = s.conf.get(NanosConf)
+    val providerKey = RocksDbProviderConf._1
+    val prevProvider = s.conf.getOption(providerKey)
     s.conf.set("spark.sql.shuffle.partitions", "4")
     s.conf.set(NanosConf, "true")
+    stateStoreProvider.foreach(s.conf.set(providerKey, _))
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
         .trigger(Trigger.AvailableNow()).start()
@@ -74,6 +91,10 @@ object StreamOps {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set(NanosConf, prevNanos)
+      if (stateStoreProvider.isDefined) prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
     }
     s.table(name)
   }

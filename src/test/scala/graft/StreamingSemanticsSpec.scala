@@ -110,6 +110,46 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(run1.map(_.head).distinct.size == run1.size, "duplicate event_ids in sink")
   }
 
+  test("RocksDB state store yields identical results to the default provider") {
+    // providers change WHERE state lives (heap vs local disk), never what
+    // it contains: the same multi-batch session-window stream must emit
+    // identical finalized sessions under both. RocksDB is the 100 TB
+    // deployment choice (off-heap incremental-checkpoint state); this
+    // pins that switching providers is a pure operational decision.
+    def run(table: String, provider: Option[String]): Seq[(Long, Long, Long)] = {
+      val providerKey = graft.streaming.StreamOps.RocksDbProviderConf._1
+      val prevProvider = spark.conf.getOption(providerKey)
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        implicit val ctx = spark.sqlContext
+        val in = MemoryStream[(java.sql.Timestamp, Long)]
+        val agg = in.toDF().toDF("ts", "uid")
+          .withWatermark("ts", "5 minutes")
+          .groupBy(session_window(col("ts"), "10 minutes"), col("uid"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("uid"), col("session_window.start").cast("long").as("w"), col("n"))
+        val q = agg.writeStream.format("memory").queryName(table)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          in.addData((ts(1), 1L), (ts(5), 1L), (ts(2), 2L))   // open sessions
+          q.processAllAvailable()
+          in.addData((ts(40), 9L))                            // watermark closes them
+          q.processAllAvailable()
+          spark.table(table).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        } finally q.stop()
+      } finally prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None if provider.isDefined => spark.conf.unset(providerKey)
+        case None => ()
+      }
+    }
+    val default = run("ss_default", None)
+    val rocks = run("ss_rocks", Some(graft.streaming.StreamOps.RocksDbProviderConf._2))
+    assert(default.nonEmpty, "sessions must finalize under the test watermark")
+    assert(rocks == default, s"provider changed results:\n$rocks\nvs\n$default")
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
