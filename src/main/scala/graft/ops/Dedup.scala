@@ -83,17 +83,70 @@ object Dedup {
     */
   def lshCandidatePairs(signatures: DataFrame, rowsPerBand: Int = 8,
                         perms: Int = 32): DataFrame = {
-    require(perms % rowsPerBand == 0, s"perms=$perms not divisible by rowsPerBand=$rowsPerBand")
-    val bands = perms / rowsPerBand
-    val banded = signatures.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        hash(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = bandedBuckets(signatures, rowsPerBand, perms)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** (doc_id, band, bucket) rows of a signature frame — the LSH join key
+    * stream shared by the batch self-join above and the incremental index
+    * below. */
+  private[graft] def bandedBuckets(signatures: DataFrame, rowsPerBand: Int,
+                                   perms: Int): DataFrame = {
+    require(perms % rowsPerBand == 0, s"perms=$perms not divisible by rowsPerBand=$rowsPerBand")
+    val bands = perms / rowsPerBand
+    signatures.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        hash(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Materialize a corpus's banded LSH buckets as a persistent INDEX for
+    * incremental dedup. The production shape for a continuously-growing
+    * corpus: hash the corpus ONCE at layout time; every daily batch then
+    * probes (and appends to) the index instead of re-hashing the corpus —
+    * without this, batch-N dedup costs O(corpus) per batch and the
+    * pipeline's total work goes quadratic in corpus size.
+    *
+    * Pass `SaveMode.Append` to add an already-probed batch's buckets to
+    * the index (dedup-then-append is the steady-state loop). */
+  def writeSignatureIndex(docs: DataFrame, idCol: String, textCol: String,
+                          path: String, shingleN: Int = 3, perms: Int = 32,
+                          rowsPerBand: Int = 8,
+                          mode: org.apache.spark.sql.SaveMode =
+                            org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    bandedBuckets(minHashSignatures(docs, idCol, textCol, shingleN, perms),
+        rowsPerBand, perms)
+      .write.mode(mode).parquet(path)
+
+  /** Candidate near-dup pairs between a NEW batch and an indexed corpus:
+    * (id_new, id_corpus), distinct. Corpus-corpus pairs are never formed —
+    * only new-vs-index — so the work per batch is |new batch| signatures
+    * plus one join against the index, not a corpus re-hash.
+    *
+    * The (tiny) new batch's bucket stream is broadcast, so the
+    * corpus-sized index scan joins map-side with ZERO index shuffle; a
+    * caller probing with an unusually large batch can disable that and
+    * take a shuffle join instead (`broadcastNew = false`). Signature
+    * params MUST match the ones the index was written with — mismatched
+    * banding would silently probe garbage buckets. */
+  def incrementalCandidatePairs(spark: org.apache.spark.sql.SparkSession,
+                                newDocs: DataFrame, idCol: String, textCol: String,
+                                indexPath: String, shingleN: Int = 3,
+                                perms: Int = 32, rowsPerBand: Int = 8,
+                                broadcastNew: Boolean = true): DataFrame = {
+    val newBanded = bandedBuckets(
+      minHashSignatures(newDocs, idCol, textCol, shingleN, perms), rowsPerBand, perms)
+    val probe = if (broadcastNew) broadcast(newBanded) else newBanded
+    spark.read.parquet(indexPath).as("c")
+      .join(probe.as("n"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket") &&
+        col("n.doc_id") =!= col("c.doc_id"))
+      .select(col("n.doc_id").as("id_new"), col("c.doc_id").as("id_corpus"))
       .distinct()
   }
 

@@ -21,6 +21,14 @@ object LlmOps {
       fit: () => Similarity.IvfIndex): Similarity.IvfIndex =
     ivfIndexes.computeIfAbsent(dir, _ => fit())
 
+  /** Per-corpus LSH signature-index memo (same lifecycle as the IVF memo:
+    * layout cost paid once per corpus per JVM). */
+  private val lshIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def lshIndexFor(dir: String, build: () => String): String =
+    lshIndexes.computeIfAbsent(dir, _ => build())
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
@@ -69,6 +77,39 @@ object LlmOps {
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
         .orderBy("id_a", "id_b")
+    }),
+    // Incremental dedup: a "daily batch" (doc_id % 5 == 0) probed against
+    // a persisted signature index of the corpus (the other 80%). The
+    // index is built once per corpus and memoized (same lifecycle as the
+    // IVF index); each batch then costs |batch| signatures + one
+    // broadcast join against the index — the corpus is NEVER re-hashed,
+    // which is what keeps a continuously-growing 100 TB corpus's total
+    // dedup work linear instead of quadratic. Candidates get the exact-
+    // Jaccard verify; rows-only (murmur signatures aren't in DuckDB).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val isNew = col("doc_id") % 5 === 0
+      val idx = LlmOps.lshIndexFor(dir, () => {
+        val p = graft.io.TempDirs.createDeletedOnExit("graft_lshidx_").getAbsolutePath
+        Dedup.writeSignatureIndex(d.where(!isNew), "doc_id", "text", p)
+        p
+      })
+      // persisted: three consumers (both id projections + the verify
+      // join); tiny (pair ids only), plan-cache-deduplicated across
+      // invocations, freed at session end — same stance as the LSH query
+      val cands = Dedup.incrementalCandidatePairs(s, d.where(isNew), "doc_id", "text", idx)
+        .persist()
+      val ids = cands.select(explode(array(col("id_new"), col("id_corpus"))).as("doc_id"))
+        .distinct()
+      val sh = d.join(broadcast(ids), "doc_id")
+        .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
+      Dedup.withJaccard(
+          cands
+            .join(sh.withColumnRenamed("doc_id", "id_new").withColumnRenamed("sh", "sh_x"), "id_new")
+            .join(sh.withColumnRenamed("doc_id", "id_corpus").withColumnRenamed("sh", "sh_y"), "id_corpus"),
+          "sh_x", "sh_y", "jac")
+        .select(col("id_new"), col("id_corpus"), round(col("jac"), 4).as("jac"))
+        .orderBy("id_new", "id_corpus")
     }),
     // SimHash signatures; near-dups share high bit-overlap (rows-only).
     // Corpus-scale shape: explode + codegen'd bit sums, not per-row HOFs.
