@@ -113,15 +113,63 @@ object Dedup {
     * pipeline's total work goes quadratic in corpus size.
     *
     * Pass `SaveMode.Append` to add an already-probed batch's buckets to
-    * the index (dedup-then-append is the steady-state loop). */
+    * the index. The steady-state loop per batch is:
+    *   1. `incrementalCandidatePairs(batch, index)` — batch-vs-corpus dups;
+    *   2. `lshCandidatePairs(minHashSignatures(batch, ...))` — dups WITHIN
+    *      the batch (the index probe never pairs two new docs with each
+    *      other, so skipping this step lets intra-batch copies append
+    *      unseen and survive forever);
+    *   3. append the surviving batch's buckets to the index.
+    *
+    * The banding parameters are written to a `_lsh_params` sidecar inside
+    * the index dir (underscore-prefixed, so parquet data discovery ignores
+    * it); probes and appends validate against it — mismatched banding
+    * would otherwise silently probe garbage buckets (near-empty candidate
+    * sets, dups flowing through undetected). */
   def writeSignatureIndex(docs: DataFrame, idCol: String, textCol: String,
                           path: String, shingleN: Int = 3, perms: Int = 32,
                           rowsPerBand: Int = 8,
                           mode: org.apache.spark.sql.SaveMode =
-                            org.apache.spark.sql.SaveMode.Overwrite): Unit =
+                            org.apache.spark.sql.SaveMode.Overwrite): Unit = {
+    val spark = docs.sparkSession
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      validateIndexParams(spark, path, shingleN, perms, rowsPerBand)
     bandedBuckets(minHashSignatures(docs, idCol, textCol, shingleN, perms),
         rowsPerBand, perms)
       .write.mode(mode).parquet(path)
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      writeIndexParams(spark, path, shingleN, perms, rowsPerBand)
+  }
+
+  private def paramsPath(path: String) = new org.apache.hadoop.fs.Path(path, "_lsh_params")
+
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String, shingleN: Int, perms: Int,
+                               rowsPerBand: Int): Unit = {
+    val p = paramsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"shingleN=$shingleN\nperms=$perms\nrowsPerBand=$rowsPerBand\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, shingleN: Int, perms: Int,
+                                  rowsPerBand: Int): Unit = {
+    val p = paramsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _lsh_params sidecar under $path — not a signature index?")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val have = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
+    val want = Map("shingleN" -> shingleN.toString, "perms" -> perms.toString,
+      "rowsPerBand" -> rowsPerBand.toString)
+    require(have == want,
+      s"banding params mismatch for index at $path: index has $have, caller passed $want " +
+        "— probing with different banding silently matches nothing")
+  }
 
   /** Candidate near-dup pairs between a NEW batch and an indexed corpus:
     * (id_new, id_corpus), distinct. Corpus-corpus pairs are never formed —
@@ -139,6 +187,8 @@ object Dedup {
                                 indexPath: String, shingleN: Int = 3,
                                 perms: Int = 32, rowsPerBand: Int = 8,
                                 broadcastNew: Boolean = true): DataFrame = {
+    require(perms % rowsPerBand == 0, s"perms=$perms not divisible by rowsPerBand=$rowsPerBand")
+    validateIndexParams(spark, indexPath, shingleN, perms, rowsPerBand)
     val newBanded = bandedBuckets(
       minHashSignatures(newDocs, idCol, textCol, shingleN, perms), rowsPerBand, perms)
     val probe = if (broadcastNew) broadcast(newBanded) else newBanded
@@ -206,4 +256,33 @@ object Dedup {
       .withColumn(out,
         col("__inter").cast("double") / (size(col(aCol)) + size(col(bCol)) - col("__inter")))
       .drop("__inter")
+
+  /** Exact-Jaccard verification of LSH candidate pairs, shared by the
+    * batch (`q_dedup_minhash_lsh`) and incremental (`q_dedup_incremental`)
+    * paths so the two cannot drift: shingle ONLY the candidate-doc set
+    * (broadcast semi-join — O(candidates), not O(corpus)), score each
+    * pair once, and keep pairs at or above `threshold`.
+    *
+    * Returns (leftCol, rightCol, jac) ordered by the pair ids. The
+    * candidate-doc shingle frame is persisted: it is joined twice (left
+    * and right side) and would otherwise re-scan + re-shingle per side;
+    * bounded by the candidate set, plan-cache-deduplicated across
+    * invocations, freed at session end. */
+  def verifyCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       cands: DataFrame, leftCol: String, rightCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val ids = cands.select(explode(array(col(leftCol), col(rightCol))).as(idCol))
+      .distinct()
+    val sh = docs.join(broadcast(ids), idCol)
+      .select(col(idCol), tokenShingles(col(textCol), shingleN).as("sh"))
+      .persist()
+    withJaccard(
+        cands
+          .join(sh.withColumnRenamed(idCol, leftCol).withColumnRenamed("sh", "sh_x"), leftCol)
+          .join(sh.withColumnRenamed(idCol, rightCol).withColumnRenamed("sh", "sh_y"), rightCol),
+        "sh_x", "sh_y", "jac")
+      .filter(col("jac") >= threshold)
+      .select(col(leftCol), col(rightCol), round(col("jac"), 4).as("jac"))
+      .orderBy(leftCol, rightCol)
+  }
 }

@@ -56,27 +56,10 @@ object LlmOps {
       // real scale this is a checkpoint to distributed storage instead.
       val sigs = Dedup.minHashSignatures(d, "doc_id", "text")
       val cands = Dedup.lshCandidatePairs(sigs).persist()
-      // Exact-Jaccard verification only for candidate docs: semi-join the
-      // (small) candidate id set before computing shingles, so the
-      // expensive shingling runs on ~|candidates| docs, not the corpus.
-      val candIds = cands
-        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-      // persisted: joined twice (as sh_x and sh_y) — without it the scan +
-      // interpreted shingling lineage runs once per side. Bounded by the
-      // CANDIDATE set (LSH keeps that near-linear and small), deduplicated
-      // across invocations by the plan cache, and freed at session end;
-      // a long-lived service would checkpoint + unpersist instead.
-      val sh = d.join(broadcast(candIds), "doc_id")
-        .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
-        .persist()
-      Dedup.withJaccard(
-          cands
-            .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_x"), "id_a")
-            .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_y"), "id_b"),
-          "sh_x", "sh_y", "jac")
-        .filter(col("jac") >= 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
-        .orderBy("id_a", "id_b")
+      // exact-Jaccard verification of the candidate set only — shared
+      // helper (shingles the candidate docs once, persisted; threshold
+      // 0.5) so this and the incremental query cannot drift
+      Dedup.verifyCandidates(d, "doc_id", "text", cands, "id_a", "id_b")
     }),
     // Incremental dedup: a "daily batch" (doc_id % 5 == 0) probed against
     // a persisted signature index of the corpus (the other 80%). The
@@ -94,22 +77,13 @@ object LlmOps {
         Dedup.writeSignatureIndex(d.where(!isNew), "doc_id", "text", p)
         p
       })
-      // persisted: three consumers (both id projections + the verify
-      // join); tiny (pair ids only), plan-cache-deduplicated across
-      // invocations, freed at session end — same stance as the LSH query
+      // persisted: three consumers (the verify helper's id projection +
+      // two pair joins); tiny (pair ids only), plan-cache-deduplicated
+      // across invocations, freed at session end — same stance as the
+      // LSH query
       val cands = Dedup.incrementalCandidatePairs(s, d.where(isNew), "doc_id", "text", idx)
         .persist()
-      val ids = cands.select(explode(array(col("id_new"), col("id_corpus"))).as("doc_id"))
-        .distinct()
-      val sh = d.join(broadcast(ids), "doc_id")
-        .select(col("doc_id"), Dedup.tokenShingles(col("text"), 3).as("sh"))
-      Dedup.withJaccard(
-          cands
-            .join(sh.withColumnRenamed("doc_id", "id_new").withColumnRenamed("sh", "sh_x"), "id_new")
-            .join(sh.withColumnRenamed("doc_id", "id_corpus").withColumnRenamed("sh", "sh_y"), "id_corpus"),
-          "sh_x", "sh_y", "jac")
-        .select(col("id_new"), col("id_corpus"), round(col("jac"), 4).as("jac"))
-        .orderBy("id_new", "id_corpus")
+      Dedup.verifyCandidates(d, "doc_id", "text", cands, "id_new", "id_corpus")
     }),
     // SimHash signatures; near-dups share high bit-overlap (rows-only).
     // Corpus-scale shape: explode + codegen'd bit sums, not per-row HOFs.

@@ -54,9 +54,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(pairs.contains((200L, 100L)), s"batch-2 must match appended batch-1: $pairs")
   }
 
-  test("mismatched banding params are refused") {
+  test("mismatched banding params are refused via the index sidecar") {
+    val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_test3_").getAbsolutePath
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx) // defaults: 3/32/8
+    // internally-consistent but DIFFERENT banding: without the sidecar
+    // check this would silently probe garbage buckets and match nothing
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", idx,
+        perms = 32, rowsPerBand = 4))
+    assert(e.getMessage.contains("banding params mismatch"), e.getMessage)
+    // appends validate too
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.writeSignatureIndex(batch, "doc_id", "text", idx, shingleN = 5,
+        mode = SaveMode.Append))
+    assert(e2.getMessage.contains("banding params mismatch"), e2.getMessage)
+    // and plain internal inconsistency still fails fast
     intercept[IllegalArgumentException](
-      Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", "/tmp/x",
+      Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", idx,
         perms = 32, rowsPerBand = 7))
+  }
+
+  test("intra-batch duplicates: the documented loop's within-batch pass finds them") {
+    // the index probe NEVER pairs two new docs with each other — a batch
+    // holding two copies of the same doc appends both unless step 2 of
+    // the documented loop (lshCandidatePairs WITHIN the batch) runs
+    val dupBatch = Seq(
+      (300L, base + " tonight maybe"),
+      (301L, base + " tonight maybe"), // intra-batch duplicate
+      (302L, "yet another unrelated document discussing compilers and type systems today")
+    ).toDF("doc_id", "text")
+    val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_test4_").getAbsolutePath
+    Dedup.writeSignatureIndex(corpus.where(col("doc_id") === 3L), "doc_id", "text", idx)
+    val vsCorpus = Dedup.incrementalCandidatePairs(spark, dupBatch, "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toSet
+    assert(!vsCorpus.exists(p => p._1 >= 300L && p._2 >= 300L),
+      s"index probe must not form new-new pairs: $vsCorpus")
+    val within = Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(dupBatch, "doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(within.contains((300L, 301L)), s"within-batch pass must find the dup: $within")
   }
 }

@@ -150,6 +150,30 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(rocks == default, s"provider changed results:\n$rocks\nvs\n$default")
   }
 
+  test("runToTable's stateStoreProvider param applies RocksDB and restores the conf") {
+    import graft.streaming.StreamOps
+    val sfDir = "/root/testdata/sf0.001"
+    val providerKey = StreamOps.RocksDbProviderConf._1
+    // the key resolves to the HDFS-backed default when never set — record
+    // whatever the session shows now and require it back afterwards
+    val before = spark.conf.getOption(providerKey)
+    assert(!before.exists(_.contains("RocksDB")), "precondition: not already RocksDB")
+    def agg = StreamOps.eventsStream(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+    def collect(name: String, provider: Option[String]) =
+      StreamOps.runToTable(spark, agg, name, "complete", provider)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val viaDefault = collect("rp_default", None)
+    val viaRocks = collect("rp_rocks", Some(StreamOps.RocksDbProviderConf._2))
+    assert(viaDefault.nonEmpty && viaRocks == viaDefault)
+    // restore branch: the session must show the same provider as before —
+    // RocksDB must not leak into later streams in the shared session
+    assert(spark.conf.getOption(providerKey) == before,
+      "stateStoreProvider leaked into the session conf")
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
