@@ -71,6 +71,12 @@ class CatalogContractSpec extends SparkSpec {
     val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf001)
     // every emitted pair carries its exact-verified Jaccard >= 0.5
     assert(lsh.filter(col("jac") < 0.5).count() == 0)
+    // the incremental variant carries the same verified-pairs contract,
+    // and every pair is new-batch vs corpus (doc_id % 5 == 0 on the left,
+    // != 0 on the right — never corpus-corpus or batch-batch)
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf001)
+    assert(inc.filter(col("jac") < 0.5).count() == 0)
+    assert(inc.filter(col("id_new") % 5 =!= 0 || col("id_corpus") % 5 === 0).count() == 0)
     // simhash assigns a signature to every document (total function)
     val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
     assert(SparkEntry.queries("q_dedup_simhash")(spark, sf001).count() == nDocs)

@@ -2,13 +2,16 @@ package graft
 
 import graft.ops.Dedup
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 
 /** Incremental LSH dedup: a new batch probed against a persisted
   * signature index finds its corpus near-dups, never re-pairs the corpus
   * with itself, and the index grows by append for the next batch.
   */
-class IncrementalDedupSpec extends SparkSpec {
+class IncrementalDedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   import spark.implicits._
 
@@ -72,6 +75,21 @@ class IncrementalDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", idx,
         perms = 32, rowsPerBand = 7))
+  }
+
+  test("index probe plan: batch side broadcasts, index side joins map-only") {
+    // the corpus-sized index must stream through its scan into a broadcast
+    // join with the (tiny) batch's buckets — an index-side shuffle here
+    // would move the whole corpus index per daily batch
+    val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_plan_").getAbsolutePath
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    val plan = Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", idx)
+      .queryExecution.executedPlan
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"index probe must broadcast the batch side:\n$plan")
+    val indexSide = bhj.head.children(if (bhj.head.buildSide.toString == "BuildRight") 0 else 1)
+    val shuffles = collectWithSubqueries(indexSide) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"index side must be map-only up to the probe join:\n$indexSide")
   }
 
   test("intra-batch duplicates: the documented loop's within-batch pass finds them") {
