@@ -132,14 +132,32 @@ object Dedup {
                           mode: org.apache.spark.sql.SaveMode =
                             org.apache.spark.sql.SaveMode.Overwrite): Unit = {
     val spark = docs.sparkSession
-    if (mode == org.apache.spark.sql.SaveMode.Append)
-      validateIndexParams(spark, path, shingleN, perms, rowsPerBand)
+    // only the two meaningful index modes: Ignore would no-op the data
+    // write but still restamp the sidecar (silent desync with the bucket
+    // data — the exact failure the sidecar guards against), and
+    // ErrorIfExists has the same hazard on a half-written dir
+    val append = mode == org.apache.spark.sql.SaveMode.Append
+    require(append || mode == org.apache.spark.sql.SaveMode.Overwrite,
+      s"signature index supports Overwrite (build) or Append (grow), not $mode")
+    if (append) validateIndexParams(spark, path, shingleN, perms, rowsPerBand)
     bandedBuckets(minHashSignatures(docs, idCol, textCol, shingleN, perms),
         rowsPerBand, perms)
       .write.mode(mode).parquet(path)
-    if (mode != org.apache.spark.sql.SaveMode.Append)
-      writeIndexParams(spark, path, shingleN, perms, rowsPerBand)
+    // data first, sidecar second (parquet Overwrite deletes the dir, so a
+    // pre-written sidecar cannot survive it); a crash between the two
+    // leaves a loud, repairable state — see [[stampIndexParams]]
+    if (!append) stampIndexParams(spark, path, shingleN, perms, rowsPerBand)
   }
+
+  /** Re-stamp the `_lsh_params` sidecar of an existing index. Recovery
+    * path for a crash between the data write and the sidecar write in
+    * [[writeSignatureIndex]] (probes refuse a sidecar-less index): the
+    * CALLER asserts these are the params the index was built with —
+    * stamping wrong values recreates exactly the silent-mismatch failure
+    * the sidecar exists to prevent. */
+  def stampIndexParams(spark: org.apache.spark.sql.SparkSession, path: String,
+                       shingleN: Int, perms: Int, rowsPerBand: Int): Unit =
+    writeIndexParams(spark, path, shingleN, perms, rowsPerBand)
 
   private def paramsPath(path: String) = new org.apache.hadoop.fs.Path(path, "_lsh_params")
 
@@ -159,7 +177,9 @@ object Dedup {
                                   rowsPerBand: Int): Unit = {
     val p = paramsPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no _lsh_params sidecar under $path — not a signature index?")
+    require(fs.exists(p),
+      s"no _lsh_params sidecar under $path — not a signature index, or a " +
+        "crash between data and sidecar writes (recover with stampIndexParams)")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val have = text.linesIterator.filter(_.contains("="))

@@ -77,6 +77,28 @@ class IncrementalDedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         perms = 32, rowsPerBand = 7))
   }
 
+  test("unsupported save modes are refused; stampIndexParams repairs a sidecar-less index") {
+    val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_test5_").getAbsolutePath
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    // Ignore would no-op the data write but restamp the sidecar — refused
+    val e = intercept[IllegalArgumentException](
+      Dedup.writeSignatureIndex(batch, "doc_id", "text", idx, perms = 64,
+        mode = SaveMode.Ignore))
+    assert(e.getMessage.contains("Overwrite (build) or Append (grow)"), e.getMessage)
+    // simulate a crash between data and sidecar writes: delete the sidecar
+    val p = new org.apache.hadoop.fs.Path(idx, "_lsh_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", idx))
+    assert(e2.getMessage.contains("stampIndexParams"), e2.getMessage)
+    // the documented repair restores probing with the original params
+    Dedup.stampIndexParams(spark, idx, shingleN = 3, perms = 32, rowsPerBand = 8)
+    val pairs = Dedup.incrementalCandidatePairs(spark, batch, "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 1L)), s"repaired index must probe normally: $pairs")
+  }
+
   test("index probe plan: batch side broadcasts, index side joins map-only") {
     // the corpus-sized index must stream through its scan into a broadcast
     // join with the (tiny) batch's buckets — an index-side shuffle here
