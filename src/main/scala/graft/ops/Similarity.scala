@@ -77,7 +77,7 @@ object Similarity {
     val planes = Array.fill(bits, dim)(rnd.nextGaussian())
     val emb = col("embedding").cast("array<double>")
     val sig = (0 until bits).map { b =>
-      val plane = array(planes(b).map(v => lit(v)): _*)
+      val plane = array(planes(b).toIndexedSeq.map(v => lit(v)): _*)
       val dot = aggregate(zip_with(emb, plane, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
