@@ -3,8 +3,6 @@ package graft
 import graft.ops.Bucketing
 import graft.queries.tbl
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 /** Measurement probe for SCALING.md §3: shuffle volume of the same
@@ -13,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Prints per-plan shuffle exchange count and total exchanged bytes
   * (ShuffleExchangeExec "dataSize" metric, summed after execution).
   */
-object BucketProbe extends AdaptiveSparkPlanHelper {
+object BucketProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -24,17 +22,6 @@ object BucketProbe extends AdaptiveSparkPlanHelper {
       .appName("bucket-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def shuffled(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      // execute THIS QueryExecution (df.write/count would plan a fresh one
-      // whose metrics we couldn't read back)
-      val qe = df.queryExecution
-      qe.toRdd.foreach(_ => ())
-      val ex = collectWithSubqueries(qe.executedPlan) {
-        case e: ShuffleExchangeExec => e
-      }
-      (ex.length.toLong, ex.map(_.metrics("dataSize").value).sum)
-    }
-
     // the probe measures the catalog query's OWN inputs and join/agg body
     // (shared builders in Relational), so the SCALING.md numbers cannot
     // silently drift from the q_join_bucketed plan
@@ -42,12 +29,12 @@ object BucketProbe extends AdaptiveSparkPlanHelper {
     val ordersRaw = ordersProjection(spark, sfDir)
     val custRaw = customerProjection(spark, sfDir)
 
-    val (nRaw, bytesRaw) = shuffled(bucketedJoinAgg(ordersRaw, custRaw))
+    val (nRaw, bytesRaw) = PlanMetrics.shuffled(bucketedJoinAgg(ordersRaw, custRaw))
 
     val sfx = Bucketing.tableSuffix(sfDir)
     val ob = Bucketing.ensureBucketed(spark, s"probe_orders_bkt_$sfx", ordersRaw, 8, "o_custkey")
     val cb = Bucketing.ensureBucketed(spark, s"probe_customer_bkt_$sfx", custRaw, 8, "c_custkey")
-    val (nBkt, bytesBkt) = shuffled(bucketedJoinAgg(spark.table(ob), spark.table(cb)))
+    val (nBkt, bytesBkt) = PlanMetrics.shuffled(bucketedJoinAgg(spark.table(ob), spark.table(cb)))
 
     println(f"[bucket-probe] raw parquet: $nRaw exchanges, ${bytesRaw / 1024.0 / 1024.0}%.1f MiB exchanged")
     println(f"[bucket-probe] bucketed:    $nBkt exchanges, ${bytesBkt / 1024.0 / 1024.0}%.1f MiB exchanged")
