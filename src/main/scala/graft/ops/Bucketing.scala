@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions.col
   */
 object Bucketing {
 
+  /** Per-table locks so two threads racing `ensureBucketed` on the same
+    * name can't both observe tableExists==false, both delete the warehouse
+    * dir, and race the saveAsTable. The harness is single-threaded but the
+    * API is public; `computeIfAbsent` gives one canonical monitor per name. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Parse the backtick-quoted column list out of DESCRIBE EXTENDED's
+    * 'Bucket Columns' value (rendered like ``[`k`, `id`]``) so the spec
+    * check compares the FULL list for equality — a substring match would
+    * accept a table bucketed on [`k`,`id`] as satisfying a single-column
+    * spec on `k`, which has a different output partitioning and would NOT
+    * remove the exchange. */
+  private[graft] def parseBucketColumns(rendered: String): Seq[String] =
+    "`([^`]+)`".r.findAllMatchIn(rendered).map(_.group(1)).toSeq
+
   /** Collision-free table-name suffix for a source directory: sanitized
     * for identifier use PLUS a hash of the raw string, because
     * sanitization alone is not injective ("/data/sf0.1" and
@@ -40,28 +56,38 @@ object Bucketing {
     * `repartition(buckets, key)` before the bucketed write aligns task
     * hashing with bucket hashing (both Murmur3 pmod), so each bucket is ONE
     * file — which keeps the per-bucket sort usable by downstream merges.
+    *
+    * Reuse contract: a matching-spec table is served as-is — same-name
+    * reuse within one JVM assumes the SAME source data (callers derive
+    * `table` from the source directory via [[tableSuffix]], which makes the
+    * name a content key; pass a different name for different data).
     */
   def ensureBucketed(spark: SparkSession, table: String, df: DataFrame,
                      buckets: Int, key: String): String = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    if (spark.catalog.tableExists(table)) {
-      // DESCRIBE EXTENDED is the public surface that exposes the bucket
-      // spec (the catalog API doesn't); refuse loudly on any mismatch
-      val meta = spark.sql(s"DESCRIBE EXTENDED $table").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      require(meta.get("Num Buckets").contains(buckets.toString) &&
-          meta.get("Bucket Columns").exists(_.contains(s"`$key`")),
-        s"table $table exists with a different bucket spec " +
-          s"(have: ${meta.get("Num Buckets")} buckets on ${meta.get("Bucket Columns")}; " +
-          s"want: $buckets on `$key`) — refusing to silently reuse it")
-    } else {
-      val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"),
-        table.toLowerCase(java.util.Locale.ROOT))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(warehouse)) fs.delete(warehouse, true)
-      df.repartition(buckets, col(key))
-        .write.bucketBy(buckets, key).sortBy(key)
-        .mode(SaveMode.Overwrite).saveAsTable(table)
+    tableLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      if (spark.catalog.tableExists(table)) {
+        // DESCRIBE EXTENDED is the public surface that exposes the bucket
+        // spec (the catalog API doesn't); refuse loudly on any mismatch.
+        // Compare the parsed column LIST for exact equality, not substring
+        // containment — [`k`,`id`] must not pass as a spec on [`k`].
+        val meta = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        require(meta.get("Num Buckets").contains(buckets.toString) &&
+            meta.get("Bucket Columns").map(parseBucketColumns)
+              .contains(Seq(key)),
+          s"table $table exists with a different bucket spec " +
+            s"(have: ${meta.get("Num Buckets")} buckets on ${meta.get("Bucket Columns")}; " +
+            s"want: $buckets on `$key`) — refusing to silently reuse it")
+      } else {
+        val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+          table.toLowerCase(java.util.Locale.ROOT))
+        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(warehouse)) fs.delete(warehouse, true)
+        df.repartition(buckets, col(key))
+          .write.bucketBy(buckets, key).sortBy(key)
+          .mode(SaveMode.Overwrite).saveAsTable(table)
+      }
     }
     table
   }

@@ -285,17 +285,59 @@ object Dedup {
     *
     * Returns (leftCol, rightCol, jac) ordered by the pair ids. The
     * candidate-doc shingle frame is persisted: it is joined twice (left
-    * and right side) and would otherwise re-scan + re-shingle per side;
-    * bounded by the candidate set, plan-cache-deduplicated across
-    * invocations, freed at session end. */
+    * and right side) and would otherwise re-scan + re-shingle per side.
+    *
+    * Cache lifetime — an explicit tradeoff: the persist is session-
+    * lifetime. Identical (corpus, candidates) plans are deduplicated by
+    * the CacheManager, but each DISTINCT corpus/candidate set cached in
+    * one JVM accumulates executor storage until session end. That is the
+    * right call for this harness (a handful of bounded candidate sets,
+    * MEMORY_AND_DISK so pressure spills rather than OOMs); a long-lived
+    * service verifying many corpora should instead use
+    * [[verifyCandidatesScoped]], which frees the cache once the result is
+    * materialized. */
   def verifyCandidates(docs: DataFrame, idCol: String, textCol: String,
                        cands: DataFrame, leftCol: String, rightCol: String,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = candidateShingles(docs, idCol, textCol, cands, leftCol, rightCol, shingleN)
+    scorePairs(sh, cands, idCol, leftCol, rightCol, threshold)
+  }
+
+  /** [[verifyCandidates]] with a scoped cache: materializes the verified
+    * pairs eagerly (localCheckpoint — truncates lineage so the returned
+    * frame no longer references the shingle cache), then unpersists the
+    * shingle frame immediately. The shape for long-lived services that
+    * verify MANY distinct corpora/candidate sets in one JVM, where
+    * session-lifetime caches would accumulate without bound. Costs one
+    * eager materialization; the returned frame is reusable without
+    * recompute. */
+  def verifyCandidatesScoped(docs: DataFrame, idCol: String, textCol: String,
+                             cands: DataFrame, leftCol: String, rightCol: String,
+                             shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = candidateShingles(docs, idCol, textCol, cands, leftCol, rightCol, shingleN)
+    try scorePairs(sh, cands, idCol, leftCol, rightCol, threshold)
+      .localCheckpoint(eager = true)
+    finally sh.unpersist()
+  }
+
+  /** Persisted shingle frame of exactly the docs referenced by `cands` —
+    * broadcast semi-join keeps it O(candidates), not O(corpus). Shared by
+    * the session-cache and scoped verify paths so they cannot drift. */
+  private def candidateShingles(docs: DataFrame, idCol: String, textCol: String,
+                                cands: DataFrame, leftCol: String, rightCol: String,
+                                shingleN: Int): DataFrame = {
     val ids = cands.select(explode(array(col(leftCol), col(rightCol))).as(idCol))
       .distinct()
-    val sh = docs.join(broadcast(ids), idCol)
+    docs.join(broadcast(ids), idCol)
       .select(col(idCol), tokenShingles(col(textCol), shingleN).as("sh"))
       .persist()
+  }
+
+  /** Join the cached shingles onto both sides of each candidate pair,
+    * score exact Jaccard once per pair, keep pairs ≥ threshold. */
+  private def scorePairs(sh: DataFrame, cands: DataFrame, idCol: String,
+                         leftCol: String, rightCol: String,
+                         threshold: Double): DataFrame =
     withJaccard(
         cands
           .join(sh.withColumnRenamed(idCol, leftCol).withColumnRenamed("sh", "sh_x"), leftCol)
@@ -304,5 +346,4 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col(leftCol), col(rightCol), round(col("jac"), 4).as("jac"))
       .orderBy(leftCol, rightCol)
-  }
 }

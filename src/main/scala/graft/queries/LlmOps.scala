@@ -69,6 +69,13 @@ object LlmOps {
     // which is what keeps a continuously-growing 100 TB corpus's total
     // dedup work linear instead of quadratic. Candidates get the exact-
     // Jaccard verify; rows-only (murmur signatures aren't in DuckDB).
+    // NOTE: this query runs step 1 of the documented 3-step ingest loop
+    // (index probe) ONLY — the within-batch pass (step 2,
+    // `lshCandidatePairs` over the batch itself; the probe never forms
+    // new-new pairs) and the index append (step 3) are intentionally
+    // omitted from the catalog entry so its output isolates probe
+    // behavior; both are exercised end-to-end by IncrementalDedupSpec's
+    // intra-batch and append tests.
     "q_dedup_incremental" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val isNew = col("doc_id") % 5 === 0

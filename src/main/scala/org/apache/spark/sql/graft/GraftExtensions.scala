@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for graft's native Catalyst expressions.
@@ -43,10 +43,20 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  // Accept any FOLDABLE int expression, not just a strict Literal —
+  // constant folding has not run at function-builder time, so a user
+  // writing `token_shingle_hashes(text, 1 + 2)` hands us an unfoldable-
+  // looking Add of literals. `eval()` on a foldable expression is exactly
+  // what the optimizer would do later; a foldable NULL still fails loudly.
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
+    case e if e.foldable && e.dataType == IntegerType =>
+      e.eval() match {
+        case i: java.lang.Integer => i.intValue
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $arg must be a non-null INT constant, got $e")
+      }
     case other => throw new IllegalArgumentException(
-      s"$fn: $arg must be an INT literal (codegen specializes on it), got $other")
+      s"$fn: $arg must be a foldable INT constant (codegen specializes on it), got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =

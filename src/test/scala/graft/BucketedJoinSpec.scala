@@ -59,6 +59,29 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.sql("DROP TABLE IF EXISTS spec_guard_b")
   }
 
+  test("ensureBucketed refuses a table bucketed on a SUPERSET of the key") {
+    import spark.implicits._
+    import graft.ops.Bucketing
+    val df = (1L to 100L).map(i => (i % 7, i)).toDF("k", "id")
+    try {
+      // pre-existing table bucketed on [k, id]: its output partitioning is
+      // HashPartitioning(k, id) which does NOT satisfy a join on k alone —
+      // a substring match on the rendered column list would wrongly accept it
+      df.write.bucketBy(4, "k", "id").sortBy("k", "id")
+        .mode("overwrite").saveAsTable("superset_guard_b")
+      val e = intercept[IllegalArgumentException](
+        Bucketing.ensureBucketed(spark, "superset_guard_b", df, buckets = 4, key = "k"))
+      assert(e.getMessage.contains("different bucket spec"))
+    } finally spark.sql("DROP TABLE IF EXISTS superset_guard_b")
+  }
+
+  test("parseBucketColumns extracts the exact column list") {
+    import graft.ops.Bucketing.parseBucketColumns
+    assert(parseBucketColumns("[`k`]") == Seq("k"))
+    assert(parseBucketColumns("[`k`, `id`]") == Seq("k", "id"))
+    assert(parseBucketColumns("[]") == Seq.empty)
+  }
+
   test("tableSuffix is collision-free where sanitization alone is not") {
     import graft.ops.Bucketing.tableSuffix
     // these sanitize to the same identifier; the hash keeps them apart

@@ -78,10 +78,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head
     assert(sqlRow.getSeq[Long](0) == colRow.getSeq[Long](0))
     assert(sqlRow.getSeq[Long](1) == colRow.getSeq[Long](1))
+    // foldable-but-not-yet-folded constants are fine (constant folding has
+    // not run at function-builder time, so `1 + 2` arrives as an Add of
+    // literals — the builder evals it like the optimizer would)
+    val folded = spark.sql(
+      "SELECT token_shingle_hashes(text, 1 + 2) AS hs FROM ext_docs").collect().head
+    assert(folded.getSeq[Long](0) == colRow.getSeq[Long](1))
     // codegen specializes on the int parameters — a column there must fail
     // analysis loudly, not plan a broken kernel
     val err = intercept[Exception](
       spark.sql("SELECT token_shingle_hashes(text, CAST(id AS INT)) FROM ext_docs").collect())
-    assert(err.getMessage.contains("INT literal"), err.getMessage)
+    assert(err.getMessage.contains("INT constant"), err.getMessage)
   }
 }

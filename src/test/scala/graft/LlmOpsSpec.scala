@@ -47,6 +47,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("verifyCandidatesScoped matches verifyCandidates and frees its cache") {
+    val base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).trim
+    val docs = (Seq((0L, base), (1L, base + " tail")) ++
+      (2L to 20L).map(i => (i, s"completely different content number $i with its own words")))
+      .toDF("doc_id", "text")
+    val cands = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val sessionCached =
+      Dedup.verifyCandidates(docs, "doc_id", "text", cands, "id_a", "id_b").collect()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val scoped =
+      Dedup.verifyCandidatesScoped(docs, "doc_id", "text", cands, "id_a", "id_b")
+    // the scoped variant's shingle cache is gone the moment it returns; only
+    // the eager localCheckpoint RDD backing the RESULT may remain
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore + 1,
+      "scoped verify must unpersist its shingle cache on return")
+    assert(scoped.collect().toSeq == sessionCached.toSeq)
+    // near-dup pair survives the 0.5 threshold; the unrelated pair does not
+    assert(sessionCached.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
   test("native minhash signature: deterministic, similarity-sensitive, total on edge cases") {
     val base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).trim
     val docs = Seq(
