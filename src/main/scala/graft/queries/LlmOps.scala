@@ -210,6 +210,30 @@ object LlmOps {
       graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("vec_id"), col("component"))
         .orderBy("vec_id")
+    }),
+    // Embedding-cosine near-dup DEDUP keep-list — the full production
+    // decision the clusters query stops short of: every vector maps to its
+    // representative (min id of its near-dup component; itself when it has
+    // no near-dup) and a kept flag. Exact pairs (chunk-salted join) ->
+    // connected components -> left join back onto the corpus, so
+    // singletons — the overwhelming majority at scale, which never enter
+    // the edge list — are emitted without ever being shuffled through the
+    // component loop. The component map is vertex-sized (only docs with a
+    // near-dup), orders of magnitude smaller than the corpus at real
+    // scale; AQE turns the keep-list join into a broadcast when it fits.
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val pairs = Similarity.thresholdPairs(e,
+        "label", "vec_id", "embedding", threshold = 0.35, chunks = 8,
+        (x, y) => cosine_sim(x, y))
+      val comp = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "vec_id")
+      e.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("keep_id"))
+        .withColumn("kept", col("vec_id") === col("keep_id"))
+        .orderBy("vec_id")
     })
   )
 
@@ -285,6 +309,27 @@ object LlmOps {
            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS vec_id, min(lbl) AS component
          FROM reach GROUP BY id ORDER BY vec_id""",
+    "q_dedup_embedding" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) > 0.35),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         comp AS (
+           SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         SELECT e.vec_id,
+           coalesce(c.component, e.vec_id) AS keep_id,
+           coalesce(c.component, e.vec_id) = e.vec_id AS kept
+         FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+         ORDER BY e.vec_id""",
     "q_sample_stratified" ->
       """SELECT label, count(*) AS n_sampled
          FROM embeddings

@@ -246,4 +246,28 @@ class LlmOpsSpec extends SparkSpec {
     val fp2 = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fp1.toSeq == fp2.toSeq && fp1.distinct.length == 2)
   }
+
+  test("embedding dedup keep-list: near-dups map to min id, singletons keep themselves") {
+    // vectors 1 and 2 are near-identical; 3 is orthogonal (a singleton that
+    // never enters the edge list and must still appear, kept, in the output)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.05f), 0),
+      (3L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.thresholdPairs(e, "label", "vec_id", "embedding",
+      threshold = 0.35, chunks = 2, (x, y) => cosine_sim(x, y))
+    val comp = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    val keep = e.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("keep_id"))
+      .withColumn("kept", col("vec_id") === col("keep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(keep.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
+    // representative invariants: keep_id <= vec_id, and every keep_id is kept
+    assert(keep.forall { case (v, k, _) => k <= v })
+    val keptIds = keep.collect { case (v, _, true) => v }.toSet
+    assert(keep.forall { case (_, k, _) => keptIds.contains(k) })
+  }
 }
