@@ -25,6 +25,13 @@ object StreamingQueries {
       StreamOps.staticJoin(s, dir).orderBy("c_mktsegment")),
     "q_stream_stream_join" -> ((s, dir) =>
       StreamOps.streamStreamJoin(s, dir).orderBy("click_id", "purchase_id")),
+    // Left-outer stream-stream join: watermark-driven state eviction made
+    // visible. Unmatched clicks null-emit (sentinel -1) exactly when the
+    // final watermark (max ts - 1h) passes the end of their 30-min match
+    // window — a deterministic rule, so the oracle reproduces the
+    // watermark arithmetic in SQL.
+    "q_stream_outer_join" -> ((s, dir) =>
+      StreamOps.streamStreamOuterJoin(s, dir).orderBy("click_id", "purchase_id")),
     // Exactly-once sink without native transactionality: foreachBatch
     // writes each micro-batch into its OWN batch_id= partition with
     // idempotent dynamic overwrite, so a replayed batch (at-least-once
@@ -86,6 +93,33 @@ object StreamingQueries {
          ORDER BY click_id, purchase_id""",
     "q_stream_foreach_batch" ->
       """SELECT event_id, user_id, value FROM events
-         WHERE event_type = 'purchase' ORDER BY event_id"""
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    // The watermark arithmetic in SQL: the join's watermark is the MIN of
+    // the two sides' (max event time - 1h); an unmatched click null-emits
+    // iff the end of its 30-min window is below that.
+    "q_stream_outer_join" ->
+      """WITH mx AS (
+           SELECT least(
+             (SELECT max(ts) FROM events WHERE event_type = 'click'),
+             (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 1 HOUR AS wm),
+         matches AS (
+           SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id
+           FROM events l JOIN events r ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES),
+         unmatched AS (
+           SELECT l.event_id AS click_id, CAST(-1 AS BIGINT) AS purchase_id,
+                  l.user_id
+           FROM events l, mx
+           WHERE l.event_type = 'click'
+             AND l.ts + INTERVAL 30 MINUTES < mx.wm
+             AND NOT EXISTS (
+               SELECT 1 FROM events r
+               WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+                 AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTES))
+         SELECT * FROM matches
+         UNION ALL SELECT * FROM unmatched
+         ORDER BY click_id, purchase_id"""
   )
 }

@@ -163,6 +163,37 @@ object StreamOps {
     runToTable(s, joined, "stream_stream_join", "append")
   }
 
+  /** Stream-stream LEFT OUTER join — the inner join's shape plus
+    * watermark-driven state eviction made visible: a click with no
+    * purchase inside its 30-minute window is held in the join state until
+    * the watermark passes the end of that window, then emitted exactly
+    * once with a null purchase side. Unmatched emission is therefore a
+    * function of the final watermark (max event time − 1 h): clicks whose
+    * window closes below it are null-emitted, later clicks' state is
+    * discarded at query end — deterministic for a fixed input, so the
+    * whole semantics (matches + the eviction rule) is oracle-expressible
+    * in batch SQL. The null side is coalesced to −1: the sentinel keeps
+    * the output schema non-nullable BIGINT on both engines.
+    * At scale this is how funnel abandonment is computed on live streams —
+    * the state store holds only the watermark horizon, never history. */
+  def streamStreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("click_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"))
+    runToTable(s, joined, "stream_outer_join", "append")
+  }
+
   /** Stateful dedup on (user_id, event_type) within the watermark; output
     * is the kept key set (deterministic regardless of arrival order). */
   def dedupKeys(s: SparkSession, dir: String): DataFrame = {

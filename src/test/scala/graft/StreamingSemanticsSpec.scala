@@ -174,6 +174,43 @@ class StreamingSemanticsSpec extends SparkSpec {
       "stateStoreProvider leaked into the session conf")
   }
 
+  test("left-outer stream-stream join null-emits unmatched rows only after watermark eviction") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val l = clicks.toDF().toDF("click_ts", "user_id", "click_id")
+      .withWatermark("click_ts", "5 minutes")
+    val r = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "5 minutes")
+    val joined = l.join(r,
+        col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "leftOuter")
+      .select(col("click_id"), coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("outer_join_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def rows() = spark.table("outer_join_test").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      // batch 1: user 1's click matches a purchase (emits immediately);
+      // user 2's click has no purchase — held in state, NOT emitted yet
+      clicks.addData((ts(0), 1L, 100L), (ts(0), 2L, 200L))
+      purchases.addData((ts(5), 1L, 900L))
+      q.processAllAvailable()
+      assert(rows() == Seq((100L, 900L)),
+        "unmatched click must stay in state while its window can still match")
+      // batch 2: watermark jumps past click 200's window end (0+10min);
+      // eviction null-emits it exactly once
+      clicks.addData((ts(60), 9L, 999L))
+      purchases.addData((ts(60), 9L, 888L))
+      q.processAllAvailable()
+      assert(rows().contains((200L, -1L)),
+        "evicted unmatched click must null-emit after the watermark passes its window")
+      assert(rows().count(_._1 == 200L) == 1, "exactly-once null emission")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
