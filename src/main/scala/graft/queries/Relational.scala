@@ -299,6 +299,27 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Key-skew profile: the diagnostic an operator runs BEFORE picking a
+    // join strategy at scale — the top heavy keys with their share of the
+    // table (ppm) and their multiple of the mean key frequency (x10000).
+    // One scan + map-side-combined groupBy; the two global scalars arrive
+    // via a broadcast cross join of a 1-row aggregate, never a collect.
+    // All derived columns are floor'd integer math (no round-half
+    // divergence between engines). Feeds the salting decision
+    // q_join_skew_salted demonstrates: salt when skew_x10000 says one key
+    // dwarfs the mean.
+    "q_skew_profile" -> ((s, dir) => {
+      val cnt = tbl(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("user_id"), col("cnt"),
+          floor(col("cnt") * lit(1000000.0) / col("total")).as("share_ppm"),
+          floor(col("cnt") * lit(10000.0) * col("n_keys") / col("total")).as("skew_x10000"))
+        .orderBy(desc("cnt"), asc("user_id"))
+        .limit(10)
+    }),
+
     // Data-quality profile: one scan, one row — nulls, domain violations,
     // key uniqueness (graft.ops.Quality).
     "q_quality_profile" -> ((s, dir) => {
@@ -514,6 +535,14 @@ object Relational {
     "q_join_cross" ->
       """SELECT a.r_name AS r1, b.r_name AS r2
          FROM region a CROSS JOIN region b ORDER BY r1, r2""",
+    "q_skew_profile" ->
+      """WITH cnt AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+         tot AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM cnt)
+         SELECT user_id, cnt,
+           CAST(floor(cnt * 1000000.0 / total) AS BIGINT) AS share_ppm,
+           CAST(floor(cnt * 10000.0 * n_keys / total) AS BIGINT) AS skew_x10000
+         FROM cnt CROSS JOIN tot
+         ORDER BY cnt DESC, user_id LIMIT 10""",
     "q_quality_profile" ->
       """SELECT count(*) AS n_rows,
          count(*) - count(DISTINCT concat_ws(' ', l_orderkey, l_linenumber)) AS n_dup_keys,
