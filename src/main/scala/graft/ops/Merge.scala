@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch MERGE / upsert: apply a keyed delta onto a base table in one
@@ -55,5 +55,65 @@ object Merge {
     base.as("b").join(d.as("d"), keys, "full_outer")
       .select(keys.map(col) ++ valueCols.map(c =>
         when(col("d.__is_delta"), col(s"d.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
+  /** SCD Type 2: apply a snapshot of entity updates onto a versioned
+    * dimension, preserving full history.
+    *
+    * `dim` carries one row per (entity, validity interval): the tracked
+    * attribute columns plus `[validFromCol, validToCol)` as epoch numbers;
+    * an open (current) row has `validToCol == endOfTime` — the standard
+    * 9999-12-31 sentinel rather than NULL, so the "current rows" predicate
+    * is sargable and engines never disagree about null ordering/hashing.
+    *
+    * Per update row vs the entity's current row:
+    *  - attributes differ → the current row CLOSES (`validTo = batchTs`)
+    *    and a new open version is inserted (`validFrom = batchTs`);
+    *  - attributes identical → no-op (idempotent re-loads don't grow
+    *    history);
+    *  - no current row → brand-new entity, inserted open.
+    * Closed history rows always pass through untouched; updates must have
+    * unique keys (same contract as [[upsert]]).
+    *
+    * Scale shape: ONE join, shuffled (or broadcast, for small snapshots)
+    * on the key, over only the CURRENT slice of the dimension — history
+    * never enters the join; it is a union passthrough that costs a scan.
+    * Each joined row then fans out to its 1–2 output rows via a computed
+    * array + explode, so the join is executed once (no self-union of three
+    * filtered copies of the same join). At warehouse scale, partition the
+    * dimension by an is-current flag or validTo date: the passthrough
+    * becomes partition-pruned and the rewrite touches only the current
+    * partition.
+    */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, key: String,
+                attrCols: Seq[String], validFromCol: String, validToCol: String,
+                batchTs: Long, endOfTime: Long = 253402300799L): DataFrame = {
+    require(attrCols.nonEmpty, "SCD2 needs at least one tracked attribute")
+    val history = dim.filter(col(validToCol) =!= endOfTime)
+    val current = dim.filter(col(validToCol) === endOfTime)
+      .select(col(key) +:
+        attrCols.map(a => col(a).as(s"__c_$a")) :+
+        col(validFromCol).as("__c_vf") :+ lit(true).as("__c"): _*)
+    val snap = updates
+      .select(col(key) +: attrCols.map(a => col(a).as(s"__u_$a")) :+ lit(true).as("__u"): _*)
+    val j = current.join(snap, Seq(key), "full_outer")
+    val isC = coalesce(col("__c"), lit(false))
+    val isU = coalesce(col("__u"), lit(false))
+    // null-safe per-attribute comparison: a null attribute equals null
+    val differs = attrCols.map(a => !(col(s"__c_$a") <=> col(s"__u_$a"))).reduce(_ || _)
+    def version(attrs: String => Column, vf: Column, vt: Column): Column =
+      struct(attrCols.map(a => attrs(a).as(a)) :+ vf.as(validFromCol) :+ vt.as(validToCol): _*)
+    val closedC = version(a => col(s"__c_$a"), col("__c_vf"), lit(batchTs))
+    val keptC = version(a => col(s"__c_$a"), col("__c_vf"), lit(endOfTime))
+    val freshU = version(a => col(s"__u_$a"), lit(batchTs), lit(endOfTime))
+    val fanout =
+      when(isC && isU && differs, array(closedC, freshU))
+        .when(isC, array(keptC)) // matched-identical or no update: unchanged
+        .otherwise(array(freshU)) // new entity
+    val applied = j
+      .select(col(key), explode(fanout).as("__v"))
+      .select(col(key) +: (attrCols :+ validFromCol :+ validToCol)
+        .map(c => col(s"__v.$c").as(c)): _*)
+    history.select(applied.columns.map(col): _*).unionByName(applied)
   }
 }

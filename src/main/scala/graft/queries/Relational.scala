@@ -383,6 +383,32 @@ object Relational {
       graft.ops.Merge.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    // SCD Type 2: one batch of segment/balance changes applied onto a
+    // versioned customer dimension (ops.Merge.scd2Apply). The update
+    // snapshot exercises all four paths: changed attributes (key%10=0,
+    // closes + re-opens), identical no-op rows (key%10=1, history must NOT
+    // grow), brand-new entities (re-keyed far past the key range), and
+    // untouched entities (passthrough). Validity uses the 9999-12-31
+    // epoch sentinel for open rows — sargable and null-free on both
+    // engines.
+    "q_merge_scd2" -> ((s, dir) => {
+      val eot = 253402300799L
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+      val dim = c.withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(eot))
+      val changed = c.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+      val noop = c.filter(col("c_custkey") % 10 === 1)
+      val fresh = c.filter(col("c_custkey") % 10 === 2)
+        .withColumn("c_custkey", col("c_custkey") + 100000000000L)
+      graft.ops.Merge.scd2Apply(dim,
+          changed.unionByName(noop).unionByName(fresh), "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), "valid_from", "valid_to",
+          batchTs = 1000L)
+        .orderBy("c_custkey", "valid_from")
+    }),
     // Point-in-interval range join via binning (ops.RangeJoin): ship dates
     // falling inside sampled 7-day order windows. A naive inequality join
     // plans as a nested loop; the binned plan is an ordinary equi-join.
@@ -567,6 +593,23 @@ object Relational {
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
            FROM orders) t
          WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+    "q_merge_scd2" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+                    FROM customer)
+         SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(0 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN c_custkey % 10 = 0 THEN 1000
+                     ELSE 253402300799 END AS BIGINT) AS valid_to
+         FROM c
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, round(c_acctbal + 100.0, 2),
+           CAST(1000 AS BIGINT), CAST(253402300799 AS BIGINT)
+         FROM c WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey + 100000000000, c_mktsegment, c_acctbal,
+           CAST(1000 AS BIGINT), CAST(253402300799 AS BIGINT)
+         FROM c WHERE c_custkey % 10 = 2
+         ORDER BY c_custkey, valid_from""",
     "q_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
          delta AS (

@@ -28,6 +28,48 @@ class MergeRangeSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(1))
   }
 
+  test("scd2Apply: changed rows close+reopen, no-ops don't grow history, new entities insert, history passes through") {
+    val eot = 253402300799L
+    // entity 1: will change; entity 2: identical update (no-op); entity 3:
+    // untouched; entity 4 already has a CLOSED historical version that must
+    // pass through byte-identical
+    val dim = Seq(
+      (1L, "red", 0L, eot),
+      (2L, "blue", 0L, eot),
+      (3L, "green", 0L, eot),
+      (4L, "old", 0L, 500L), (4L, "new", 500L, eot))
+      .toDF("k", "color", "valid_from", "valid_to")
+    val updates = Seq((1L, "crimson"), (2L, "blue"), (9L, "white"))
+      .toDF("k", "color")
+    val out = Merge.scd2Apply(dim, updates, "k", Seq("color"),
+        "valid_from", "valid_to", batchTs = 1000L)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "red", 0L, 1000L), (1L, "crimson", 1000L, eot), // closed + reopened
+      (2L, "blue", 0L, eot),                               // no-op: one row only
+      (3L, "green", 0L, eot),                              // untouched passthrough
+      (4L, "old", 0L, 500L), (4L, "new", 500L, eot),       // history intact
+      (9L, "white", 1000L, eot)))                          // new entity
+  }
+
+  test("scd2Apply is idempotent across repeated batches and accretes history across distinct ones") {
+    val eot = 253402300799L
+    val dim0 = Seq((1L, "v1", 0L, eot)).toDF("k", "attr", "valid_from", "valid_to")
+    val b1 = Seq((1L, "v2")).toDF("k", "attr")
+    val once = Merge.scd2Apply(dim0, b1, "k", Seq("attr"), "valid_from", "valid_to", 100L)
+    // replaying the SAME batch on the applied result changes nothing: the
+    // current row already carries v2, so the update is a no-op
+    val twice = Merge.scd2Apply(once, b1, "k", Seq("attr"), "valid_from", "valid_to", 200L)
+    assert(twice.orderBy("valid_from").as[(Long, String, Long, Long)].collect().toSeq
+      == Seq((1L, "v1", 0L, 100L), (1L, "v2", 100L, eot)))
+    // a later batch with a new value adds exactly one more version
+    val b2 = Seq((1L, "v3")).toDF("k", "attr")
+    val grown = Merge.scd2Apply(twice, b2, "k", Seq("attr"), "valid_from", "valid_to", 300L)
+    assert(grown.orderBy("valid_from").as[(Long, String, Long, Long)].collect().toSeq
+      == Seq((1L, "v1", 0L, 100L), (1L, "v2", 100L, 300L), (1L, "v3", 300L, eot)))
+  }
+
   test("binned range join matches the naive inequality join exactly") {
     // intervals of varying length, some spanning multiple bins; points on
     // boundaries to pin the [start, end) inclusivity contract
