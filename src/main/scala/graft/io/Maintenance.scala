@@ -12,43 +12,87 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Maintenance {
 
-  /** Compact a LEAF parquet directory to ~`targetFileBytes` files: read,
-    * compute the file count from the actual data size, rewrite via a temp
-    * directory and a two-rename swap. Returns (files before, files after).
-    *
-    * Refuses partitioned roots (no top-level data files): compacting one
-    * would flatten the `col=value/` layout and destroy partition pruning —
-    * at cluster scale compaction runs per leaf partition (only those whose
-    * small-file count crosses a threshold), keeping the rewrite incremental.
-    *
-    * The swap is rename(live -> backup); rename(tmp -> live); delete backup
-    * — each rename is atomic on HDFS-like filesystems, so no window leaves
-    * the path nonexistent alongside a successful reader-visible state; a
-    * crash between the renames is recoverable from the `_precompact` backup
-    * (unlike delete-then-rename, which can lose the only copy's listing).
-    * Object stores without atomic rename should use a table format instead.
-    */
-  def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+  /** Parquet layout of a leaf directory as the planner sees it: data-file
+    * count and total bytes from one driver-side listing (no data read). */
+  final case class LayoutStats(nFiles: Long, totalBytes: Long) {
+    def avgFileBytes: Long = if (nFiles == 0) 0L else totalBytes / nFiles
+  }
+
+  def layoutStats(spark: SparkSession, dir: String): LayoutStats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles = fs.listStatus(path).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val before = dataFiles
-    require(before.nonEmpty,
+    if (!fs.exists(path)) LayoutStats(0, 0)
+    else {
+      val files = fs.listStatus(path).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      LayoutStats(files.size.toLong, files.map(_.getLen).sum)
+    }
+  }
+
+  /** Output file count for a rewrite: ceil(total / target), floor 1. */
+  def planFileCount(totalBytes: Long, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+  }
+
+  /** Compact a LEAF parquet directory to ~`targetFileBytes` files, sized
+    * from the file-system LISTING (driver-side metadata — the data is
+    * never scanned to plan the rewrite); returns the resulting layout.
+    *
+    * No-op (zero IO beyond the listing) when the layout already meets the
+    * target: a scheduled maintenance job must never rewrite a healthy
+    * table. Refuses partitioned roots (no top-level data files):
+    * compacting one would flatten the `col=value/` layout and destroy
+    * partition pruning — at cluster scale compaction runs per leaf
+    * partition, only where the small-file count crosses a threshold,
+    * keeping the rewrite incremental.
+    *
+    * The rewrite is `coalesce` — NARROW, no shuffle: compacting N bytes
+    * costs exactly one read + one write of those bytes. A `repartition`
+    * would add a full shuffle only to balance output sizes, wasted when
+    * the inputs are uniformly small (the accretion case this fixes). The
+    * rewrite is validated by row count before it replaces anything.
+    *
+    * The swap is rename(live -> backup); rename(tmp -> live); delete
+    * backup — each rename is atomic on HDFS-like filesystems, a failed
+    * second rename rolls the backup straight back, and a crash between
+    * the renames is recoverable from the `_precompact` backup (unlike
+    * delete-then-rename, which can lose the only copy's listing). Object
+    * stores without atomic rename should run this inside a table format's
+    * commit protocol instead.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): LayoutStats = {
+    val before = layoutStats(spark, dir)
+    require(before.nFiles > 0,
       s"$dir has no top-level parquet files — partitioned root or empty; " +
         "compact each leaf partition directory instead")
-    val totalBytes = before.map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val n = planFileCount(before.totalBytes, targetFileBytes)
+    if (before.nFiles <= n) return before // already compact
+
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "_compacting")
     val backup = new Path(dir + "_precompact")
     fs.delete(tmp, true); fs.delete(backup, true)
-    spark.read.parquet(dir).coalesce(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+
+    val src = spark.read.parquet(dir)
+    val expected = src.count()
+    src.coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val actual = spark.read.parquet(tmp.toString).count()
+    if (actual != expected) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction rewrite of $dir lost rows: expected $expected, wrote $actual")
+    }
     require(fs.rename(path, backup), s"rename $path -> $backup failed")
-    require(fs.rename(tmp, path), s"rename $tmp -> $path failed; original at $backup")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(backup, path) // roll back: restore the original layout
+      throw new IllegalStateException(
+        s"rename $tmp -> $path failed; original restored")
+    }
     fs.delete(backup, true)
-    (before.size, dataFiles.size)
+    layoutStats(spark, dir)
   }
 
   /** Sorted-clustered write: partition by the pruning key, sort WITHIN each

@@ -169,8 +169,9 @@ class PipelineSpec extends SparkSpec {
     (1L to 1000L).toDF("id").repartition(16).write.parquet(dir)
     val sumBefore = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("id"))
       .head().getLong(0)
-    val (before, after) = Maintenance.compact(spark, dir)
-    assert(before == 16 && after == 1)
+    val before = Maintenance.layoutStats(spark, dir)
+    val after = Maintenance.compact(spark, dir)
+    assert(before.nFiles == 16 && after.nFiles == 1)
     val out = spark.read.parquet(dir)
     assert(out.count() == 1000)
     assert(out.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == sumBefore)
