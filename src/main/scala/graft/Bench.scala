@@ -46,43 +46,58 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => () } }
       // warmup caches are dropped by the per-query clearCache below
     }
-    // Per-query MEDIAN of SPARK_GRAFT_RUNS timed runs (default 3). A single
-    // timed run is hostage to ambient load on a shared box: BENCH_r05
-    // recorded q_join_range_binned at 4.33 s and q_sim_topk_hof at 3.83 s
-    // against 0.72 s / 0.64 s quiet-rerun steady state — 6x transient
-    // spikes in the gating artifact. The median of 3 discards one bad run
-    // per query, making the artifact match BASELINE.md's sum-of-medians
-    // methodology (so driver numbers and pins are finally the SAME
-    // statistic). Set SPARK_GRAFT_RUNS=1 for quick local iteration.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
-      .max(1)
+    // Per-query MEDIAN of SPARK_GRAFT_RUNS timed samples (default 3), with
+    // the samples taken as INTERLEAVED full catalog passes: pass 1 times
+    // every query, then pass 2, then pass 3. BENCH_r06 showed why
+    // consecutive per-query samples are not enough — a sustained ambient
+    // contention window (minutes long on a shared box) poisons all 3
+    // back-to-back samples of whichever queries it overlaps (q_from_json
+    // recorded 6.21 s vs 0.34 s quiet steady state). Interleaving separates
+    // one query's samples by a whole catalog pass (~minutes), so a
+    // contention window inflates at most one sample per query and the
+    // median discards it. Set SPARK_GRAFT_RUNS=1 for quick local iteration.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3).max(1)
+    val names = selected.keys.toSeq.sorted
     // a failed query reports time -1 (never a plausible elapsed value) and
     // is listed in "failed" — silent failure would otherwise masquerade as
-    // a phantom speedup in recorded baselines
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        // Cache scoping (untimed): queries that persist() internally leave
-        // session-lifetime entries; across a 100-query timed pass those
-        // accumulate in the driver heap and one eviction-thrashed run can
-        // put a 10x outlier into the gating artifact (BENCH_r03:
-        // q_contamination 28.9 s recorded vs 2.3 s reproduced). Clearing
-        // BEFORE each timed run isolates it: every run starts from zero
-        // cache, pays its own materialization, and inherits nothing from
-        // predecessors. Codegen stays warm (keyed by generated source, not
-        // cache entries).
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
+    // a phantom speedup in recorded baselines. Once a query fails in any
+    // pass it is skipped in later passes: it is poisoned to -1 regardless,
+    // and a deterministic failure would otherwise multiply the wall time of
+    // failing passes by `runs`.
+    val poisoned = scala.collection.mutable.Set.empty[String]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to runs; name <- names if !poisoned(name)) {
+      val fn = selected(name)
+      // Cache scoping (untimed): queries that persist() internally leave
+      // session-lifetime entries; across a 100-query timed pass those
+      // accumulate in the driver heap and one eviction-thrashed run can
+      // put a 10x outlier into the gating artifact (BENCH_r03:
+      // q_contamination 28.9 s recorded vs 2.3 s reproduced). Clearing
+      // BEFORE each timed run isolates it: every run starts from zero
+      // cache, pays its own materialization, and inherits nothing from
+      // predecessors. Codegen stays warm (keyed by generated source, not
+      // cache entries).
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count()
+            samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+          poisoned += name
       }
-      // any failed run poisons the query: partial medians would hide flakes
-      val v = if (times.exists(_ < 0)) -1.0
-              else times.sorted.apply((times.size - 1) / 2)
-      name -> v
     }
+    def median(ts: List[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
+    val results = names.map { name =>
+      name -> (if (poisoned(name)) -1.0 else median(samples(name)))
+    }.toMap
+    // per-query MIN across passes: the artifact's own noise diagnostic — a
+    // median far above its min flags residual contention without a rerun
+    val mins = names.map { name =>
+      name -> (if (poisoned(name)) -1.0 else samples(name).min)
+    }.toMap
     // Round 1's single ~4 KB line (83 queries at full double precision) was
     // truncated by the driver's output capture → "parsed": null, no recorded
     // bench total. Keep the stdout line SHORT and parseable: total + failed +
@@ -99,10 +114,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullMap = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val minMap = mins.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val mapPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
     java.nio.file.Files.write(mapPath,
-      s"""{"sf":"$sfDir","cpus":$cpus,"total":${f3(total)},"failed":$failed,"queries":$fullMap}""".getBytes("UTF-8"))
+      s"""{"sf":"$sfDir","cpus":$cpus,"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
     spark.stop()
   }

@@ -53,6 +53,18 @@ object Maintenance {
     * the inputs are uniformly small (the accretion case this fixes). The
     * rewrite is validated by row count before it replaces anything.
     *
+    * Read-width tradeoff: `coalesce(n)` fuses the scan into n tasks, so
+    * compacting thousands of small files into, say, 4 targets reads
+    * 4-wide. (Chaining two coalesces does NOT widen the read — narrow
+    * coalesces fuse into one stage, and the smaller n wins.) For the
+    * common accretion case — tens to hundreds of small files per leaf —
+    * n-wide reading of small inputs is still IO-bound-fine and the saved
+    * shuffle dominates. For a very high file-count leaf (thousands of
+    * files into a handful of targets) pass `shuffle = true`: the rewrite
+    * becomes `repartition(n)` — the scan runs at full parallelism (one
+    * task per input split) and the one extra shuffle of the leaf's bytes
+    * buys an N-times-wider read.
+    *
     * The swap is rename(live -> backup); rename(tmp -> live); delete
     * backup — each rename is atomic on HDFS-like filesystems, a failed
     * second rename rolls the backup straight back, and a crash between
@@ -62,7 +74,8 @@ object Maintenance {
     * commit protocol instead.
     */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): LayoutStats = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              shuffle: Boolean = false): LayoutStats = {
     val before = layoutStats(spark, dir)
     require(before.nFiles > 0,
       s"$dir has no top-level parquet files — partitioned root or empty; " +
@@ -78,7 +91,8 @@ object Maintenance {
 
     val src = spark.read.parquet(dir)
     val expected = src.count()
-    src.coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val rewritten = if (shuffle) src.repartition(n) else src.coalesce(n)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val actual = spark.read.parquet(tmp.toString).count()
     if (actual != expected) {
       fs.delete(tmp, true)
@@ -87,9 +101,20 @@ object Maintenance {
     }
     require(fs.rename(path, backup), s"rename $path -> $backup failed")
     if (!fs.rename(tmp, path)) {
-      fs.rename(backup, path) // roll back: restore the original layout
-      throw new IllegalStateException(
-        s"rename $tmp -> $path failed; original restored")
+      // Roll back: restore the original layout. The rollback rename's own
+      // result must be checked — if it ALSO fails, the table is stranded
+      // at `_precompact` with no live path, and the exception must say so
+      // rather than falsely claim restoration.
+      val restored = fs.rename(backup, path)
+      fs.delete(tmp, true)
+      if (restored)
+        throw new IllegalStateException(
+          s"rename $tmp -> $path failed; original restored from $backup")
+      else
+        throw new IllegalStateException(
+          s"rename $tmp -> $path failed AND rollback rename $backup -> $path " +
+            s"failed: table data is intact but parked at $backup — manually " +
+            s"rename it back to $path")
     }
     fs.delete(backup, true)
     layoutStats(spark, dir)

@@ -31,9 +31,21 @@ object Bucketing {
     * check compares the FULL list for equality — a substring match would
     * accept a table bucketed on [`k`,`id`] as satisfying a single-column
     * spec on `k`, which has a different output partitioning and would NOT
-    * remove the exchange. */
-  private[graft] def parseBucketColumns(rendered: String): Seq[String] =
-    "`([^`]+)`".r.findAllMatchIn(rendered).map(_.group(1)).toSeq
+    * remove the exchange.
+    *
+    * Backtick quoting is how current Spark renders the list, but it is
+    * presentation, not contract: if a Spark version renders the columns
+    * unquoted, the backtick regex would parse every valid table to an
+    * empty list and `ensureBucketed` would loudly refuse ALL reuse (a
+    * false refusal, not corruption — but still wrong). Fall back to
+    * splitting the bracketed list on commas when no backticked tokens are
+    * present. */
+  private[graft] def parseBucketColumns(rendered: String): Seq[String] = {
+    val quoted = "`([^`]+)`".r.findAllMatchIn(rendered).map(_.group(1)).toSeq
+    if (quoted.nonEmpty) quoted
+    else rendered.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   /** Collision-free table-name suffix for a source directory: sanitized
     * for identifier use PLUS a hash of the raw string, because

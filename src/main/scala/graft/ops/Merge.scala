@@ -75,6 +75,17 @@ object Merge {
     * Closed history rows always pass through untouched; updates must have
     * unique keys (same contract as [[upsert]]).
     *
+    * Monotonic-batch contract: `batchTs` must be >= every current row's
+    * `validFromCol` (batches applied in event-time order). Replaying an
+    * OLDER batch against a newer current row would close it with
+    * `validTo < validFrom` (an inverted interval) and insert a "current"
+    * version that predates history — silently, since the arithmetic all
+    * succeeds. This is documented rather than checked for the same reason
+    * as upsert's unique-keys contract: verifying it needs an extra full
+    * action (max(validFrom) over the current slice) per call; callers
+    * doing out-of-order backfill should rebuild the dimension from the
+    * ordered update log instead.
+    *
     * Scale shape: ONE join, shuffled (or broadcast, for small snapshots)
     * on the key, over only the CURRENT slice of the dimension — history
     * never enters the join; it is a union passthrough that costs a scan.

@@ -345,6 +345,38 @@ object Relational {
                ORDER BY c_custkey""")
     }),
 
+    // SQL entry path: recursive CTE (Spark 4 WITH RECURSIVE; plans as
+    // UnionLoop). A per-region chain walk — edges link each nation to the
+    // next-higher nationkey in its region, the recursion follows them from
+    // each region's smallest key accumulating depth. Deterministic closure
+    // over a fixed edge set; DuckDB oracles the identical SQL natively.
+    // At scale this is the iterative-closure shape (org charts, BOM
+    // explosions) expressed declaratively instead of a driver-side loop:
+    // each iteration is one distributed join, the engine handles
+    // fixpoint detection.
+    "q_sql_recursive_cte" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(RecursiveCteSql)
+    }),
+    // Small-file compaction as a driver-gated catalog entry
+    // (io.Maintenance): write a deliberately fragmented copy of a
+    // projection (16 round-robin files), compact to a 4-file plan, and
+    // return the layout transition + row count. n_files_after is pure
+    // planFileCount arithmetic — ceil(total / (total/4 + 1)) = 4 — so the
+    // whole result is oracle-able as constants + count(*).
+    "q_compact_layout" -> ((s, dir) => {
+      import s.implicits._
+      val work = graft.io.TempDirs.createDeletedOnExit("graft_compact_q_")
+        .getAbsolutePath + "/docs"
+      tbl(s, dir, "documents").select("doc_id")
+        .repartition(16).write.mode("overwrite").parquet(work)
+      val before = graft.io.Maintenance.layoutStats(s, work)
+      val target = before.totalBytes / 4 + 1
+      val after = graft.io.Maintenance.compact(s, work, target)
+      val nRows = s.read.parquet(work).count()
+      Seq((before.nFiles, after.nFiles, nRows))
+        .toDF("n_files_before", "n_files_after", "n_rows")
+    }),
     // -- sort / limit / top-k ---------------------------------------------
     "q_sort_limit" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -426,7 +458,34 @@ object Relational {
     })
   )
 
+  /** One SQL text for both engines: Spark runs it via spark.sql over the
+    * registered temp views, DuckDB oracles it over the same parquet —
+    * recursive CTEs are ANSI enough that the texts can be identical. */
+  private[graft] val RecursiveCteSql: String =
+    """WITH RECURSIVE edges AS (
+         SELECT n_regionkey, n_nationkey AS src,
+                lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                        ORDER BY n_nationkey) AS dst
+         FROM nation),
+       roots AS (
+         SELECT n_regionkey, min(n_nationkey) AS n_nationkey
+         FROM nation GROUP BY n_regionkey),
+       walk AS (
+         SELECT n_regionkey, n_nationkey, 0 AS depth FROM roots
+         UNION ALL
+         SELECT e.n_regionkey, e.dst, w.depth + 1
+         FROM walk w JOIN edges e
+           ON e.n_regionkey = w.n_regionkey AND e.src = w.n_nationkey
+         WHERE e.dst IS NOT NULL)
+       SELECT n_regionkey, n_nationkey, depth FROM walk
+       ORDER BY n_regionkey, depth"""
+
   val oracles: Map[String, String] = Map(
+    "q_sql_recursive_cte" -> RecursiveCteSql,
+    "q_compact_layout" ->
+      """SELECT CAST(16 AS BIGINT) AS n_files_before,
+         CAST(4 AS BIGINT) AS n_files_after,
+         count(*) AS n_rows FROM documents""",
     "q_agg_freq_items" ->
       """SELECT DISTINCT o_orderpriority AS heavy_hitter
          FROM orders ORDER BY heavy_hitter""",

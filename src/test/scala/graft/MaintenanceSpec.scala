@@ -34,6 +34,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(dir + "_precompact").exists())
   }
 
+  test("compact with shuffle=true handles a very high file count at full read width") {
+    // thousands-of-files leaf: the narrow coalesce(n) path would read
+    // n-wide (documented tradeoff); shuffle=true rewrites via
+    // repartition(n) so the scan keeps one task per input split
+    val dir = freshDir("compact_wide")
+    val df = spark.range(0, 20000).select(col("id"), (col("id") % 31).as("k"))
+    df.repartition(128).write.parquet(dir)
+    val before = Maintenance.layoutStats(spark, dir)
+    assert(before.nFiles == 128)
+    val target = before.totalBytes / 2 + 1 // plan: 2 output files
+    val after = Maintenance.compact(spark, dir, target, shuffle = true)
+    assert(after.nFiles == Maintenance.planFileCount(before.totalBytes, target).toLong)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 20000)
+    assert(got.agg(sum("id")).head.getLong(0) == (0L until 20000L).sum)
+  }
+
   test("compact is a no-op on an already-compact layout") {
     val dir = freshDir("compact_noop")
     spark.range(0, 1000).toDF("id").coalesce(1).write.parquet(dir)

@@ -211,6 +211,58 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunked staging runs K real micro-batches, chronologically, exactly-once") {
+    import graft.streaming.StreamOps
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "chunked").toString + "/out"
+    // default staging: 4 chronological chunk files + maxFilesPerTrigger=1;
+    // the foreachBatch sink tags rows with their batch id, making the
+    // incremental execution directly observable
+    val ev = StreamOps.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val out = StreamOps.runForeachBatchSink(spark, ev, dir)
+    val batches = out.groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("batch_id").collect()
+    assert(batches.count(_.getLong(1) > 0) >= StreamOps.DefaultChunks,
+      s"expected >= ${StreamOps.DefaultChunks} non-empty micro-batches, " +
+        s"got ${batches.toSeq}")
+    // chronological batch order: each batch's events strictly follow the
+    // previous batch's (so the watermark only ever advances and no event
+    // arrives below it — the invariant that keeps the batch oracles valid)
+    val nonEmpty = batches.filter(_.getLong(1) > 0)
+    nonEmpty.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(!a.getTimestamp(3).after(b.getTimestamp(2)),
+          s"batch ${b.getLong(0)} overlaps batch ${a.getLong(0)} in event time")
+      case _ => ()
+    }
+    // exactly-once coverage: every event lands in exactly one batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(out.count() == total)
+    assert(out.select("event_id").distinct().count() == total)
+  }
+
+  test("multi-batch catalog streams equal their single-batch results") {
+    import graft.streaming.StreamOps
+    val sfDir = "/root/testdata/sf0.001"
+    // the catalog's tumbling agg under 4-chunk incremental execution must
+    // produce the same final table as one end-of-query batch — complete
+    // mode + chronological arrival means no late drops at any chunking
+    val multi = StreamOps.tumbling(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
+    val single = StreamOps.runToTable(spark,
+      StreamOps.eventsStream(spark, sfDir, chunks = 1)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start"), col("event_type"),
+          col("n"), col("sum_value")),
+      "tumbling_single", "complete").collect().map(_.toSeq).sortBy(_.toString)
+    assert(multi.nonEmpty && multi.toSeq == single.toSeq)
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
