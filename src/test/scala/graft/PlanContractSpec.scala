@@ -155,4 +155,17 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty || exchanges.size <= 3,
       s"merge plan has ${exchanges.size} exchanges and no broadcast")
   }
+
+  test("recursive CTE plans as a real UnionLoop, not an unrolled union") {
+    // Spark 4's WITH RECURSIVE plans the fixpoint as UnionLoop (anchor +
+    // per-iteration join against UnionLoopRef) — the engine iterates to
+    // convergence with one distributed join per level. A regression to a
+    // static union (or a failed parse falling back to an error) would
+    // silently cap the closure depth.
+    val qe = SparkEntry.queries("q_sql_recursive_cte")(spark, sfDir).queryExecution
+    val loops = qe.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UnionLoop => u
+    }
+    assert(loops.nonEmpty, s"no UnionLoop in:\n${qe.optimizedPlan}")
+  }
 }
