@@ -353,7 +353,11 @@ object Relational {
     // At scale this is the iterative-closure shape (org charts, BOM
     // explosions) expressed declaratively instead of a driver-side loop:
     // each iteration is one distributed join, the engine handles
-    // fixpoint detection.
+    // fixpoint detection. Iterations = closure DEPTH — right for the
+    // shallow hierarchies this expresses; for connected components over
+    // billion-edge graphs (depth can be huge) use ops.Components'
+    // pointer-jumping loop instead, which converges in O(log d) rounds
+    // (q_sim_clusters is the catalog template).
     "q_sql_recursive_cte" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(RecursiveCteSql)

@@ -245,22 +245,26 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == total)
   }
 
-  test("multi-batch catalog streams equal their single-batch results") {
+  test("multi-batch catalog streams equal their single-batch results at any chunking") {
     import graft.streaming.StreamOps
     val sfDir = "/root/testdata/sf0.001"
-    // the catalog's tumbling agg under 4-chunk incremental execution must
-    // produce the same final table as one end-of-query batch — complete
-    // mode + chronological arrival means no late drops at any chunking
-    val multi = StreamOps.tumbling(spark, sfDir).collect().map(_.toSeq).sortBy(_.toString)
-    val single = StreamOps.runToTable(spark,
-      StreamOps.eventsStream(spark, sfDir, chunks = 1)
+    // the catalog's tumbling agg under incremental execution must produce
+    // the same final table as one end-of-query batch — complete mode +
+    // chronological arrival means no late drops at ANY chunk count (the
+    // invariant is the chronological split itself, not the number 4)
+    def run(chunks: Int): Seq[Seq[Any]] = StreamOps.runToTable(spark,
+      StreamOps.eventsStream(spark, sfDir, chunks)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .select(unix_micros(col("window.start")).as("win_start"), col("event_type"),
           col("n"), col("sum_value")),
-      "tumbling_single", "complete").collect().map(_.toSeq).sortBy(_.toString)
-    assert(multi.nonEmpty && multi.toSeq == single.toSeq)
+      s"tumbling_c$chunks", "complete").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val multi = StreamOps.tumbling(spark, sfDir).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val single = run(1)
+    assert(multi.nonEmpty && multi == single)
+    assert(run(2) == single)
+    assert(run(8) == single)
   }
 
   test("flatMapGroupsWithState carries state across micro-batches") {
