@@ -94,13 +94,18 @@ object StreamOps {
               ev.filter(col("ts") >= lower && col("ts") < upper)
                 .coalesce(1).write.parquet(tmpOut.getAbsolutePath)
               val part = tmpOut.listFiles().filter(_.getName.endsWith(".parquet"))
-              require(part.length == 1,
-                s"chunk $i staged ${part.length} part files, expected 1")
-              val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
-              java.nio.file.Files.move(part.head.toPath, chunkFile.toPath)
-              // ascending mtimes: the file source processes oldest-first, so
-              // batch order == event-time order regardless of listing order
-              chunkFile.setLastModified(mtimeBase + i * 60000L)
+              require(part.length <= 1,
+                s"chunk $i staged ${part.length} part files, expected at most 1")
+              // a degenerate time range (all events on one timestamp, or
+              // fewer distinct instants than chunks) leaves middle chunks
+              // empty — skip them; the stream simply runs fewer batches
+              part.headOption.foreach { p =>
+                val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
+                java.nio.file.Files.move(p.toPath, chunkFile.toPath)
+                // ascending mtimes: the file source processes oldest-first, so
+                // batch order == event-time order regardless of listing order
+                chunkFile.setLastModified(mtimeBase + i * 60000L)
+              }
               org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
             }
           } finally s.conf.set(NanosConf, prevNanos)

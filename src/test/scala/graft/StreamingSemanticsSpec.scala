@@ -267,6 +267,30 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(run(8) == single)
   }
 
+  test("chunked staging tolerates a degenerate single-timestamp dataset") {
+    import graft.streaming.StreamOps
+    // all events on ONE instant: every middle chunk's time range is empty.
+    // Staging must skip the empty chunks (not crash), and the stream must
+    // still process every row in the batches that remain.
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "degenerate").toString
+    spark.range(10).selectExpr(
+        "id AS event_id", "CAST(1700000000000000000 AS LONG) AS ts",
+        "id % 3 AS user_id", "'click' AS event_type",
+        "CAST(id AS DOUBLE) AS value", "'{}' AS props")
+      .coalesce(1).write.parquet(s"$dir/events_src")
+    // eventsStream reads <dir>/events.parquet — link the single part file
+    val part = new java.io.File(s"$dir/events_src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val counted = StreamOps.runToTable(spark,
+      StreamOps.eventsStream(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n")),
+      "degenerate_counts", "complete")
+    assert(counted.agg(sum("n")).head.getLong(0) == 10)
+  }
+
   test("flatMapGroupsWithState carries state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
