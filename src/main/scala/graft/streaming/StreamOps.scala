@@ -125,11 +125,12 @@ object StreamOps {
   /** Run a streaming DF to completion (AvailableNow) into a memory sink.
     *
     * Stateful operators allocate one state store per shuffle partition,
-    * each with per-batch checkpoint file IO — for a single-batch
-    * AvailableNow run that fixed cost dominates, so the stream runs with a
-    * reduced partition count (state here is tiny; a long-lived production
-    * stream with real state volume would keep the session default). The
-    * session values are restored after the query terminates.
+    * each with per-batch checkpoint file IO — for a short AvailableNow
+    * run (4 chunked micro-batches here) that fixed cost dominates, so the
+    * stream runs with a reduced partition count (state here is tiny; a
+    * long-lived production stream with real state volume would keep the
+    * session default). The session values are restored after the query
+    * terminates.
     *
     * The legacy `nanosAsLong` conf (required to scan the TIMESTAMP(NANOS)
     * events parquet — there is no per-read option for it) is scoped here
@@ -299,8 +300,8 @@ object StreamOps {
     * stream to completion (AvailableNow) and returns the sink contents. */
   def runForeachBatchSink(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     // same conf scoping as runToTable: the events file-stream needs the
-    // legacy nanos read conf per micro-batch, and a single AvailableNow
-    // batch shouldn't pay 32 state/shuffle partitions of fixed cost
+    // legacy nanos read conf per micro-batch, and a short AvailableNow
+    // run shouldn't pay 32 state/shuffle partitions of fixed cost
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNanos = s.conf.get(NanosConf)
     s.conf.set("spark.sql.shuffle.partitions", "4")
