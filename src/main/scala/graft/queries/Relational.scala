@@ -375,11 +375,64 @@ object Relational {
       tbl(s, dir, "documents").select("doc_id")
         .repartition(16).write.mode("overwrite").parquet(work)
       val before = graft.io.Maintenance.layoutStats(s, work)
+      // The oracle pins the 16 -> 4 transition as constants; that holds
+      // whenever documents fills all 16 round-robin partitions. Assert it
+      // here so a tiny future dataset fails with a clear cause instead of
+      // an unobvious hash mismatch against the constant oracle.
+      require(before.nFiles == 16 && before.totalBytes > 12,
+        s"q_compact_layout precondition: expected a 16-file fragmented " +
+          s"layout (got ${before.nFiles} files, ${before.totalBytes} " +
+          "bytes) — documents is too small for the pinned oracle constants")
       val target = before.totalBytes / 4 + 1
       val after = graft.io.Maintenance.compact(s, work, target)
       val nRows = s.read.parquet(work).count()
       Seq((before.nFiles, after.nFiles, nRows))
         .toDF("n_files_before", "n_files_after", "n_rows")
+    }),
+    // Z-order clustered write as a driver-gated catalog entry
+    // (ops.ZOrder): cluster an orders projection on the interleaved
+    // Morton code of (o_custkey, o_totalprice) into 8 range-partitioned
+    // files, then read the written layout back and count a rectangle
+    // predicate on BOTH dimensions — the workload z-ordering exists to
+    // prune. File count is fixed by the writer; the rectangle counts are
+    // plain SQL over the same rows, so the whole result oracles as
+    // constants + counts while the write/read round-trip proves layout
+    // integrity. Thresholds are computed in DOUBLE arithmetic on both
+    // engines (identical IEEE ops -> identical row membership). At scale
+    // this is the optimize/cluster-by primitive: one sampled range
+    // shuffle + per-task sort, min/max file skipping on both columns
+    // (pruning itself is plan-asserted in ZOrderSpec, not oracled — the
+    // pruned-file count depends on scale factor).
+    "q_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      val work = graft.io.TempDirs.createDeletedOnExit("graft_zorder_q_")
+        .getAbsolutePath + "/orders_z"
+      val src = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val d = src.agg(
+        min(col("o_custkey").cast("double")),
+        max(col("o_custkey").cast("double")),
+        min(col("o_totalprice").cast("double")),
+        max(col("o_totalprice").cast("double"))).head()
+      val (cLo, cHi, pLo, pHi) =
+        (d.getDouble(0), d.getDouble(1), d.getDouble(2), d.getDouble(3))
+      graft.ops.ZOrder.writeZOrdered(src, work,
+        graft.ops.ZOrder.quantize(col("o_custkey"), cLo, cHi, 12),
+        graft.ops.ZOrder.quantize(col("o_totalprice"), pLo, pHi, 12),
+        bits = 12, nFiles = 8)
+      val layout = graft.io.Maintenance.layoutStats(s, work)
+      require(layout.nFiles == 8,
+        s"q_zorder_layout precondition: expected 8 z-range files, got " +
+          s"${layout.nFiles} — orders too small to fill every z-range " +
+          "for the pinned oracle constant")
+      val back = s.read.parquet(work)
+      val rect = back.filter(
+        col("o_custkey").cast("double") <= cLo + (cHi - cLo) / 2 &&
+        col("o_totalprice").cast("double") <= pLo + (pHi - pLo) / 2)
+      val r = rect.agg(count(lit(1)).as("n_rows_rect"),
+        sum("o_orderkey").cast("long").as("rect_key_sum")).head()
+      Seq((8L, back.count(), r.getLong(0), r.getLong(1)))
+        .toDF("n_files", "n_rows", "n_rows_rect", "rect_key_sum")
     }),
     // -- sort / limit / top-k ---------------------------------------------
     "q_sort_limit" -> ((s, dir) => {
@@ -490,6 +543,20 @@ object Relational {
       """SELECT CAST(16 AS BIGINT) AS n_files_before,
          CAST(4 AS BIGINT) AS n_files_after,
          count(*) AS n_rows FROM documents""",
+    "q_zorder_layout" ->
+      """WITH dom AS (
+           SELECT CAST(min(o_custkey) AS DOUBLE) AS clo,
+                  CAST(max(o_custkey) AS DOUBLE) AS chi,
+                  CAST(min(o_totalprice) AS DOUBLE) AS plo,
+                  CAST(max(o_totalprice) AS DOUBLE) AS phi
+           FROM orders)
+         SELECT CAST(8 AS BIGINT) AS n_files,
+                (SELECT count(*) FROM orders) AS n_rows,
+                count(*) AS n_rows_rect,
+                CAST(sum(o_orderkey) AS BIGINT) AS rect_key_sum
+         FROM orders, dom
+         WHERE CAST(o_custkey AS DOUBLE) <= clo + (chi - clo) / 2
+           AND CAST(o_totalprice AS DOUBLE) <= plo + (phi - plo) / 2""",
     "q_agg_freq_items" ->
       """SELECT DISTINCT o_orderpriority AS heavy_hitter
          FROM orders ORDER BY heavy_hitter""",

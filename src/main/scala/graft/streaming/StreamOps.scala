@@ -32,7 +32,19 @@ object StreamOps {
     * the same input can share one staging (a bench pass invokes ~10
     * streaming queries x several passes; re-staging each time would pay
     * the split read+write ~40x per run for identical bytes). Concurrent
-    * first-callers are serialized per key by computeIfAbsent. */
+    * first-callers are serialized per key by computeIfAbsent.
+    *
+    * Known hazards, acceptable for the sequential bench/test usage:
+    * (1) the memo is JVM-scoped — two concurrent JVMs over the same source
+    * each build their own staging (duplicate bytes, benign: stagings are
+    * per-JVM temp dirs, never shared across processes); (2) staging
+    * mutates the shared session conf (the nanos read flag is set then
+    * restored inside the computeIfAbsent body), so an unrelated query on
+    * the SAME SparkSession running concurrently with a first staging could
+    * observe the flipped flag, and two concurrent first-callers with
+    * DIFFERENT sources interleave set/restore. Driving StreamOps from
+    * concurrent threads on one session would need a session-level lock
+    * around staging. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
@@ -103,8 +115,14 @@ object StreamOps {
                 val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
                 java.nio.file.Files.move(p.toPath, chunkFile.toPath)
                 // ascending mtimes: the file source processes oldest-first, so
-                // batch order == event-time order regardless of listing order
-                chunkFile.setLastModified(mtimeBase + i * 60000L)
+                // batch order == event-time order regardless of listing order.
+                // A filesystem that rejects setLastModified would silently
+                // fall back to creation-order listing, letting events arrive
+                // below the watermark — fail loudly at staging time instead.
+                require(chunkFile.setLastModified(mtimeBase + i * 60000L),
+                  s"setLastModified failed on $chunkFile; chunk ordering " +
+                    "would not match event time and watermark semantics " +
+                    "would silently corrupt")
               }
               org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
             }
@@ -339,7 +357,11 @@ object StreamOps {
     * correct update-mode contract but not a batch-oracle-able final
     * table. Cross-batch flatMapGroupsWithState state is exercised in
     * StreamingSemanticsSpec instead, where the intermediates are the
-    * assertion target. */
+    * assertion target.
+    *
+    * Runs under the RocksDB state store provider — the production backend
+    * for state larger than heap — so the driver's correctness gate
+    * exercises it on a catalog query, not just StreamingSemanticsSpec. */
   def statefulCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val updated = eventsStream(s, dir, chunks = 1)
@@ -355,6 +377,7 @@ object StreamOps {
           Iterator(UserAgg(key, n, sum))
       }
       .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
-    runToTable(s, updated, "stream_stateful", "update")
+    runToTable(s, updated, "stream_stateful", "update",
+      stateStoreProvider = Some(RocksDbProviderConf._2))
   }
 }
