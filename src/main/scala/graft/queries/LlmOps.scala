@@ -115,7 +115,11 @@ object LlmOps {
     // LSH-bucketed ANN — the scale path (rows-only; approximate by design).
     "q_sim_lsh_ann" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), dim = 64, k = 3, bits = 4)
+      // multi-probe (Hamming radius 1): ~5x recall over single-probe on
+      // near-isotropic embeddings for a (bits+1)x candidate bound
+      // (RecallFloorSpec pins the floor)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), dim = 64, k = 3,
+          bits = 4, hammingRadius = 1)
         .orderBy("query_id", "rnk")
     }),
     // IVF ANN — k-means inverted lists, balanced by construction (rows-only).
