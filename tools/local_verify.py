@@ -27,8 +27,22 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.isdir(p):  # Spark-written dataset dir (e.g. ScaleUpMain)
+            src = f"'{p}/*.parquet'"
+        elif os.path.exists(p):
+            src = f"'{p}'"
+        else:
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        if t == "events":
+            # ScaleUpMain writes ts as raw INT64 nanos (the TIMESTAMP(NANOS)
+            # workaround); give the oracles the same micros-truncated
+            # timestamp Spark's read path produces
+            kind = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+            if kind == "BIGINT":
+                con.execute(f"""CREATE OR REPLACE VIEW events AS
+                    SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+                    FROM {src}""")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
