@@ -116,8 +116,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val minMap = mins.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // A SPARK_GRAFT_ONLY subset run must not clobber the committed
+    // full-catalog artifact (the regression gate's input) unless the
+    // caller explicitly routed it somewhere with SPARK_GRAFT_BENCH_OUT.
+    val defaultOut =
+      if (only.isDefined) "bench_queries_subset.json" else "bench_queries.json"
     val mapPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(mapPath,
       s"""{"sf":"$sfDir","cpus":$cpus,"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")

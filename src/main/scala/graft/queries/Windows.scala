@@ -63,8 +63,10 @@ object Windows {
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
       tbl(s, dir, "customer")
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
-        .withColumn("pct_rank", round(percent_rank().over(byBal), 6))
-        .withColumn("cume", round(cume_dist().over(byBal), 6))
+        // round6, not round(x, 6): cume_dist = k/n hits exact .5 decimal
+        // boundaries at scale, where Spark/DuckDB round() disagree
+        .withColumn("pct_rank", round6(percent_rank().over(byBal)))
+        .withColumn("cume", round6(cume_dist().over(byBal)))
         .orderBy("c_nationkey", "c_custkey")
     }),
     "q_window_ntile_share" -> ((s, dir) => {
@@ -115,8 +117,8 @@ object Windows {
          ORDER BY o_custkey, o_orderkey""",
     "q_window_distribution" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
-         round(percent_rank() OVER w, 6) AS pct_rank,
-         round(cume_dist() OVER w, 6) AS cume
+         floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+         floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
          ORDER BY c_nationkey, c_custkey""",

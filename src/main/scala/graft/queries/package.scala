@@ -37,4 +37,17 @@ package object queries {
   /** Register every test table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => tbl(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Engine-stable 6-decimal rounding: `floor(x*1e6 + 0.5)/1e6`.
+    *
+    * `round(x, 6)` diverges between engines when x lands exactly on a
+    * decimal .5 boundary: Spark rounds the SHORTEST DECIMAL form of the
+    * double (`BigDecimal.valueOf`, HALF_UP — 0.0628125 → 0.062813) while
+    * DuckDB rounds the exact binary value (0.06281249999… → 0.062812).
+    * Ratio-valued columns (cume_dist = k/n) hit such boundaries for real
+    * at 10× scale. floor over pure IEEE arithmetic is bit-identical on
+    * both engines; the oracle side is `floor(x*1000000 + 0.5)/1000000`.
+    */
+  def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.floor(c * 1000000d + 0.5d) / 1000000d
 }

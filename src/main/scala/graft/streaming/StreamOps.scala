@@ -83,51 +83,50 @@ object StreamOps {
     val stagePath = stagedDirs.computeIfAbsent(
       (src.getCanonicalPath, math.max(chunks, 1)), { _ =>
         val stage = graft.io.TempDirs.createDeletedOnExit("graft_stream_src_")
-        if (chunks <= 1) {
-          val staged = new java.io.File(stage, "events.parquet")
-          java.nio.file.Files.copy(src.toPath, staged.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } else {
-          // One batch read, `chunks` range-filtered single-file writes. The
-          // nanos conf is set only for this staging read and restored — the
-          // rewritten chunks carry plain INT64 ts, so the stream itself does
-          // not depend on session state.
-          val prevNanos = s.conf.get(NanosConf)
-          s.conf.set(NanosConf, "true")
-          try {
-            val ev = s.read.parquet(src.getAbsolutePath)
-            val b = ev.agg(min("ts"), max("ts")).head()
-            val (lo, hi) = (b.getLong(0), b.getLong(1))
-            val mtimeBase = 1000000000000L // fixed epoch-ms base; only ORDER matters
-            for (i <- 0 until chunks) {
-              val lower = lo + (hi - lo) / chunks * i
-              val upper = if (i == chunks - 1) hi + 1 else lo + (hi - lo) / chunks * (i + 1)
-              val tmpOut = new java.io.File(stage, s"_chunk_$i")
-              ev.filter(col("ts") >= lower && col("ts") < upper)
-                .coalesce(1).write.parquet(tmpOut.getAbsolutePath)
-              val part = tmpOut.listFiles().filter(_.getName.endsWith(".parquet"))
-              require(part.length <= 1,
-                s"chunk $i staged ${part.length} part files, expected at most 1")
-              // a degenerate time range (all events on one timestamp, or
-              // fewer distinct instants than chunks) leaves middle chunks
-              // empty — skip them; the stream simply runs fewer batches
-              part.headOption.foreach { p =>
-                val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
-                java.nio.file.Files.move(p.toPath, chunkFile.toPath)
-                // ascending mtimes: the file source processes oldest-first, so
-                // batch order == event-time order regardless of listing order.
-                // A filesystem that rejects setLastModified would silently
-                // fall back to creation-order listing, letting events arrive
-                // below the watermark — fail loudly at staging time instead.
-                require(chunkFile.setLastModified(mtimeBase + i * 60000L),
-                  s"setLastModified failed on $chunkFile; chunk ordering " +
-                    "would not match event time and watermark semantics " +
-                    "would silently corrupt")
-              }
-              org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
+        // One batch read, `chunks` range-filtered single-file writes (the
+        // chunks=1 degenerate case is one full-range write — a raw file
+        // copy would be cheaper but silently stages an EMPTY directory
+        // when the source is a Spark-written dataset dir rather than a
+        // single parquet file, so the read path is used for both). The
+        // nanos conf is set only for this staging read and restored — the
+        // rewritten chunks carry plain INT64 ts, so the stream itself does
+        // not depend on session state.
+        val nChunks = math.max(chunks, 1)
+        val prevNanos = s.conf.get(NanosConf)
+        s.conf.set(NanosConf, "true")
+        try {
+          val ev = s.read.parquet(src.getAbsolutePath)
+          val b = ev.agg(min("ts"), max("ts")).head()
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val mtimeBase = 1000000000000L // fixed epoch-ms base; only ORDER matters
+          for (i <- 0 until nChunks) {
+            val lower = lo + (hi - lo) / nChunks * i
+            val upper = if (i == nChunks - 1) hi + 1 else lo + (hi - lo) / nChunks * (i + 1)
+            val tmpOut = new java.io.File(stage, s"_chunk_$i")
+            ev.filter(col("ts") >= lower && col("ts") < upper)
+              .coalesce(1).write.parquet(tmpOut.getAbsolutePath)
+            val part = tmpOut.listFiles().filter(_.getName.endsWith(".parquet"))
+            require(part.length <= 1,
+              s"chunk $i staged ${part.length} part files, expected at most 1")
+            // a degenerate time range (all events on one timestamp, or
+            // fewer distinct instants than chunks) leaves middle chunks
+            // empty — skip them; the stream simply runs fewer batches
+            part.headOption.foreach { p =>
+              val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
+              java.nio.file.Files.move(p.toPath, chunkFile.toPath)
+              // ascending mtimes: the file source processes oldest-first, so
+              // batch order == event-time order regardless of listing order.
+              // A filesystem that rejects setLastModified would silently
+              // fall back to creation-order listing, letting events arrive
+              // below the watermark — fail loudly at staging time instead.
+              require(chunkFile.setLastModified(mtimeBase + i * 60000L),
+                s"setLastModified failed on $chunkFile; chunk ordering " +
+                  "would not match event time and watermark semantics " +
+                  "would silently corrupt")
             }
-          } finally s.conf.set(NanosConf, prevNanos)
-        }
+            org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
+          }
+        } finally s.conf.set(NanosConf, prevNanos)
         stage.getAbsolutePath
       })
     val schema = StructType(Seq(
