@@ -193,6 +193,25 @@ object LlmOps {
         .agg(count(lit(1)).as("n_kept"), max("cnt").as("label_size"))
         .orderBy("label")
     }),
+    // Training-mixture re-weighting (ops.Mixing): each language re-scaled
+    // to a target share of total chars — scarce domains repeat (multiple
+    // epochs: de/es/fr land at r≈1.4–1.9), abundant ones downsample
+    // (en r≈0.6), zh is deliberately under-weighted. Replication is a
+    // map-side explode(sequence(1, n)); the only exchanges are two tiny
+    // broadcast aggregates. Deterministic hash acceptance on the
+    // fractional epoch — fully oracle-expressible (the oracle computes
+    // sum(n_copies) analytically instead of unnesting).
+    "q_mix_domains" -> ((s, dir) =>
+      graft.ops.Mixing.mixToWeights(
+          tbl(s, dir, "documents"), "lang", "doc_id", "n_chars",
+          weights = Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.20,
+            "fr" -> 0.20, "zh" -> 0.10))
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_rows_out"),
+          sum("n_chars").as("units_out"),
+          max("copy_idx").as("max_epoch"))
+        .orderBy("lang")),
     // Embedding-cosine near-dup pairs above a threshold — exact semantics
     // via the chunk-salted pair join (see Similarity.thresholdPairs for why
     // an LSH prefilter cannot be lossless at this threshold): a hot label
@@ -342,6 +361,29 @@ object LlmOps {
                        WHEN label = 1 THEN 0.25
                        ELSE 0.5 END)
          GROUP BY label ORDER BY label""",
+    "q_mix_domains" ->
+      """WITH u AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS du
+                    FROM documents GROUP BY lang),
+         t AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS tu FROM documents),
+         w(lang, wt) AS (VALUES
+           ('de', CAST(0.25 AS DOUBLE)), ('en', CAST(0.25 AS DOUBLE)),
+           ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.20 AS DOUBLE)),
+           ('zh', CAST(0.10 AS DOUBLE))),
+         r AS (SELECT d.doc_id, d.lang, d.n_chars,
+                 least(w.wt * t.tu / u.du, 16.0) AS rr,
+                 CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix'), 1, 4) AS INT)
+                   / 65536.0 AS h
+               FROM documents d JOIN u USING (lang) JOIN w USING (lang) CROSS JOIN t),
+         n AS (SELECT lang, doc_id, n_chars,
+                 CAST(floor(rr) AS BIGINT)
+                   + CASE WHEN h < rr - floor(rr) THEN 1 ELSE 0 END AS n_copies
+               FROM r)
+         SELECT lang,
+           count(DISTINCT doc_id) FILTER (WHERE n_copies > 0) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(sum(n_copies * n_chars) AS BIGINT) AS units_out,
+           CAST(max(n_copies) AS INT) AS max_epoch
+         FROM n GROUP BY lang HAVING sum(n_copies) > 0 ORDER BY lang""",
     "q_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(

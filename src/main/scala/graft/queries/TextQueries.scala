@@ -68,6 +68,26 @@ object TextQueries {
           round(sum("nc").cast("double") / sum("nt"), 6).as("chars_per_token"))
         .orderBy("lang")
     }),
+    // Curation drop funnel (ops.Quality.funnel): every document attributed
+    // to the FIRST rule it fails, or "kept" — the per-filter cost report a
+    // corpus-curation run publishes. One map-only codegen'd when-chain +
+    // a 5-group aggregate; rules are integer arithmetic only, so the
+    // verdict is engine-portable with no float-boundary hazard.
+    "q_filter_funnel" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      graft.ops.Quality.funnel(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"), size(toks).as("words"),
+              size(array_distinct(toks)).as("uniq_words")),
+          Seq(
+            "r1_too_short" -> (col("n_chars") < 100),
+            "r2_too_few_tokens" -> (col("words") < 20),
+            "r3_repetitive" -> (col("uniq_words") * 3 < col("words")),
+            "r4_too_long" -> (col("words") > 90)))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("verdict")
+    }),
     // Sequence packing for context windows: assign docs to fixed-budget
     // token packs by cumulative token count within deterministic shards.
     // The shard (doc_id % 8) is the scale unit — each shard's running sum
@@ -168,6 +188,18 @@ object TextQueries {
          round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
            AS chars_per_token
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_filter_funnel" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+           len(string_split(text, ' ')) AS words,
+           len(list_distinct(string_split(text, ' '))) AS uniq_words
+         FROM documents)
+         SELECT CASE WHEN n_chars < 100 THEN 'r1_too_short'
+                     WHEN words < 20 THEN 'r2_too_few_tokens'
+                     WHEN uniq_words * 3 < words THEN 'r3_repetitive'
+                     WHEN words > 90 THEN 'r4_too_long'
+                     ELSE 'kept' END AS verdict,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM s GROUP BY verdict ORDER BY verdict""",
     "q_pack_sequences" ->
       """WITH d AS (
            SELECT doc_id, doc_id % 8 AS shard,
