@@ -50,16 +50,28 @@ object Mixing {
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (k, v)) => when(col(domainCol) === lit(k), lit(v)).otherwise(acc)
     }
-    val units = df.groupBy(domainCol).agg(sum(unitCol).as("_domain_units"))
-    val total = df.agg(sum(unitCol).as("_total_units"))
+    // ONE stats subtree: per-domain units and the grand total both come
+    // from a single aggregate pass — the total via a global window over
+    // the already-aggregated (domains-cardinality) table, NOT a second
+    // aggregate over df. Every DataFrame *reference* re-evaluates its
+    // whole subtree (no automatic subplan sharing), so with df as an
+    // expensive unmaterialized pipeline (q_curate_pipeline feeds the
+    // deduped corpus in), a naive units+total formulation costs three
+    // full upstream passes at 100 TB; this shape costs exactly two
+    // (stats + emit — the classic trade; persist df to get one).
+    // The empty-partition window moves only the tiny aggregate to one
+    // task; integer sums keep the total exact either way.
+    val stats = df.groupBy(domainCol).agg(sum(unitCol).as("_domain_units"))
+      .withColumn("_total_units",
+        sum("_domain_units").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
     val r = least(
       w * col("_total_units").cast("double") / col("_domain_units").cast("double"),
       lit(epochCap.toDouble))
     val extra = when(Sampling.hashUnit(col(idCol), salt) < (r - floor(r)), 1L)
       .otherwise(0L)
     replicate(
-      df.join(broadcast(units), domainCol)
-        .crossJoin(broadcast(total))
+      df.join(broadcast(stats), domainCol)
         .withColumn("_n_copies", floor(r) + extra),
       col("_n_copies"))
       .drop("_domain_units", "_total_units", "_n_copies")

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Mixing, Quality, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
 import org.apache.spark.sql.functions._
 
@@ -212,6 +213,57 @@ object LlmOps {
           sum("n_chars").as("units_out"),
           max("copy_idx").as("max_epoch"))
         .orderBy("lang")),
+    // END-TO-END curation: the full training-data pipeline as ONE lazy
+    // plan — filter funnel → exact dedup → domain mixture → context-window
+    // packing — emitting the pack manifest (what a curation run actually
+    // ships to the trainer). Every stage is the catalog operator it names
+    // (Quality.funnel, hash-keyed keep-min dedup, Mixing.mixToWeights,
+    // sharded-cumsum packing), composed without materialization barriers:
+    // Catalyst fuses the funnel into the scan, the dedup shuffles a 32-char
+    // hash key (never raw text as the key), the mixture stats arrive as
+    // broadcasts, packing is 8 independent shard windows, and the final
+    // manifest aggregate REUSES the shard partitioning (no extra
+    // exchange). The emit path crosses two row-bearing shuffles total;
+    // the mixture stats cost one extra pass over the deduped corpus (the
+    // classic two-pass stats+emit shape — at 100 TB persist the deduped
+    // corpus between passes).
+    "q_curate_pipeline" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      // 1. curation funnel (rules shared with q_filter_funnel)
+      val kept = Quality.funnel(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+              size(toks).as("words"), size(array_distinct(toks)).as("uniq_words")),
+          Seq(
+            "r1_too_short" -> (col("n_chars") < 100),
+            "r2_too_few_tokens" -> (col("words") < 20),
+            "r3_repetitive" -> (col("uniq_words") * 3 < col("words")),
+            "r4_too_long" -> (col("words") > 90)))
+        .filter(col("verdict") === "kept")
+      // 2. exact dedup, keep-min-id: window over the CONTENT HASH so the
+      // shuffle key is 32 bytes, not the document (Dedup.exactKeep is the
+      // aggregate variant; the window keeps survivor rows intact)
+      val byHash = Window.partitionBy(md5(col("text")))
+      val deduped = kept
+        .withColumn("_keep", min("doc_id").over(byHash))
+        .filter(col("doc_id") === col("_keep"))
+        .select("doc_id", "lang", "n_chars", "words")
+      // 3. training mixture (weights shared with q_mix_domains)
+      val mixed = Mixing.mixToWeights(deduped, "lang", "doc_id", "n_chars",
+        weights = Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.20,
+          "fr" -> 0.20, "zh" -> 0.10))
+      // 4. pack manifest: deterministic shard, cumsum binning within shard
+      val byShard = Window.partitionBy("shard").orderBy("doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      mixed
+        .withColumn("shard", pmod(col("doc_id") + col("copy_idx"), lit(8)))
+        .withColumn("cum", coalesce(sum("words").over(byShard), lit(0L)))
+        .withColumn("pack_id", floor(col("cum") / 2048.0))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("doc_id").as("n_docs"),
+          sum("words").as("n_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
     // Embedding-cosine near-dup pairs above a threshold — exact semantics
     // via the chunk-salted pair join (see Similarity.thresholdPairs for why
     // an LSH prefilter cannot be lossless at this threshold): a hot label
@@ -384,6 +436,46 @@ object LlmOps {
            CAST(sum(n_copies * n_chars) AS BIGINT) AS units_out,
            CAST(max(n_copies) AS INT) AS max_epoch
          FROM n GROUP BY lang HAVING sum(n_copies) > 0 ORDER BY lang""",
+    "q_curate_pipeline" ->
+      """WITH f AS (SELECT doc_id, text, lang, n_chars,
+           len(string_split(text, ' ')) AS words,
+           len(list_distinct(string_split(text, ' '))) AS uniq_words
+         FROM documents),
+         kept AS (SELECT * FROM f
+           WHERE NOT (n_chars < 100) AND NOT (words < 20)
+             AND NOT (uniq_words * 3 < words) AND NOT (words > 90)),
+         ded AS (SELECT doc_id, lang, n_chars, words FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+             FROM kept) t
+           WHERE doc_id = keep_id),
+         u AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS du
+               FROM ded GROUP BY lang),
+         tt AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS tu FROM ded),
+         w(lang, wt) AS (VALUES
+           ('de', CAST(0.25 AS DOUBLE)), ('en', CAST(0.25 AS DOUBLE)),
+           ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.20 AS DOUBLE)),
+           ('zh', CAST(0.10 AS DOUBLE))),
+         r AS (SELECT d.doc_id, d.words,
+                 least(w.wt * tt.tu / u.du, 16.0) AS rr,
+                 CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix'), 1, 4) AS INT)
+                   / 65536.0 AS h
+               FROM ded d JOIN u USING (lang) JOIN w USING (lang) CROSS JOIN tt),
+         n AS (SELECT doc_id, words,
+                 CAST(floor(rr) AS BIGINT)
+                   + CASE WHEN h < rr - floor(rr) THEN 1 ELSE 0 END AS n_copies
+               FROM r),
+         x AS (SELECT doc_id, words,
+                 CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+               FROM n),
+         p AS (SELECT *, (doc_id + copy_idx) % 8 AS shard FROM x),
+         c AS (SELECT *, coalesce(sum(words) OVER (PARTITION BY shard
+                 ORDER BY doc_id, copy_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+               FROM p)
+         SELECT shard, CAST(floor(cum / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_tokens
+         FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
     "q_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(

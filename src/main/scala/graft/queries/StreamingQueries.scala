@@ -21,6 +21,11 @@ object StreamingQueries {
       StreamOps.dedupKeys(s, dir).orderBy("user_id", "event_type")),
     "q_stream_stateful" -> ((s, dir) =>
       StreamOps.statefulCounts(s, dir).orderBy("user_id")),
+    // Same state machine on Spark 4's transformWithState (typed state
+    // handles + TTL/timers, RocksDB-mandatory) — the API a new stateful
+    // pipeline should target; fMGWS above stays as the legacy surface.
+    "q_stream_stateful_tws" -> ((s, dir) =>
+      StreamOps.statefulCountsTws(s, dir).orderBy("user_id")),
     "q_stream_static_join" -> ((s, dir) =>
       StreamOps.staticJoin(s, dir).orderBy("c_mktsegment")),
     "q_stream_stream_join" -> ((s, dir) =>
@@ -79,6 +84,9 @@ object StreamingQueries {
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
     "q_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_stream_stateful_tws" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_stream_static_join" ->

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming analogues of the batch operators, modeling the
@@ -361,9 +362,10 @@ object StreamOps {
     * Runs under the RocksDB state store provider — the production backend
     * for state larger than heap — so the driver's correctness gate
     * exercises it on a catalog query, not just StreamingSemanticsSpec. */
-  def statefulCounts(s: SparkSession, dir: String): DataFrame = {
+  def statefulCounts(s: SparkSession, dir: String,
+                     chunks: Int = 1): DataFrame = {
     import s.implicits._
-    val updated = eventsStream(s, dir, chunks = 1)
+    val updated = eventsStream(s, dir, chunks)
       .select(col("user_id"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserAgg](
@@ -377,6 +379,49 @@ object StreamOps {
       }
       .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
     runToTable(s, updated, "stream_stateful", "update",
+      stateStoreProvider = Some(RocksDbProviderConf._2))
+  }
+
+  /** The [[statefulCounts]] state machine on Spark 4's transformWithState —
+    * the arbitrary-stateful-processing API that supersedes
+    * flatMapGroupsWithState: named TYPED state handles (value/list/map)
+    * with per-state TTL, timers, schema evolution, and initial-state
+    * bootstrap, instead of one opaque state object per key. At 100 TB
+    * state volume that granularity matters: a processor evicts or
+    * TTL-expires one handle without rewriting the rest, and the handles
+    * live in RocksDB (the API REQUIRES the RocksDB provider — state never
+    * competes with execution memory). Proven result-identical to the
+    * fMGWS operator per batch in StreamingSemanticsSpec.
+    */
+  private class CountSumProcessor extends StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var agg: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[UserAgg] = {
+      val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      var n = n0; var sum = s0
+      rows.foreach { e => n += 1; sum += e.value }
+      agg.update((n, sum))
+      Iterator(UserAgg(key, n, sum))
+    }
+  }
+
+  /** Per-user running (count, sum) via [[CountSumProcessor]]. Same
+    * single-batch-by-design contract as [[statefulCounts]] (update-mode
+    * emissions append per batch in the memory sink); cross-batch state
+    * carry is exercised with `chunks > 1` in StreamingSemanticsSpec. */
+  def statefulCountsTws(s: SparkSession, dir: String,
+                        chunks: Int = 1): DataFrame = {
+    import s.implicits._
+    val updated = eventsStream(s, dir, chunks)
+      .select(col("user_id"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new CountSumProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .select(col("user_id"), col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    runToTable(s, updated, "stream_stateful_tws", "update",
       stateStoreProvider = Some(RocksDbProviderConf._2))
   }
 }

@@ -319,4 +319,24 @@ class StreamingSemanticsSpec extends SparkSpec {
       assert(rows.head == ((2L, 3.0)))
     } finally q.stop()
   }
+
+  test("transformWithState emits batch-identical results to flatMapGroupsWithState") {
+    // Same corpus, same chunking (3 real micro-batches), both update-mode:
+    // the per-batch emission multisets must match row-for-row — the two
+    // APIs differ in WHERE state lives (typed RocksDB handles vs one
+    // opaque object), never in what a batch emits.
+    val dir = "/root/testdata/sf0.001"
+    val fmgws = graft.streaming.StreamOps.statefulCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val tws = graft.streaming.StreamOps.statefulCountsTws(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(tws == fmgws && tws.nonEmpty)
+    // and across REAL multi-batch runs: per-key intermediate trajectories
+    // agree batch-for-batch (both emit one row per key per touched batch)
+    val fm3 = graft.streaming.StreamOps.statefulCounts(spark, dir, chunks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val tw3 = graft.streaming.StreamOps.statefulCountsTws(spark, dir, chunks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(tw3 == fm3 && tw3.size >= fmgws.size)
+  }
 }
