@@ -39,6 +39,29 @@ class FormatRoundTripSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    // The long-lived-table reality: batches written months apart carry
+    // different column sets. Parquet appends are schema-per-file;
+    // mergeSchema at read reconciles them — new columns null-fill old
+    // files, dropped columns null-fill new ones. (At 100 TB turn
+    // mergeSchema on per-read, not session-wide: it footer-scans every
+    // file in the listing, so pair it with partition pruning.)
+    val dir = Files.createTempDirectory("graft_evolve").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(path)
+    Seq((2L, 9.5)).toDF("id", "new_col").write.mode(SaveMode.Append).parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "new_col", "old_col"))
+    val byId = merged.collect().map(r => r.getLong(0) ->
+      (Option(r.getAs[String]("old_col")), Option(r.getAs[java.lang.Double]("new_col")))).toMap
+    assert(byId(1L) == (Some("a"), None) && byId(2L) == (None, Some(9.5)))
+    // without mergeSchema the read picks ONE file's schema — the silent
+    // column-loss failure mode the option exists to prevent
+    val unmerged = spark.read.parquet(path)
+    assert(unmerged.columns.length < 3)
+  }
+
   test("idempotent sink threads storage options through to the writer") {
     val dir = Files.createTempDirectory("graft_sink_opts").toFile
     dir.deleteOnExit()

@@ -1,8 +1,11 @@
 package graft
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Multi-batch streaming semantics the single-batch AvailableNow oracle
   * can't exercise: watermark-driven late-data drop, cross-batch dedup
@@ -338,5 +341,86 @@ class StreamingSemanticsSpec extends SparkSpec {
     val tw3 = graft.streaming.StreamOps.statefulCountsTws(spark, dir, chunks = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(tw3 == fm3 && tw3.size >= fmgws.size)
+  }
+
+  test("transformWithState event-time timers + ListState: session summaries fire on watermark expiry") {
+    // A 30s-inactivity session detector — the shape timers exist for: NO
+    // row triggers the emission; the watermark does. Each key's events
+    // accrete in a typed ListState; every batch re-arms a single timer at
+    // (max event time + 30s); when the watermark passes it, the expired-
+    // timer callback emits the session summary and clears both handles.
+    class SessionTimeoutProcessor
+        extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+      @transient private var events: ListState[Long] = _
+      @transient private var timer: ValueState[Long] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit = {
+        events = getHandle.getListState[Long]("events", Encoders.scalaLong, TTLConfig.NONE)
+        timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                                   tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+        var maxMs = if (timer.exists()) timer.get() - 30000L else Long.MinValue
+        rows.foreach { r =>
+          events.appendValue(r._2.getTime / 1000L)
+          maxMs = math.max(maxMs, r._2.getTime)
+        }
+        if (timer.exists()) getHandle.deleteTimer(timer.get())
+        val expiry = maxMs + 30000L
+        getHandle.registerTimer(expiry)
+        timer.update(expiry)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+        val secs = events.get().toSeq
+        events.clear(); timer.clear()
+        Iterator((key, secs.size.toLong, secs.min, secs.max))
+      }
+    }
+
+    implicit val ctx = spark.sqlContext
+    val providerKey = graft.streaming.StreamOps.RocksDbProviderConf._1
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, graft.streaming.StreamOps.RocksDbProviderConf._2)
+    val in = MemoryStream[(Long, Long)] // (user, event epoch-seconds)
+    val sessions = in.toDS().toDF("user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user", "n_events", "min_sec", "max_sec")
+    val q = sessions.writeStream.format("memory").queryName("tws_timers")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two users; timers armed at 50s (u1) and 45s (u2);
+      // watermark ends at 20s — nothing fires inside processAllAvailable
+      in.addData((1L, 10L), (1L, 20L), (2L, 15L))
+      q.processAllAvailable()
+      assert(spark.table("tws_timers").count() == 0,
+        "no timer may fire before the watermark passes its expiry")
+      // batch 2: (3, 100) advances the watermark to 100s; the engine runs
+      // the extra watermark-advancement batch, firing u1 (50s) and u2
+      // (45s) — but NOT u3, whose fresh timer sits at 130s
+      in.addData((3L, 100L))
+      q.processAllAvailable()
+      val fired2 = spark.table("tws_timers").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fired2 == Set((1L, 2L, 10L, 20L), (2L, 1L, 15L, 15L)))
+      // batch 3: watermark to 300s — u3's 130s timer fires with exactly
+      // the one event its ListState accreted; u4 arms at 330s and stays
+      in.addData((4L, 300L))
+      q.processAllAvailable()
+      val fired3 = spark.table("tws_timers").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fired3 == fired2 + ((3L, 1L, 100L, 100L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }
