@@ -17,6 +17,13 @@ object StreamingQueries {
       StreamOps.sliding(s, dir).orderBy("win_start")),
     "q_stream_sessions" -> ((s, dir) =>
       StreamOps.sessions(s, dir).orderBy("user_id", "sess_start")),
+    // Session windows HAND-BUILT on transformWithState event-time timers:
+    // gap-evidence closes interior sessions, watermark-driven timer expiry
+    // closes each user's final one — the eviction rule is part of the
+    // oracle (non-final sessions always emit; final ones iff the final
+    // watermark clears last+gap). See StreamOps.SessionTimeoutProcessor.
+    "q_stream_session_timeout" -> ((s, dir) =>
+      StreamOps.sessionTimeout(s, dir).orderBy("user_id", "sess_start")),
     "q_stream_dedup" -> ((s, dir) =>
       StreamOps.dedupKeys(s, dir).orderBy("user_id", "event_type")),
     "q_stream_stateful" -> ((s, dir) =>
@@ -80,6 +87,35 @@ object StreamingQueries {
            FROM x)
          SELECT user_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_events
          FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+    // Same sessionization as q_stream_sessions + the timer-eviction rule:
+    // non-final sessions (closed by gap evidence) always emit; a user's
+    // final session emits iff the final watermark (max event ms - 1h)
+    // reaches its deadline (last event ms + 30min). Millisecond floors
+    // mirror Spark's watermark/timer arithmetic.
+    "q_stream_session_timeout" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES THEN 1
+                  ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM x),
+         s AS (
+           SELECT user_id, sess, min(ts) AS mn, max(ts) AS mx, count(*) AS n
+           FROM y GROUP BY user_id, sess),
+         s2 AS (
+           SELECT *, max(sess) OVER (PARTITION BY user_id) AS last_sess FROM s),
+         m AS (SELECT max(epoch_ms(ts)) AS max_ms FROM events)
+         SELECT user_id, epoch_us(mn) AS sess_start, n AS n_events
+         FROM s2 CROSS JOIN m
+         WHERE sess < last_sess
+            OR epoch_ms(mx) + 1800000 <= max_ms - 3600000
+         ORDER BY user_id, sess_start""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

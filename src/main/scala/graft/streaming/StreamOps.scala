@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming analogues of the batch operators, modeling the
@@ -406,6 +407,85 @@ object StreamOps {
       agg.update((n, sum))
       Iterator(UserAgg(key, n, sum))
     }
+  }
+
+  /** Hand-built session windows on transformWithState EVENT-TIME TIMERS —
+    * the operator shape timers exist for: a session's closing emission is
+    * triggered by the WATERMARK passing its inactivity deadline, not by
+    * any input row. Semantics (oracle-expressible, gap = 30 min,
+    * watermark delay = 1 h):
+    *
+    *  - events for a key fold into the open session in event-time order;
+    *    a gap >= 30 min between consecutive events closes the older
+    *    session IMMEDIATELY (gap evidence — with chronologically staged
+    *    input no later event can land inside it);
+    *  - each batch re-arms one timer per key at (last event + 30 min);
+    *    when the watermark (max event time − 1 h) passes it, the expired-
+    *    timer callback emits the still-open session and clears state;
+    *  - a key's FINAL session therefore emits iff the final watermark
+    *    reaches its deadline — the same eviction contract
+    *    q_stream_outer_join pins for join state, here driven through
+    *    registerTimer/handleExpiredTimer instead of join internals.
+    *
+    * Every session emits at most once regardless of batch count (closures
+    * are append events), so the query runs the full multi-batch staging.
+    * The session fold matches `session_window` (q_stream_sessions) except
+    * for the eviction rule, which the oracle encodes as: every non-final
+    * session per user, plus final sessions whose (last event + gap) clears
+    * the final watermark. */
+  private class SessionTimeoutProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), (Long, Long, Long)] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _ // start/last us, n
+    @transient private var armed: ValueState[Long] = _              // registered expiry ms
+    override def init(om: OutputMode, tm: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      // per-key arrival order within a batch is not event-time order
+      val evs = rows.map(_._3).toArray.sorted
+      var closed = List.empty[(Long, Long, Long)]
+      var (st, la, n) = if (open.exists()) open.get() else (-1L, -1L, 0L)
+      evs.foreach { t =>
+        if (st < 0) { st = t; la = t; n = 1L }
+        else if (t - la < gapUs) { la = t; n += 1L } // strict <: gap == 30min breaks
+        else { closed ::= ((key, st, n)); st = t; la = t; n = 1L }
+      }
+      open.update((st, la, n))
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val expiryMs = la / 1000L + gapUs / 1000L
+      getHandle.registerTimer(expiryMs)
+      armed.update(expiryMs)
+      closed.reverse.iterator
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      // guard: fire only for the currently armed deadline of a live session
+      if (open.exists() && armed.exists() &&
+          armed.get() == info.getExpiryTimeInMs) {
+        val (st, _, n) = open.get()
+        open.clear(); armed.clear()
+        Iterator((key, st, n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Session summaries via timer eviction; see [[SessionTimeoutProcessor]]. */
+  def sessionTimeout(s: SparkSession, dir: String,
+                     chunks: Int = DefaultChunks): DataFrame = {
+    import s.implicits._
+    val out = eventsStream(s, dir, chunks)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapUs = 30L * 60 * 1000000),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "sess_start", "n_events")
+    runToTable(s, out, "stream_session_timeout", "append",
+      stateStoreProvider = Some(RocksDbProviderConf._2))
   }
 
   /** Per-user running (count, sum) via [[CountSumProcessor]]. Same
