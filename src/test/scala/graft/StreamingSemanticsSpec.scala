@@ -4,8 +4,9 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Multi-batch streaming semantics the single-batch AvailableNow oracle
   * can't exercise: watermark-driven late-data drop, cross-batch dedup
@@ -415,6 +416,72 @@ class StreamingSemanticsSpec extends SparkSpec {
       val fired3 = spark.table("tws_timers").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(fired3 == fired2 + ((3L, 1L, 100L, 100L)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState MapState + initial-state bootstrap warm-starts from a batch snapshot") {
+    // The production restart/migration pattern: a new TWS query boots its
+    // state from a BATCH snapshot (e.g. aggregates computed from the lake,
+    // or a decommissioned fMGWS job's final output) instead of replaying
+    // history. Per-(user, event_type) counts live in a typed MapState;
+    // handleInitialState seeds it once per key before any input row.
+    class TypeCountsProcessor
+        extends StatefulProcessorWithInitialState[Long, (Long, String), (Long, String, Long), (Long, String, Long)] {
+      @transient private var counts: MapState[String, Long] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit =
+        counts = getHandle.getMapState[String, Long]("counts",
+          Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInitialState(key: Long, s: (Long, String, Long),
+                                      tv: TimerValues): Unit =
+        counts.updateValue(s._2, s._3)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                   tv: TimerValues): Iterator[(Long, String, Long)] = {
+        val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+        rows.foreach { r =>
+          val prev = if (counts.containsKey(r._2)) counts.getValue(r._2) else 0L
+          counts.updateValue(r._2, prev + 1L)
+          touched += r._2
+        }
+        touched.iterator.map(t => (key, t, counts.getValue(t)))
+      }
+    }
+
+    implicit val ctx = spark.sqlContext
+    val providerKey = graft.streaming.StreamOps.RocksDbProviderConf._1
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, graft.streaming.StreamOps.RocksDbProviderConf._2)
+    // snapshot: user 1 already saw 5 clicks; user 2 already saw 2 views
+    val snapshot = Seq((1L, "click", 5L), (2L, "view", 2L))
+      .toDS().groupByKey(_._1)
+    val in = MemoryStream[(Long, String)]
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update(), snapshot)
+      .toDF("user", "event_type", "n")
+    val q = out.writeStream.format("memory").queryName("tws_init")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, "click"), (1L, "view"), (3L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("tws_init").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // user 1's click count CONTINUES from the snapshot (5 -> 6), its view
+      // starts fresh; user 3 (absent from snapshot) starts at 1; user 2's
+      // snapshot state exists but emits nothing until an input row arrives
+      assert(rows == Set((1L, "click", 6L), (1L, "view", 1L), (3L, "click", 1L)))
+      in.addData((2L, "view"))
+      q.processAllAvailable()
+      val rows2 = spark.table("tws_init").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows2.contains((2L, "view", 3L)),
+        "user 2's first input must continue from its bootstrapped count")
     } finally {
       q.stop()
       prevProvider match {
