@@ -5,8 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
-  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+  StatefulProcessorWithInitialState, StreamingQueryException, TTLConfig,
+  TimeMode, TimerValues, Trigger, ValueState}
 
 /** Multi-batch streaming semantics the single-batch AvailableNow oracle
   * can't exercise: watermark-driven late-data drop, cross-batch dedup
@@ -100,6 +100,56 @@ class StreamingSemanticsSpec extends SparkSpec {
       in.toDF().toDF("k", "v").filter(org.apache.spark.sql.functions.col("k") < 0), dir)
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("k", "v", "batch_id"))
+  }
+
+  test("crash after a batch's write + restart from checkpoint is exactly-once") {
+    // The at-least-once worst case: the sink write for batch 1 SUCCEEDS,
+    // then the job dies before the offset commit. The restarted query
+    // replays batch 1 from the checkpoint; the batch-id-keyed dynamic
+    // partition overwrite makes the replay land on exactly its own
+    // output — the full recovery path behind q_stream_foreach_batch's
+    // exactly-once claim, here actually exercised with an injected crash.
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "crashsrc").toFile
+    val src = new java.io.File(base, "in"); src.mkdirs()
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val out = new java.io.File(base, "out").getAbsolutePath
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).zipWithIndex.foreach { case ((k, v), i) =>
+      val tmp = new java.io.File(base, s"_w$i")
+      Seq((k, v)).toDF("k", "v").coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val f = new java.io.File(src, f"f$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      require(f.setLastModified(1000000000000L + i * 60000L))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(out)
+        if (batchId == 1 && !crashed.getAndSet(true))
+          throw new RuntimeException("injected crash AFTER batch 1's write")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    intercept[StreamingQueryException] { q1.awaitTermination() }
+    assert(crashed.get(), "the injected crash must actually fire")
+    val q2 = start()
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select(col("k"), col("v"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // every record exactly once, batch 1 replayed onto itself, batch 2 ran
+    assert(rows == Seq((1L, "a", 0L), (2L, "b", 1L), (3L, "c", 2L)))
   }
 
   test("q_stream_foreach_batch is deterministic across full replays, no duplicates") {
