@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
+  /** The catalog's target language mixture — ONE definition shared by
+    * `q_mix_domains` and `q_curate_pipeline` (their SQL oracles embed the
+    * same weights and must be edited together). */
+  private val MixWeights = Map(
+    "en" -> 0.25, "de" -> 0.25, "es" -> 0.20, "fr" -> 0.20, "zh" -> 0.10)
+
   /** Per-corpus IVF index memo (JVM lifetime — verify/bench are one JVM
     * per pass). Keyed by the scale-factor dir: a different corpus gets its
     * own fit; the same corpus never refits. */
@@ -205,8 +211,7 @@ object LlmOps {
     "q_mix_domains" -> ((s, dir) =>
       graft.ops.Mixing.mixToWeights(
           tbl(s, dir, "documents"), "lang", "doc_id", "n_chars",
-          weights = Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.20,
-            "fr" -> 0.20, "zh" -> 0.10))
+          weights = MixWeights)
         .groupBy("lang")
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_rows_out"),
@@ -234,11 +239,7 @@ object LlmOps {
           tbl(s, dir, "documents")
             .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
               size(toks).as("words"), size(array_distinct(toks)).as("uniq_words")),
-          Seq(
-            "r1_too_short" -> (col("n_chars") < 100),
-            "r2_too_few_tokens" -> (col("words") < 20),
-            "r3_repetitive" -> (col("uniq_words") * 3 < col("words")),
-            "r4_too_long" -> (col("words") > 90)))
+          TextQueries.CurationRules)
         .filter(col("verdict") === "kept")
       // 2. exact dedup, keep-min-id: window over the CONTENT HASH so the
       // shuffle key is 32 bytes, not the document (Dedup.exactKeep is the
@@ -248,10 +249,9 @@ object LlmOps {
         .withColumn("_keep", min("doc_id").over(byHash))
         .filter(col("doc_id") === col("_keep"))
         .select("doc_id", "lang", "n_chars", "words")
-      // 3. training mixture (weights shared with q_mix_domains)
+      // 3. training mixture (MixWeights — the same map q_mix_domains runs)
       val mixed = Mixing.mixToWeights(deduped, "lang", "doc_id", "n_chars",
-        weights = Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.20,
-          "fr" -> 0.20, "zh" -> 0.10))
+        weights = MixWeights)
       // 4. pack manifest: deterministic shard, cumsum binning within shard
       val byShard = Window.partitionBy("shard").orderBy("doc_id", "copy_idx")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** The curation rule chain — ONE definition shared by `q_filter_funnel`
+    * and `q_curate_pipeline` so a threshold tune cannot drift between the
+    * report and the pipeline that applies it (their SQL oracles each embed
+    * the same thresholds and must be edited together; integer arithmetic
+    * only, so there is no float-boundary hazard to mirror). Expects
+    * columns `n_chars`, `words`, `uniq_words`. */
+  private[queries] val CurationRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "r1_too_short" -> (col("n_chars") < 100),
+    "r2_too_few_tokens" -> (col("words") < 20),
+    "r3_repetitive" -> (col("uniq_words") * 3 < col("words")),
+    "r4_too_long" -> (col("words") > 90))
+
   val defs: Map[String, Q] = Map(
     "q_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -79,11 +91,7 @@ object TextQueries {
           tbl(s, dir, "documents")
             .select(col("doc_id"), col("n_chars"), size(toks).as("words"),
               size(array_distinct(toks)).as("uniq_words")),
-          Seq(
-            "r1_too_short" -> (col("n_chars") < 100),
-            "r2_too_few_tokens" -> (col("words") < 20),
-            "r3_repetitive" -> (col("uniq_words") * 3 < col("words")),
-            "r4_too_long" -> (col("words") > 90)))
+          CurationRules)
         .groupBy("verdict")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("verdict")

@@ -99,9 +99,13 @@ object StreamOps {
         try {
           val ev = s.read.parquet(src.getAbsolutePath)
           val b = ev.agg(min("ts"), max("ts")).head()
-          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          // a zero-row source has null min/max: leave the staging dir
+          // empty — the stream simply runs zero batches (the raw-copy
+          // path this staging replaced degraded the same way)
+          val (lo, hi) =
+            if (b.isNullAt(0)) (0L, -1L) else (b.getLong(0), b.getLong(1))
           val mtimeBase = 1000000000000L // fixed epoch-ms base; only ORDER matters
-          for (i <- 0 until nChunks) {
+          for (i <- 0 until (if (hi < lo) 0 else nChunks)) {
             val lower = lo + (hi - lo) / nChunks * i
             val upper = if (i == nChunks - 1) hi + 1 else lo + (hi - lo) / nChunks * (i + 1)
             val tmpOut = new java.io.File(stage, s"_chunk_$i")

@@ -38,7 +38,8 @@ def main(sf_dir, out_dir):
             # ScaleUpMain writes ts as raw INT64 nanos (the TIMESTAMP(NANOS)
             # workaround); give the oracles the same micros-truncated
             # timestamp Spark's read path produces
-            kind = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+            row = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            kind = row[0] if row else None  # empty table: skip the shim
             if kind == "BIGINT":
                 con.execute(f"""CREATE OR REPLACE VIEW events AS
                     SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
