@@ -71,6 +71,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("rnk"))
   }
 
+  /** Sliding-window document chunking — the RAG/context-window prep step:
+    * split each document into `window`-token chunks every `stride` tokens
+    * (overlap = window − stride), chunk i covering tokens
+    * [i·stride, i·stride + window). ceil(n/stride) chunks per doc; the
+    * last may be short. Map-side only (explode of a per-row sequence —
+    * the same in-task amplification shape as interval expansion and
+    * Mixing.replicate: nothing wide materializes at any corpus size),
+    * and pure built-in expressions (split/slice/array_join), so it is
+    * exactly expressible in ANSI SQL and DuckDB-oracleable.
+    *
+    * Returns (id, chunk_idx, start_tok, n_tok, chunk_text). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    docs
+      .select(col(idCol), toks.as("_toks"), n.as("_n"))
+      // chunks exist while i*stride < n → last index floor((n-1)/stride)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), floor((col("_n") - 1) / lit(stride)).cast("int"))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("n_tok", least(lit(window), col("_n") - col("start_tok")))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), col("start_tok") + 1, lit(window)), " "))
+      .drop("_toks", "_n")
+  }
+
   /** Per-document repetition score: the fraction of character n-gram
     * occurrences that repeat an already-seen n-gram (1 - distinct/total).
     * Boilerplate, template spam, and degenerate generation loops score

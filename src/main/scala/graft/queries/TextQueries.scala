@@ -96,6 +96,18 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("verdict")
     }),
+    // RAG-prep document chunking (TextAnalysis.chunkDocs): 64-token
+    // windows every 48 tokens (16-token overlap), map-side explode only.
+    // The manifest aggregates per doc; chunk_text integrity rides the
+    // hash via the first chunk's text and total chunk-token mass.
+    "q_text_chunks" -> ((s, dir) =>
+      graft.ops.TextAnalysis.chunkDocs(
+          tbl(s, dir, "documents"), "doc_id", "text", window = 64, stride = 48)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tok").as("chunk_tok_mass"),
+          min(when(col("chunk_idx") === 0, col("chunk_text"))).as("first_chunk"))
+        .orderBy("doc_id")),
     // Sequence packing for context windows: assign docs to fixed-budget
     // token packs by cumulative token count within deterministic shards.
     // The shard (doc_id % 8) is the scale unit — each shard's running sum
@@ -196,6 +208,23 @@ object TextQueries {
          round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))), 6)
            AS chars_per_token
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+         FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           CAST(unnest(generate_series(0, CAST(floor((n - 1) / 48.0) AS BIGINT))) AS INT)
+             AS chunk_idx
+         FROM d),
+         x AS (SELECT doc_id, chunk_idx,
+           least(64, n - chunk_idx * 48) AS n_tok,
+           array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text
+         FROM c)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS chunk_tok_mass,
+           min(CASE WHEN chunk_idx = 0 THEN chunk_text END) AS first_chunk
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
     "q_filter_funnel" ->
       """WITH s AS (SELECT doc_id, n_chars,
            len(string_split(text, ' ')) AS words,

@@ -270,4 +270,27 @@ class LlmOpsSpec extends SparkSpec {
     val keptIds = keep.collect { case (v, _, true) => v }.toSet
     assert(keep.forall { case (_, k, _) => keptIds.contains(k) })
   }
+
+  test("chunkDocs: window/stride boundary arithmetic") {
+    def doc(n: Int) = (1L, (1 to n).map(i => s"t$i").mkString(" "))
+    def chunksOf(n: Int) = {
+      val df = Seq(doc(n)).toDF("doc_id", "text")
+      TextAnalysis.chunkDocs(df, "doc_id", "text", window = 64, stride = 48)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getAs[Int]("chunk_idx"), r.getAs[Int]("start_tok"),
+          r.getAs[Int]("n_tok"), r.getAs[String]("chunk_text")))
+    }
+    // n=100: chunks at 0/48/96 with 64/52/4 tokens — no phantom 4th chunk
+    val c100 = chunksOf(100)
+    assert(c100.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0, 0, 64), (1, 48, 52), (2, 96, 4)))
+    assert(c100(2)._4 == "t97 t98 t99 t100")
+    // every token is covered; consecutive chunks overlap by window-stride
+    assert(c100(0)._4.endsWith("t64") && c100(1)._4.startsWith("t49"))
+    // n < window: one short chunk
+    assert(chunksOf(10).map(c => (c._1, c._3)).toSeq == Seq((0, 10)))
+    // exact stride boundary n=96: starts 0 and 48, NOT a third empty chunk
+    assert(chunksOf(96).map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0, 0, 64), (1, 48, 48)))
+  }
 }
