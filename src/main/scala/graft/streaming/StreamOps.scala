@@ -98,10 +98,14 @@ object StreamOps {
         s.conf.set(NanosConf, "true")
         try {
           val ev = s.read.parquet(src.getAbsolutePath)
-          val b = ev.agg(min("ts"), max("ts")).head()
-          // a zero-row source has null min/max: leave the staging dir
-          // empty — the stream simply runs zero batches (the raw-copy
-          // path this staging replaced degraded the same way)
+          val b = ev.agg(min("ts"), max("ts"), count(lit(1))).head()
+          // a ZERO-ROW source has null min/max: leave the staging dir
+          // empty — the stream simply runs zero batches. Rows whose ts is
+          // all-null are a different, corrupt case: chronological staging
+          // would silently drop every row, so fail loudly instead.
+          require(b.getLong(2) == 0L || !b.isNullAt(0),
+            s"events source $src has ${b.getLong(2)} rows but ts is " +
+              "entirely null; chronological staging would drop them all")
           val (lo, hi) =
             if (b.isNullAt(0)) (0L, -1L) else (b.getLong(0), b.getLong(1))
           val mtimeBase = 1000000000000L // fixed epoch-ms base; only ORDER matters

@@ -38,8 +38,11 @@ def main(sf_dir, out_dir):
             # ScaleUpMain writes ts as raw INT64 nanos (the TIMESTAMP(NANOS)
             # workaround); give the oracles the same micros-truncated
             # timestamp Spark's read path produces
-            row = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
-            kind = row[0] if row else None  # empty table: skip the shim
+            # DESCRIBE works on empty tables too (typeof-on-a-row does not,
+            # and skipping the shim for an empty BIGINT table would leave
+            # every events oracle binder-erroring on the raw nanos column)
+            kind = next(r[1] for r in con.execute("DESCRIBE events").fetchall()
+                        if r[0] == "ts")
             if kind == "BIGINT":
                 con.execute(f"""CREATE OR REPLACE VIEW events AS
                     SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
