@@ -96,23 +96,32 @@ object ScaleUpMain {
     write("events", rep(events, Map(
       "event_id" -> evS, "user_id" -> custS)), 8)
 
-    // per-replica alphabet permutation: rotate a–z (and A–Z) by 7*i —
-    // identity at i=0, length-preserving, shingle-destroying otherwise
+    // per-replica alphabet permutation: rotate a–z (and A–Z) by a shift
+    // that can never wrap back to 0 — a plain 7*i shift is the identity
+    // whenever 7*i % 26 == 0 (replica 26 would carry byte-identical text
+    // to replica 0, planting exact cross-replica duplicates that skew
+    // dedup/LSH candidate density). 1 + (7*i) % 25 stays in [1, 25] for
+    // every i >= 1, so every replica's text is permuted.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
     write("documents", rep(documents, Map("doc_id" -> docS),
       (d, i) =>
         if (i == 0) d
-        else d.withColumn("text", translate(col("text"),
-          lower + lower.toUpperCase,
-          rot(lower, 7 * i) + rot(lower, 7 * i).toUpperCase))), 4)
+        else {
+          val k = 1 + (7 * i) % 25
+          d.withColumn("text", translate(col("text"),
+            lower + lower.toUpperCase,
+            rot(lower, k) + rot(lower, k).toUpperCase))
+        }), 4)
 
     // per-replica component rotation: norm-preserving, cross-replica
-    // cosine decorrelated
+    // cosine decorrelated. Same non-wrapping shift shape as the text
+    // rotation above: 1 + (7*i) % (dim-1) is never 0 mod dim for i >= 1,
+    // so no replica carries component-identical vectors to replica 0.
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     write("embeddings", rep(embeddings, Map("vec_id" -> vecS),
       (d, i) => {
-        val k = (7 * i) % dim
+        val k = if (i == 0) 0 else 1 + (7 * i) % (dim - 1)
         if (k == 0) d
         else d.withColumn("embedding",
           concat(slice(col("embedding"), k + 1, dim - k),

@@ -65,9 +65,16 @@ object Mixing {
       .withColumn("_total_units",
         sum("_domain_units").over(org.apache.spark.sql.expressions.Window
           .partitionBy()))
-    val r = least(
-      w * col("_total_units").cast("double") / col("_domain_units").cast("double"),
-      lit(epochCap.toDouble))
+    // Guard the units side too: a domain whose units sum to 0 (or NULL,
+    // when every unit value is NULL) would make the raw ratio Infinity
+    // (or NULL) — least() caps Infinity at epochCap and *skips* NULL, so
+    // either degenerate domain would get full-cap replication instead of
+    // being dropped. Zero-mass domains must emit nothing.
+    val r = when(col("_domain_units") > 0,
+      least(
+        w * col("_total_units").cast("double") / col("_domain_units").cast("double"),
+        lit(epochCap.toDouble))
+    ).otherwise(lit(0.0))
     val extra = when(Sampling.hashUnit(col(idCol), salt) < (r - floor(r)), 1L)
       .otherwise(0L)
     replicate(

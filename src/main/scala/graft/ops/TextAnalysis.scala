@@ -90,9 +90,15 @@ object TextAnalysis {
     val n = size(toks)
     docs
       .select(col(idCol), toks.as("_toks"), n.as("_n"))
-      // chunks exist while i*stride < n → last index floor((n-1)/stride)
+      // chunks exist while i*stride < n → last index floor((n-1)/stride).
+      // The n=0 guard matters: sequence(0, -1) is Spark's DESCENDING
+      // sequence [0, -1], which would emit two bogus chunks (chunk_idx -1,
+      // negative start_tok). split() never returns an empty array for
+      // non-null text so n>=1 today, but this op is public — guard
+      // explicitly rather than rely on that; explode(NULL) emits nothing.
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), floor((col("_n") - 1) / lit(stride)).cast("int"))))
+        explode(when(col("_n") >= 1,
+          sequence(lit(0), floor((col("_n") - 1) / lit(stride)).cast("int")))))
       .withColumn("start_tok", col("chunk_idx") * stride)
       .withColumn("n_tok", least(lit(window), col("_n") - col("start_tok")))
       .withColumn("chunk_text",

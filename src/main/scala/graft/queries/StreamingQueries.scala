@@ -91,7 +91,11 @@ object StreamingQueries {
     // non-final sessions (closed by gap evidence) always emit; a user's
     // final session emits iff the final watermark (max event ms - 1h)
     // reaches its deadline (last event ms + 30min). Millisecond floors
-    // mirror Spark's watermark/timer arithmetic.
+    // mirror Spark's watermark/timer arithmetic. The `<=` boundary (a
+    // deadline landing EXACTLY on the watermark fires) matches the engine:
+    // TimerStateImpl.getExpiredTimers treats a timer as expired while
+    // expiry <= watermark — pinned to the millisecond by the planted
+    // equality-boundary case in StreamingSemanticsSpec's timer test.
     "q_stream_session_timeout" ->
       """WITH x AS (
            SELECT user_id, ts,

@@ -466,6 +466,20 @@ class StreamingSemanticsSpec extends SparkSpec {
       val fired3 = spark.table("tws_timers").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(fired3 == fired2 + ((3L, 1L, 100L, 100L)))
+      // batch 4: the EQUALITY boundary, planted to the millisecond — u4's
+      // timer sits at exactly 330s and (6, 330) advances the watermark
+      // (delay 0) to exactly 330000 ms. TimerStateImpl.getExpiredTimers
+      // scans the expiry-sorted index while expiry <= watermark (the
+      // comparison compiles to `lcmp; ifgt break`), so expiry == watermark
+      // FIRES. This pins the tie-break the q_stream_session_timeout oracle
+      // encodes as `deadline <= final watermark` — if a Spark upgrade ever
+      // flips the boundary to strict <, this assertion catches it.
+      in.addData((6L, 330L))
+      q.processAllAvailable()
+      val fired4 = spark.table("tws_timers").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fired4 == fired3 + ((4L, 1L, 300L, 300L)),
+        "a timer whose expiry EQUALS the watermark must fire (expiry <= watermark)")
     } finally {
       q.stop()
       prevProvider match {
