@@ -51,6 +51,17 @@ object LlmOps {
         .select(col("doc_id"), col("jac"))
         .orderBy("doc_id")
     }),
+    // Exact-substring dedup: longest shared token run per document pair
+    // (ops.SubstringDedup — anchor-gram join + relational run extension).
+    // minRun = 20 suits this corpus's ~55-token documents; a production
+    // 50-token Lee-et-al pass is the same operator with minRun = 50. The
+    // DF cap sits above the corpus max, so semantics are exact and the
+    // DuckDB gram-string oracle must hash-match.
+    "q_dedup_substring" -> ((s, dir) =>
+      graft.ops.SubstringDedup.longestSharedRuns(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          minRun = 20, maxGramDf = 100000L)
+        .orderBy("doc_a", "doc_b")),
     // MinHash+LSH candidates verified with exact Jaccard (no SQL oracle —
     // murmur-based signatures aren't expressible in DuckDB).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
@@ -328,6 +339,35 @@ object LlmOps {
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY a.doc_id""",
+    // Same construction over gram STRINGS (the engine joins on 64-bit gram
+    // hashes; equal strings always collide, unequal ones with p ~ 2^-64 —
+    // the q_contamination equivalence argument). Parallel unnests zip the
+    // position and gram lists; islands via the pos - row_number identity.
+    // Literals: 18 = minRun - 2 (range stop = len - minRun + 2), 19 =
+    // minRun - 1, for the catalog's minRun = 20.
+    "q_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t
+                       FROM documents WHERE text IS NOT NULL),
+         gl AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(t) - 18, 1)),
+                                 i -> i - 1) AS poss,
+                  list_transform(range(1, greatest(len(t) - 18, 1)),
+                                 i -> array_to_string(list_slice(t, i, i + 19), ' ')) AS grams
+                FROM toks),
+         g AS (SELECT doc_id, unnest(poss) AS pos, unnest(grams) AS gram FROM gl),
+         m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+                      a.pos - b.pos AS diag
+               FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         isl AS (SELECT doc_a, doc_b, diag, pos_a,
+                   pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                              ORDER BY pos_a) AS island
+                 FROM m),
+         runs AS (SELECT doc_a, doc_b, diag, island,
+                    count(*) + 19 AS run_tokens
+                  FROM isl GROUP BY doc_a, doc_b, diag, island)
+         SELECT doc_a, doc_b, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+           count(*) AS n_runs
+         FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""",
     "q_split_hash" ->
       """SELECT split, count(*) AS n_docs,
          min(doc_id) AS min_id, max(doc_id) AS max_id

@@ -53,17 +53,8 @@ case class TokenShingleHashes(child: Expression, shingleN: Int)
 
   /** Public so generated code can call it via an object reference. */
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.toString.split(" ", -1)
-    val n = toks.length
-    // hash each token once (64 bits from two murmur seeds); grams reuse these
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val lo = MurmurHash3.stringHash(toks(i), 0x9747b28c).toLong & 0xffffffffL
-      val hi = MurmurHash3.stringHash(toks(i), 0x85ebca6b).toLong & 0xffffffffL
-      th(i) = (hi << 32) | lo
-      i += 1
-    }
+    val th = TokenShingleHashes.hashTokens(text)
+    val n = th.length
     // positions mirror slice(toks, i, shingleN): a doc shorter than one gram
     // still yields a single (short) gram
     val grams = math.max(n - (shingleN - 1), 1)
@@ -72,15 +63,7 @@ case class TokenShingleHashes(child: Expression, shingleN: Int)
     var m = 0
     var g = 0
     while (g < grams) {
-      var h = 0xcbf29ce484222325L // FNV-64 offset basis as the gram seed
-      var j = g
-      val end = math.min(g + shingleN, n)
-      while (j < end) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
-      // murmur3 fmix64 finalizer: avalanches the FNV mix so band/bucket
-      // arithmetic downstream sees uniform bits
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^= h >>> 33
+      val h = TokenShingleHashes.gramHash(th, g, math.min(g + shingleN, n))
       if (seen.add(h)) { out(m) = h; m += 1 }
       g += 1
     }
@@ -101,4 +84,90 @@ object TokenShingleHashes {
   def token_shingle_hashes(text: Column, shingleN: Int): Column =
     ExpressionUtils.column(
       TokenShingleHashes(ExpressionUtils.expression(text), shingleN))
+
+  /** 64-bit hash per whitespace token (two murmur seeds packed); the
+    * shared kernel both shingle expressions build gram hashes from. */
+  private[graft] def hashTokens(text: UTF8String): Array[Long] = {
+    val toks = text.toString.split(" ", -1)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val lo = MurmurHash3.stringHash(toks(i), 0x9747b28c).toLong & 0xffffffffL
+      val hi = MurmurHash3.stringHash(toks(i), 0x85ebca6b).toLong & 0xffffffffL
+      th(i) = (hi << 32) | lo
+      i += 1
+    }
+    th
+  }
+
+  /** Order-sensitive FNV mix over token hashes [g, end), finished with the
+    * murmur3 fmix64 avalanche so band/bucket arithmetic downstream sees
+    * uniform bits. Equal gram strings always collide; unequal grams
+    * collide with p ~ 2^-64. */
+  private[graft] def gramHash(th: Array[Long], g: Int, end: Int): Long = {
+    var h = 0xcbf29ce484222325L // FNV-64 offset basis as the gram seed
+    var j = g
+    while (j < end) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+}
+
+/** Positional sibling of [[TokenShingleHashes]] for exact-substring
+  * detection: the hash of EVERY `shingleN`-token window in positional
+  * order — element i is the hash of tokens [i, i+shingleN), no
+  * de-duplication, and a document shorter than `shingleN` tokens yields an
+  * EMPTY array (it cannot contain a run of `shingleN` tokens), unlike the
+  * distinct variant's floor-at-one-short-gram contract.
+  *
+  * `posexplode` over the result gives the (pos, anchor-hash) stream
+  * substring dedup joins on: a shared token run of length R >= shingleN
+  * appears as exactly R - shingleN + 1 anchor matches at consecutive
+  * positions on one alignment diagonal (pos_a - pos_b constant), which is
+  * what lets run extension be pure relational gaps-and-islands instead of
+  * string comparison ([[graft.ops.SubstringDedup]]). Same hashing as the
+  * distinct variant, so both surfaces agree on gram identity. */
+case class TokenShinglePosHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(shingleN > 0, s"shingleN must be positive: $shingleN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_shingle_pos_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public so generated code can call it via an object reference. */
+  def compute(text: UTF8String): ArrayData = {
+    val th = TokenShingleHashes.hashTokens(text)
+    val n = th.length
+    val grams = math.max(n - (shingleN - 1), 0)
+    val out = new Array[Long](grams)
+    var g = 0
+    while (g < grams) {
+      out(g) = TokenShingleHashes.gramHash(th, g, g + shingleN)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglePosHashExpr", this,
+      classOf[TokenShinglePosHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenShinglePosHashes {
+  /** Column-API entry point: `token_shingle_pos_hashes($"text", 50)`. */
+  def token_shingle_pos_hashes(text: Column, shingleN: Int): Column =
+    ExpressionUtils.column(
+      TokenShinglePosHashes(ExpressionUtils.expression(text), shingleN))
 }
