@@ -279,6 +279,77 @@ object Relational {
         .orderBy("r1", "r2")
     }),
 
+    // ---- Composite analytic pipelines (TPC-H shapes): multi-join +
+    // filter + agg + top-k in ONE plan, exercising join ORDERING and
+    // AQE's runtime broadcast decisions rather than a single operator.
+    // Declared join order is fact-first (lineitem |><| orders |><| dims);
+    // Catalyst/AQE is free to reorder and to promote filtered dimensions
+    // to broadcast — PlanContractSpec pins the placement contract (dims
+    // broadcast, the fact table never on a build side, one shuffle agg).
+
+    // TPC-H Q3 shape: segment-filtered customers, orders placed before
+    // the cut shipping after it, revenue per order, top 10. The date cut
+    // filters BOTH fact-side scans (pushed to parquet); the customer
+    // filter shrinks the dim to ~20% before it reaches its join.
+    "q_composite_shipping" -> ((s, dir) => {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          // o_orderdate is TIMESTAMP_NTZ; the UTC session (Verify/Bench
+          // both pin it) makes the NTZ->TZ cast a bitwise identity, so
+          // this equals DuckDB's epoch_us over the naive value
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+          col("o_orderpriority"))
+        .orderBy(desc("revenue"), asc("o_orderdate_us"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer over one
+    // half-year window, nation joined for display, top 20. Four tables,
+    // two shuffle-scale joins + one tiny dim broadcast; the l_returnflag
+    // and o_orderdate predicates push to the scans.
+    "q_composite_returns" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = tbl(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q4 shape: order-priority census over one quarter, existence
+    // of a line item shipped after the order date as a correlated
+    // EXISTS — planned as a LEFT SEMI join whose condition carries the
+    // non-equi l_shipdate > o_orderdate predicate alongside the key.
+    "q_composite_priority" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
     // one pathologically hot key spreads over SALT shuffle partitions.
@@ -638,6 +709,41 @@ object Relational {
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_composite_shipping" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-07-01'
+           AND l_shipdate > TIMESTAMP '1998-07-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate_us, l_orderkey
+         LIMIT 10""",
+    "q_composite_returns" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         c_acctbal, n_name
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "q_composite_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05

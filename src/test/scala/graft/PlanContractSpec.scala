@@ -156,6 +156,52 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"merge plan has ${exchanges.size} exchanges and no broadcast")
   }
 
+  test("composite pipelines: dims broadcast, the fact table never builds, filters reach the scans") {
+    // The composite TPC-H shapes exist to exercise join ORDERING under
+    // AQE: whatever order the optimizer picks, the scale contract is that
+    // lineitem (the 100 TB side) is never the build side of a broadcast,
+    // dimension tables arrive via broadcast, and every selective predicate
+    // reaches its parquet scan instead of filtering post-join.
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan) =
+      collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+    def tableOf(s: FileSourceScanExec): String =
+      s.relation.location.rootPaths.mkString(",")
+    for (q <- Seq("q_composite_shipping", "q_composite_returns")) {
+      val p = plan(q)
+      val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$q: no dimension broadcast in\n$p")
+      val builtTables = bhj.flatMap { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        scansOf(build).map(tableOf)
+      }
+      assert(!builtTables.exists(_.contains("lineitem")),
+        s"$q: the fact table ended up on a broadcast build side: $builtTables")
+      val liScan = scansOf(p).find(s => tableOf(s).contains("lineitem")).get
+      assert(liScan.metadata("PushedFilters") != "[]",
+        s"$q: lineitem predicate not pushed: ${liScan.metadata("PushedFilters")}")
+      val cScan = scansOf(p).find(s => tableOf(s).contains("customer")).get
+      if (q == "q_composite_shipping")
+        assert(cScan.metadata("PushedFilters").contains("c_mktsegment"),
+          s"$q: segment filter not pushed: ${cScan.metadata("PushedFilters")}")
+    }
+    // Q4 shape: the EXISTS must plan as a LEFT SEMI join carrying the
+    // non-equi shipdate predicate — not a full join + dedup
+    val pp = plan("q_composite_priority")
+    val semis = collectWithSubqueries(pp) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString == "LeftSemi" => j.toString
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j.toString
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType.toString == "LeftSemi" => j.toString
+    }
+    assert(semis.nonEmpty, s"q_composite_priority: no semi join in\n$pp")
+    assert(semis.exists(_.contains("l_shipdate")),
+      "the non-equi shipdate predicate must ride the semi join")
+  }
+
   test("recursive CTE plans as a real UnionLoop, not an unrolled union") {
     // Spark 4's WITH RECURSIVE plans the fixpoint as UnionLoop (anchor +
     // per-iteration join against UnionLoopRef) — the engine iterates to
