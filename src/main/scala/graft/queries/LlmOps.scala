@@ -36,6 +36,19 @@ object LlmOps {
   private[queries] def lshIndexFor(dir: String, build: () => String): String =
     lshIndexes.computeIfAbsent(dir, _ => build())
 
+  /** Full-ingest-loop memo for `q_dedup_incremental_full`: (appended index
+    * path, materialized pre-append probe path). Its OWN index — never the
+    * `lshIndexFor` one, which `q_dedup_incremental` probes and must stay
+    * base-only; appending there would leak batch docs into that query's
+    * corpus side. Built once per corpus per JVM so re-invocations are
+    * idempotent: the append happens exactly once, inside the memo. */
+  private val lshFullLoop =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[queries] def lshFullLoopFor(dir: String,
+      build: () => (String, String)): (String, String) =
+    lshFullLoop.computeIfAbsent(dir, _ => build())
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
@@ -109,6 +122,49 @@ object LlmOps {
       val cands = Dedup.incrementalCandidatePairs(s, d.where(isNew), "doc_id", "text", idx)
         .persist()
       Dedup.verifyCandidates(d, "doc_id", "text", cands, "id_new", "id_corpus")
+    }),
+    // The FULL 3-step ingest loop as one catalog entry (q_dedup_incremental
+    // above isolates step 1): day-1 batch (doc_id % 5 == 0) is probed
+    // against the base index (% 5 >= 2), self-paired within the batch,
+    // then APPENDED (SaveMode.Append, sidecar-validated); a day-2 batch
+    // (% 5 == 1) probes the appended index — its pairs against day-1 docs
+    // exist ONLY if the append is visible, which is the in-output proof of
+    // step 3. Ordering hazard, handled in the memo: a parquet path scan
+    // re-lists files at EXECUTION time, so the day-1 probe must be
+    // materialized before the append mutates the directory — the
+    // production "probe before append, or probe a snapshot listing" rule.
+    // Index build + append run once per corpus per JVM (memo), so each
+    // invocation pays batch-sized work only. Rows-only (murmur
+    // signatures); invariants in CatalogContractSpec.
+    "q_dedup_incremental_full" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val isDay1 = col("doc_id") % 5 === 0
+      val isDay2 = col("doc_id") % 5 === 1
+      val isBase = col("doc_id") % 5 >= 2
+      val (idx, probe1Path) = LlmOps.lshFullLoopFor(dir, () => {
+        val p = graft.io.TempDirs.createDeletedOnExit("graft_lshfull_").getAbsolutePath
+        Dedup.writeSignatureIndex(d.where(isBase), "doc_id", "text", p)
+        val s1 = graft.io.TempDirs.createDeletedOnExit("graft_lshfull_p1_").getAbsolutePath
+        Dedup.incrementalCandidatePairs(s, d.where(isDay1), "doc_id", "text", p)
+          .write.mode("overwrite").parquet(s1)
+        Dedup.writeSignatureIndex(d.where(isDay1), "doc_id", "text", p,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        (p, s1)
+      })
+      val s1 = s.read.parquet(probe1Path)
+        .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+      val s2 = Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(d.where(isDay1), "doc_id", "text"))
+      val s3 = Dedup.incrementalCandidatePairs(s, d.where(isDay2), "doc_id", "text", idx)
+        .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+      def verified(c: org.apache.spark.sql.DataFrame, stage: String) =
+        Dedup.verifyCandidates(d, "doc_id", "text", c, "id_a", "id_b")
+          .withColumn("stage", lit(stage))
+      verified(s1, "probe_corpus")
+        .unionByName(verified(s2, "within_batch"))
+        .unionByName(verified(s3, "probe_appended"))
+        .select("stage", "id_a", "id_b", "jac")
+        .orderBy("stage", "id_a", "id_b")
     }),
     // SimHash signatures; near-dups share high bit-overlap (rows-only).
     // Corpus-scale shape: explode + codegen'd bit sums, not per-row HOFs.

@@ -83,4 +83,28 @@ class CatalogContractSpec extends SparkSpec {
     // decode stub emits features for every non-null media row
     assert(SparkEntry.queries("q_multimodal_decode")(spark, sf001).count() == nDocs)
   }
+
+  test("rows-only invariant: the full incremental loop proves its index append") {
+    import org.apache.spark.sql.functions.col
+    val full = SparkEntry.queries("q_dedup_incremental_full")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every stage's pairs carry the exact-verified Jaccard contract
+    assert(full.forall(_._4 >= 0.5))
+    // stage membership: probe_corpus pairs day-1 (%5==0) docs with the
+    // base corpus (%5>=2); within_batch pairs day-1 docs only;
+    // probe_appended pairs day-2 (%5==1) docs with base OR day-1 docs
+    assert(full.filter(_._1 == "probe_corpus")
+      .forall(p => p._2 % 5 == 0 && p._3 % 5 >= 2))
+    assert(full.filter(_._1 == "within_batch")
+      .forall(p => p._2 % 5 == 0 && p._3 % 5 == 0))
+    assert(full.filter(_._1 == "probe_appended")
+      .forall(p => p._2 % 5 == 1 && p._3 % 5 != 1))
+    // THE append proof: at least one day-2 pair lands on a day-1 doc,
+    // which can only come from buckets appended in step 3
+    assert(full.exists(p => p._1 == "probe_appended" && p._3 % 5 == 0),
+      "no day-2 x day-1 pair — the index append is not visible to the second probe")
+    // and the pre-append probe result stayed clean of day-1 index rows
+    // (materialized before the append; a lazy probe would see them)
+    assert(!full.exists(p => p._1 == "probe_corpus" && p._3 % 5 == 0))
+  }
 }
