@@ -53,4 +53,61 @@ object RangeJoin {
     candidates(points, ptCol, intervals, startCol, endCol, binSeconds)
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
+
+  /** Bin width derived from the DATA instead of a caller constant.
+    *
+    * The cost model: with mean interval length W and point density rho
+    * (points per second over the observed span), a bin width b costs
+    * ~|I|*(W/b + 1) exploded interval rows plus ~|I|*rho*(W + b)
+    * equi-join candidates — wide bins don't fan intervals out but sweep
+    * in a bin's worth of unrelated points per interval; narrow bins
+    * approach the true-match floor |I|*rho*W at the price of fan-out.
+    * The total is minimized at b* = sqrt(W / rho): as density grows k×
+    * (the 30× scale-up grew BOTH sides in a fixed time span), the right
+    * bin width shrinks by sqrt(k) — a constant tuned at one SF is
+    * guaranteed wrong at another, which is exactly what the sf3 sweep
+    * measured (within-bin candidate volume ~1.75x above the floor at a
+    * constant W-sized bin).
+    *
+    * b* is clamped to [W/1024, W]: the lower clamp bounds fan-out at
+    * ~1025 rows per interval regardless of density; the upper keeps the
+    * historical "bin ≈ interval length" behavior for sparse data.
+    *
+    * The stats pass is two single-row aggregates (avg interval length;
+    * point count + span) — column-pruned scans, the same derive-once
+    * trade as z-order's quantization domains: a repeatedly-run layout
+    * job should compute them once and call [[pointInInterval]] with the
+    * result; this entry point is the self-tuning convenience for
+    * one-shot queries. Degenerate stats (no rows, zero-length intervals,
+    * zero span) fall back to `fallbackBinSeconds`. */
+  def adaptiveBinSeconds(points: DataFrame, ptCol: String,
+                         intervals: DataFrame, startCol: String, endCol: String,
+                         fallbackBinSeconds: Long = 86400L): Long = {
+    val iv = intervals.agg(
+      avg(col(endCol).cast("timestamp").cast("long") -
+        col(startCol).cast("timestamp").cast("long")).as("w")).head()
+    val pt = points.agg(
+      count(lit(1)).as("n"),
+      (max(col(ptCol).cast("timestamp").cast("long")) -
+        min(col(ptCol).cast("timestamp").cast("long"))).as("span")).head()
+    val w = if (iv.isNullAt(0)) 0.0 else iv.getDouble(0)
+    val n = pt.getLong(0)
+    val span = if (pt.isNullAt(1)) 0L else pt.getLong(1)
+    if (w <= 0.0 || n == 0L || span <= 0L) fallbackBinSeconds
+    else {
+      val rho = n.toDouble / span
+      val bStar = math.sqrt(w / rho)
+      math.max(1L, math.min(w, math.max(w / 1024.0, bStar)).round)
+    }
+  }
+
+  /** [[pointInInterval]] with the bin width chosen by
+    * [[adaptiveBinSeconds]] from the inputs' own statistics. */
+  def pointInIntervalAdaptive(points: DataFrame, ptCol: String,
+                              intervals: DataFrame, startCol: String,
+                              endCol: String,
+                              fallbackBinSeconds: Long = 86400L): DataFrame =
+    pointInInterval(points, ptCol, intervals, startCol, endCol,
+      adaptiveBinSeconds(points, ptCol, intervals, startCol, endCol,
+        fallbackBinSeconds))
 }

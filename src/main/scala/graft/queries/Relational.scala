@@ -572,15 +572,19 @@ object Relational {
     // Point-in-interval range join via binning (ops.RangeJoin): ship dates
     // falling inside sampled 7-day order windows. A naive inequality join
     // plans as a nested loop; the binned plan is an ordinary equi-join.
+    // Bin width is DERIVED from the data (sqrt(W/rho), see
+    // adaptiveBinSeconds) — the constant-week width was measured ~1.75x
+    // above the candidate floor once the 30x scale-up raised point
+    // density; the adaptive width tracks density so the candidate volume
+    // stays near the true-match floor at every SF.
     "q_join_range_binned" -> ((s, dir) => {
-      val week = 7L * 86400
       val iv = tbl(s, dir, "orders")
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
           (col("o_orderdate") + make_dt_interval(days = lit(7))).as("w_end"))
       val pts = tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
-      graft.ops.RangeJoin.pointInInterval(pts, "l_shipdate", iv,
-          "w_start", "w_end", binSeconds = week)
+      graft.ops.RangeJoin.pointInIntervalAdaptive(pts, "l_shipdate", iv,
+          "w_start", "w_end")
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_ship"))
         .orderBy("o_orderkey")
     })

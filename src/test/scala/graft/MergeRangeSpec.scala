@@ -94,6 +94,51 @@ class MergeRangeSpec extends SparkSpec {
       (2L, 13L), (2L, 17L), (3L, 15L)))
   }
 
+  test("adaptive bin width: identical results, near-floor candidates, sane fallbacks") {
+    // same planted data as the exact-match test above
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 35L), (3L, 100L, 101L))
+      .toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    val pts = Seq((10L, 0L), (11L, 9L), (12L, 10L), (13L, 34L), (14L, 35L),
+      (15L, 100L), (16L, 101L), (17L, 20L))
+      .toDF("pt_id", "t_raw")
+      .select(col("pt_id"), col("t_raw").cast("timestamp").as("t"))
+    val adaptive = RangeJoin.pointInIntervalAdaptive(pts, "t", iv, "s", "e")
+      .select("iv_id", "pt_id").orderBy("iv_id", "pt_id")
+      .as[(Long, Long)].collect().toSeq
+    val fixed = RangeJoin.pointInInterval(pts, "t", iv, "s", "e", binSeconds = 8L)
+      .select("iv_id", "pt_id").orderBy("iv_id", "pt_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(adaptive == fixed, "bin width must never change join semantics")
+    // on the real corpus: the derived width beats (or ties) the historic
+    // constant-week width on candidate volume — the quantity the shuffle
+    // and the exact recheck actually pay for
+    val dir = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("s"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("e"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate")
+    val b = RangeJoin.adaptiveBinSeconds(li, "l_shipdate", o, "s", "e")
+    val week = 7L * 86400
+    assert(b >= 1L && b <= week, s"derived width $b outside (0, W]")
+    val cAdaptive = RangeJoin.candidates(li, "l_shipdate", o, "s", "e", b).count()
+    val cWeek = RangeJoin.candidates(li, "l_shipdate", o, "s", "e", week).count()
+    val matches = RangeJoin.pointInInterval(li, "l_shipdate", o, "s", "e", b).count()
+    assert(cAdaptive <= cWeek,
+      s"adaptive width produced MORE candidates ($cAdaptive) than week bins ($cWeek)")
+    assert(cAdaptive >= matches, "candidates can never undercut true matches")
+    // degenerate inputs fall back instead of dividing by zero
+    val empty = pts.where(lit(false))
+    assert(RangeJoin.adaptiveBinSeconds(empty, "t", iv, "s", "e", 123L) == 123L)
+    val zeroLen = iv.select(col("iv_id"), col("s"), col("s").as("e"))
+    assert(RangeJoin.adaptiveBinSeconds(pts, "t", zeroLen, "s", "s", 123L) == 123L)
+    val oneInstant = pts.where(col("pt_id") === 10L)
+    assert(RangeJoin.adaptiveBinSeconds(oneInstant, "t", iv, "s", "e", 123L) == 123L)
+  }
+
   test("upsert handles composite keys and an empty delta") {
     val base = Seq((1L, "x", 10.0), (1L, "y", 20.0)).toDF("k1", "k2", "v")
     val delta = Seq((1L, "y", 99.0)).toDF("k1", "k2", "v")
