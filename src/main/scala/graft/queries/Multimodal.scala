@@ -7,24 +7,83 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/featurized by a pluggable kernel.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): a deterministic fake that maps the first 16 bytes to a
-  * normalized float feature vector. Everything around it — binary encoding,
-  * metadata struct, per-partition batch execution — is the real pipeline
-  * shape: swap [[StubCodec.decode]] for a JNI/codec call and nothing else
-  * changes.
+  * Two codec tiers:
+  *
+  *  - [[PngCodec]] is a REAL image codec — `javax.imageio` PNG
+  *    encode/decode, pure JVM, no native deps. `q_multimodal_decode`
+  *    round-trips every document through it: payload bytes → genuine PNG
+  *    (compressed, CRC'd, magic-numbered) → decoded width/height/pixel
+  *    stats. PNG is lossless, so decoded pixel sums equal payload byte
+  *    sums exactly — the invariant MultimodalIngestSpec pins, alongside a
+  *    golden-file decode of a checked-in PNG.
+  *  - [[StubCodec]] remains for `q_multimodal_ingest`, whose inputs are
+  *    arbitrary binary files (parquet), not images: it stands in for a
+  *    format-specific featurizer with expensive construction. The
+  *    surrounding shape — binary column, per-partition batch execution,
+  *    streamed rows — is identical for both, which is the point: swapping
+  *    kernels changes nothing else.
   */
 object Multimodal {
 
-  /** STUB codec — stands in for an image/audio decoder whose *construction*
-    * is expensive (native lib load, model weights). Instantiated once per
-    * partition by [[decodeBatch]], reused across that partition's rows. */
+  /** STUB codec — stands in for a decoder of formats this container has no
+    * library for (audio, video), with expensive *construction* (native lib
+    * load, model weights). Instantiated once per partition by
+    * [[decodeBatch]], reused across that partition's rows. */
   final class StubCodec {
     def decode(bytes: Array[Byte]): Array[Float] =
       if (bytes == null) null
       else {
         val n = math.min(bytes.length, 16)
         Array.tabulate(16)(i => if (i < n) (bytes(i) & 0xff).toFloat / 255f else 0f)
+      }
+  }
+
+  /** REAL image codec: `javax.imageio` PNG (decoder ships in every JDK).
+    * One instance per partition — ImageIO's plugin registry lookup is the
+    * construction cost worth amortizing. */
+  final class PngCodec {
+    /** Payload bytes → grayscale PNG: width = ceil(sqrt(n)) (squarish
+      * frame), row-major fill, zero-padded tail. Real compression, real
+      * checksums — downstream consumers can feed the output to any PNG
+      * reader. */
+    def encode(payload: Array[Byte]): Array[Byte] =
+      if (payload == null) null
+      else {
+        val n = math.max(payload.length, 1)
+        val w = math.ceil(math.sqrt(n.toDouble)).toInt
+        val h = math.ceil(n.toDouble / w).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < payload.length) {
+          raster.setSample(i % w, i / w, 0, payload(i) & 0xff)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
+        val ok = javax.imageio.ImageIO.write(img, "png", out)
+        require(ok, "JDK PNG writer unavailable")
+        out.toByteArray
+      }
+
+    /** PNG bytes → (width, height, pixel sum over the single gray band).
+      * Null media stays null (tuple of nulls downstream); non-image bytes
+      * fail loudly — silently emitting zeros would corrupt corpus stats. */
+    def decode(bytes: Array[Byte]): (Int, Int, Long) =
+      if (bytes == null) null
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "media is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (w, h, sum)
       }
   }
 
@@ -39,6 +98,42 @@ object Multimodal {
     df.mapPartitions { rows =>
       val codec = new StubCodec // once per partition, NOT per row
       rows.map(r => Row.fromSeq(r.toSeq :+ codec.decode(r.getAs[Array[Byte]](mediaIdx))))
+    }(Encoders.row(outSchema))
+  }
+
+  /** Payload → real PNG media column, per-partition batch shape. Input
+    * must carry a binary `payload` column; output appends `media` (the
+    * PNG bytes — a genuine binary media column any PNG reader accepts). */
+  def encodePngBatch(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("media", org.apache.spark.sql.types.BinaryType)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      val codec = new PngCodec
+      rows.map(r => Row.fromSeq(r.toSeq :+ codec.encode(r.getAs[Array[Byte]](payloadIdx))))
+    }(Encoders.row(outSchema))
+  }
+
+  /** Real image decode via mapPartitions: appends `width`, `height`,
+    * `px_sum` (exact gray-band pixel sum) from the binary `media` column. */
+  def decodePngBatch(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("width", org.apache.spark.sql.types.IntegerType)
+      .add("height", org.apache.spark.sql.types.IntegerType)
+      .add("px_sum", org.apache.spark.sql.types.LongType)
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      val codec = new PngCodec // once per partition, NOT per row
+      rows.map { r =>
+        val d = codec.decode(r.getAs[Array[Byte]](mediaIdx))
+        // explicit boxing: Seq(d._1, d._2, d._3) harmonizes (Int, Int,
+        // Long) to Seq[Long] — Scala's weak-LUB numeric widening, even
+        // under a Seq[Any] ascription — and the INT row encoder then
+        // rejects the widened width/height at runtime
+        val extra: Seq[Any] =
+          if (d == null) Seq(null, null, null)
+          else Seq(Int.box(d._1), Int.box(d._2), Long.box(d._3))
+        Row.fromSeq(r.toSeq ++ extra)
+      }
     }(Encoders.row(outSchema))
   }
 
@@ -107,17 +202,23 @@ object Multimodal {
             / size(col("features")), 6)
             .as("feature_mean"))
         .orderBy("file_name")),
-    // Decode path: binary -> feature vector via the per-partition batch
-    // codec (rows-only).
+    // Decode path — REAL codec: every document's UTF-8 bytes become a
+    // genuine grayscale PNG (javax.imageio encode: DEFLATE, CRCs, magic),
+    // then the decode kernel reads it back and emits true image stats.
+    // PNG is lossless, so px_sum equals the payload's unsigned byte sum
+    // exactly and width*height bounds the byte count — the invariants
+    // MultimodalIngestSpec pins (plus a golden-file decode). Rows-only:
+    // DuckDB has no image codec, which is the point of the tier.
     "q_multimodal_decode" -> ((s, dir) =>
-      decodeBatch(
-        tbl(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media")))
-        .select(col("doc_id"),
-          size(col("features")).as("n_features"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x)
-            / size(col("features")), 6)
-            .as("feature_mean"))
+      decodePngBatch(
+        encodePngBatch(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+          .select(col("doc_id"), length(col("payload")).as("payload_bytes"),
+            col("media")))
+        .select(col("doc_id"), col("payload_bytes"),
+          length(col("media")).as("png_bytes"),
+          col("width"), col("height"), col("px_sum"))
         .orderBy("doc_id"))
   )
 
