@@ -180,8 +180,18 @@ object StreamOps {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** State store provider defaults to ROCKSDB for every catalog stream:
+    * the production stance argued at [[RocksDbProviderConf]] applies
+    * catalog-wide, not just to the queries that happened to opt in —
+    * windowed aggs, sessions, dedup, and stream-stream join state all
+    * outgrow the heap long before 100 TB. Providers are proven
+    * result-identical in StreamingSemanticsSpec; stateless streams
+    * (static join, foreachBatch) simply never instantiate a store.
+    * Pass `Some(other)` to override, `None` is kept meaning "session
+    * default" for tests that compare providers. */
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String,
-                 stateStoreProvider: Option[String] = None): DataFrame = {
+                 stateStoreProvider: Option[String] =
+                   Some(RocksDbProviderConf._2)): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNanos = s.conf.get(NanosConf)
     val providerKey = RocksDbProviderConf._1

@@ -202,6 +202,34 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the non-equi shipdate predicate must ride the semi join")
   }
 
+  test("curate pipeline: exactly two row-bearing shuffles on the emit path") {
+    // q_curate_pipeline's scaladoc claims the emit path crosses two
+    // row-bearing shuffles (dedup's content-hash window + the pack
+    // shard window), with the mixture stats arriving via broadcast and
+    // the manifest aggregate reusing the shard partitioning. Encode that
+    // as a contract: outside broadcast subtrees the plan may hold exactly
+    // those two hash exchanges plus the single presentation ORDER BY
+    // (range) — a future edit that sneaks in another exchange fails here.
+    val p = plan("q_curate_pipeline")
+    def shufflesIn(t: org.apache.spark.sql.execution.SparkPlan) =
+      t.collect { case e: ShuffleExchangeExec => e }
+    val all = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    val underBroadcast = collectWithSubqueries(p) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.flatMap(b => shufflesIn(b.child))
+    val emit = all.filterNot(e => underBroadcast.exists(_ eq e))
+    val (range, hash) = emit.partition(
+      _.outputPartitioning.getClass.getSimpleName.contains("RangePartitioning"))
+    assert(hash.length == 2,
+      s"emit path must cross exactly 2 row-bearing hash shuffles, got ${hash.length}:\n$p")
+    assert(range.length == 1,
+      s"exactly one presentation sort expected, got ${range.length}:\n$p")
+    // the stats subtree rides a broadcast (its own exchanges are the
+    // documented second pass, not the emit path)
+    assert(underBroadcast.nonEmpty,
+      "mixture stats should arrive via a broadcast subtree")
+  }
+
   test("recursive CTE plans as a real UnionLoop, not an unrolled union") {
     // Spark 4's WITH RECURSIVE plans the fixpoint as UnionLoop (anchor +
     // per-iteration join against UnionLoopRef) — the engine iterates to
