@@ -33,9 +33,25 @@ object ZOrder {
     }
   }
 
+  /** One-pass (min, max) domain derivation for [[quantize]]: a single
+    * aggregate over all clustering columns at once — 2N scalar results
+    * from ONE scan, never one pass per column. This is the "derive them
+    * once" half of the quantize contract: a layout JOB computes domains
+    * one time (or takes them from table-level stats) and reuses them for
+    * every batch it clusters, so the z-mapping stays identical across
+    * incremental writes and re-clustering. Returns pairs in input order. */
+  def deriveDomains(df: DataFrame, cols: String*): Seq[(Double, Double)] = {
+    require(cols.nonEmpty, "deriveDomains needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+  }
+
   /** Quantize a numeric column to `[0, 2^bits)` for [[zValue]] — callers
     * supply the (min, max) domain so the mapping is deterministic and
-    * identical across writes (derive them once, not per batch).
+    * identical across writes (derive them once, not per batch —
+    * [[deriveDomains]] is the one-pass derivation).
     *
     * NULL propagates as NULL (it must not silently land in bucket 0 —
     * `greatest`/`least` skip nulls, so without the explicit branch a null

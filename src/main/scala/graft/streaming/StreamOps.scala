@@ -171,27 +171,49 @@ object StreamOps {
     * keeps every store's working state ON HEAP — fine for these demo
     * volumes, a hard wall at 100 TB scale where session/join state can
     * reach hundreds of GB per executor-week. RocksDB keeps state off-heap
-    * on local disk with incremental checkpointing; it is the production
-    * choice for long-lived stateful streams and is proven
-    * result-identical to the default provider in
-    * `StreamingSemanticsSpec` (providers change WHERE state lives, never
-    * what it contains). */
+    * on local disk with incremental checkpointing; it is the choice for
+    * long-lived stateful streams whose working state approaches executor
+    * heap (see [[DefaultStateProvider]] for the measured trade at
+    * heap-sized state) and is proven result-identical to the default
+    * provider in `StreamingSemanticsSpec` (providers change WHERE state
+    * lives, never what it contains). */
   val RocksDbProviderConf: (String, String) =
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** State store provider defaults to ROCKSDB for every catalog stream:
-    * the production stance argued at [[RocksDbProviderConf]] applies
-    * catalog-wide, not just to the queries that happened to opt in —
-    * windowed aggs, sessions, dedup, and stream-stream join state all
-    * outgrow the heap long before 100 TB. Providers are proven
-    * result-identical in StreamingSemanticsSpec; stateless streams
-    * (static join, foreachBatch) simply never instantiate a store.
-    * Pass `Some(other)` to override, `None` is kept meaning "session
-    * default" for tests that compare providers. */
+  /** Deployment-level state-store choice for every catalog stream that
+    * does not mandate a provider itself. `SPARK_GRAFT_STATE_PROVIDER=
+    * rocksdb` flips the whole catalog to RocksDB in one knob; unset keeps
+    * Spark's in-memory (HDFS-checkpointed) store.
+    *
+    * Why in-memory is the DEFAULT and not RocksDB — measured, not argued:
+    * a blanket RocksDB default was tried and benchmarked. At sf3 (30×)
+    * the watermark-bounded interval joins ran `q_stream_stream_join`
+    * 21.2 s / `q_stream_outer_join` 23.9 s under RocksDB vs 6.7 s / 7.4 s
+    * under the in-memory store — 3.2× SLOWER, and changelog checkpointing
+    * (incremental commits instead of full snapshot uploads) recovered
+    * almost none of it (19.4 s / 22.6 s): the cost is the JNI per-key
+    * read/write path on the join's four state stores, which heap-sized
+    * state never needs to pay. RocksDB wins exactly when working state
+    * approaches executor heap (long-horizon sessions, weeks of join
+    * state) — that is a DEPLOYMENT property, not a query property, hence
+    * an env seam rather than a per-query hardcode. Queries whose
+    * machinery requires RocksDB (`transformWithState`:
+    * `statefulCounts`/`sessionTimeout`/`statefulCountsTws`) pass it
+    * explicitly and ignore the knob; providers are proven
+    * result-identical in StreamingSemanticsSpec, so the knob changes
+    * WHERE state lives, never what the catalog returns. */
+  val DefaultStateProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").map(_.toLowerCase) match {
+      case Some("rocksdb") => Some(RocksDbProviderConf._2)
+      case _ => None
+    }
+
+  /** Runs a stream to a memory sink. `stateStoreProvider = None` means
+    * the session default (in-memory unless the deployment knob above is
+    * set); `Some(provider)` pins one for queries that mandate it. */
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String,
-                 stateStoreProvider: Option[String] =
-                   Some(RocksDbProviderConf._2)): DataFrame = {
+                 stateStoreProvider: Option[String] = DefaultStateProvider): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNanos = s.conf.get(NanosConf)
     val providerKey = RocksDbProviderConf._1

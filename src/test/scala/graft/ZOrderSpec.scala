@@ -50,4 +50,12 @@ class ZOrderSpec extends SparkSpec {
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
     assert(got == Seq(None, Some(0L), Some(7L), Some(15L)))
   }
+
+  test("deriveDomains returns per-column (min, max) pairs in input order") {
+    val df = Seq((3, 10.5), (-7, 2.0), (12, 99.25)).toDF("a", "b")
+    assert(ZOrder.deriveDomains(df, "a", "b") ==
+      Seq((-7.0, 12.0), (2.0, 99.25)))
+    assert(ZOrder.deriveDomains(df, "b") == Seq((2.0, 99.25)))
+    intercept[IllegalArgumentException](ZOrder.deriveDomains(df))
+  }
 }
