@@ -96,36 +96,58 @@ object ScaleUpMain {
     write("events", rep(events, Map(
       "event_id" -> evS, "user_id" -> custS)), 8)
 
-    // per-replica alphabet permutation: rotate a–z (and A–Z) by a shift
-    // that can never wrap back to 0 — a plain 7*i shift is the identity
-    // whenever 7*i % 26 == 0 (replica 26 would carry byte-identical text
-    // to replica 0, planting exact cross-replica duplicates that skew
-    // dedup/LSH candidate density). 1 + (7*i) % 25 stays in [1, 25] for
-    // every i >= 1, so every replica's text is permuted.
+    // per-replica alphabet permutation — must be INJECTIVE over replica
+    // index, not merely non-identity: any two replicas sharing a
+    // permutation carry byte-identical text (the same transform of the
+    // same base), planting exact cross-replica duplicates that skew
+    // dedup/LSH candidate density. A pure rotation has only 25 non-
+    // identity values, so shifts collide every 25 replicas no matter the
+    // stride. An AFFINE map j -> (s*j + t) mod 26 over letter positions,
+    // with s a unit mod 26 (12 choices) and t a shift (26 choices),
+    // yields 312 distinct permutations: i -> (s, t) = (S[i/26 mod 12],
+    // i mod 26) is injective for i < 312, asserted below. Replica 0 maps
+    // to (1, 0) = identity — it IS the original corpus.
+    val affineS = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(factor <= 312,
+      s"text permutation supports at most 312 distinct replicas, got $factor")
     val lower = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    def affine(s: Int, t: Int): String =
+      (0 until 26).map(j => ('a' + (s * j + t) % 26).toChar).mkString
     write("documents", rep(documents, Map("doc_id" -> docS),
       (d, i) =>
         if (i == 0) d
         else {
-          val k = 1 + (7 * i) % 25
+          val perm = affine(affineS((i / 26) % 12), i % 26)
           d.withColumn("text", translate(col("text"),
             lower + lower.toUpperCase,
-            rot(lower, k) + rot(lower, k).toUpperCase))
+            perm + perm.toUpperCase))
         }), 4)
 
     // per-replica component rotation: norm-preserving, cross-replica
-    // cosine decorrelated. Same non-wrapping shift shape as the text
-    // rotation above: 1 + (7*i) % (dim-1) is never 0 mod dim for i >= 1,
-    // so no replica carries component-identical vectors to replica 0.
+    // cosine decorrelated — and, like the text permutation, INJECTIVE
+    // over replica index. Rotations alone give only dim-1 distinct
+    // non-identity values (and a strided shift like 7*i % 63 is worse:
+    // gcd(7, 63) = 7 leaves just 9 distinct shifts, colliding at
+    // factor 11). Pair k = 1 + (i-1) % (dim-1) with a full negation on
+    // every second wrap of the rotation cycle: (k, sign) is injective
+    // for i <= 2*(dim-1), i.e. factor <= 127 at dim 64. Negation is
+    // norm-preserving and flips cosine sign, so threshold/top-k
+    // semantics stay realistic (no planted near-1 correlations).
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= 2 * (dim - 1) + 1,
+      s"embedding permutation supports at most ${2 * (dim - 1) + 1} " +
+        s"distinct replicas at dim $dim, got $factor")
     write("embeddings", rep(embeddings, Map("vec_id" -> vecS),
       (d, i) => {
-        val k = if (i == 0) 0 else 1 + (7 * i) % (dim - 1)
-        if (k == 0) d
-        else d.withColumn("embedding",
-          concat(slice(col("embedding"), k + 1, dim - k),
-            slice(col("embedding"), 1, k)))
+        if (i == 0) d
+        else {
+          val k = 1 + (i - 1) % (dim - 1)
+          val negate = ((i - 1) / (dim - 1)) % 2 == 1
+          val rotated = concat(slice(col("embedding"), k + 1, dim - k),
+            slice(col("embedding"), 1, k))
+          d.withColumn("embedding",
+            if (negate) transform(rotated, x => -x) else rotated)
+        }
       }), 4)
 
     spark.stop()
