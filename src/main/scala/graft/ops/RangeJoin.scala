@@ -110,4 +110,102 @@ object RangeJoin {
     pointInInterval(points, ptCol, intervals, startCol, endCol,
       adaptiveBinSeconds(points, ptCol, intervals, startCol, endCol,
         fallbackBinSeconds))
+
+  /** Count of points per interval via a distributed boundary SWEEP —
+    * the plan to use when the range join's payload is an aggregate, not
+    * the matched pairs themselves.
+    *
+    * Any pair-materializing plan (binned or not) pays for the matches:
+    * with interval count |I|, point density rho and interval length W,
+    * that is |I|·rho·W rows. When BOTH sides grow k× inside a fixed time
+    * span — exactly what a density-scaled corpus looks like — the pair
+    * volume grows k². The sf10 (100×) sweep measured the consequence:
+    * ~26 billion candidate pairs for a count-only query, an OOM at
+    * default executor memory. But `count(*) per interval` never needs
+    * the pairs: with F(t) = |{p : p < t}|, the half-open count is
+    * F(end) − F(start) — two lookups into ONE prefix sum over the point
+    * stream.
+    *
+    * Plan: union points (weight 1) with interval boundaries (weight 0),
+    * shard by fixed-width time ranges (`floor((t−lo)/shardWidth)`, a
+    * DERIVED deterministic key — no repartitionByRange sampling pass),
+    * per-shard window cumsum ordered by (t, weight) so boundaries sort
+    * before same-instant points (point == start is counted, point == end
+    * excluded — half-open exactly), then add per-shard offsets (a
+    * broadcast of ≤ ~nShards+2 rows — the only driver-scale state) and
+    * difference the two F values per interval. Cost: ONE shuffle of
+    * n + 2|I| rows and a per-shard sort — linear in the inputs at ANY
+    * density, no pair ever materialized. Intervals with no points are
+    * dropped (inner-join semantics, matching [[pointInInterval]] +
+    * groupBy count); malformed intervals (end <= start) count <= 0 and
+    * are dropped by the same filter.
+    *
+    * Scale shape at 100 TB: shards are fixed-width time slices, so a
+    * year-long corpus at any row count is nShards balanced sort tasks;
+    * time-skewed data lands as shard skew, which AQE splits. The
+    * boundary rows (2|I|) ride the same shuffle — no second scan of the
+    * fact side, no stats pass beyond one column-pruned (min, max).
+    *
+    * `keyCols` must uniquely identify interval rows (they are the pivot
+    * key for the start/end difference). */
+  def countPerInterval(points: DataFrame, ptCol: String,
+                       intervals: DataFrame, keyCols: Seq[String],
+                       startCol: String, endCol: String,
+                       countCol: String = "n_points",
+                       nShards: Int = 256): DataFrame = {
+    require(keyCols.nonEmpty, "countPerInterval needs interval key columns")
+    import org.apache.spark.sql.expressions.Window
+    def sec(c: Column): Column = c.cast("timestamp").cast("long")
+    val st = points.agg(min(sec(col(ptCol))).as("lo"),
+      max(sec(col(ptCol))).as("hi")).head()
+    // no points at all: every interval counts 0 and the inner-join
+    // contract drops it — the pipeline below yields exactly that with a
+    // degenerate single shard
+    val (lo, hi) = if (st.isNullAt(0)) (0L, 0L)
+                   else (st.getLong(0), st.getLong(1))
+    val shardWidth = math.max(1L, (hi - lo) / nShards + 1L)
+
+    val key = struct(keyCols.map(col): _*)
+    val bounds = intervals.select(
+      explode(array(
+        struct(sec(col(startCol)).as("t"), lit(0).as("kind")),
+        struct(sec(col(endCol)).as("t"), lit(1).as("kind")))).as("b"),
+      key.as("__key"))
+      .select(col("b.t").as("__t"), lit(0L).as("__w"),
+        col("b.kind").as("__kind"), col("__key"))
+    val keyType = bounds.schema("__key").dataType
+    val pts = points.select(sec(col(ptCol)).as("__t"), lit(1L).as("__w"),
+      lit(-1).as("__kind"), lit(null).cast(keyType).as("__key"))
+
+    // out-of-span boundaries simply land in shards below 0 / above
+    // nShards — the offset cumsum is over whatever shard ids exist.
+    // Null timestamps are dropped on BOTH sides (the binned join drops
+    // them via null comparisons; here a null would otherwise form a
+    // null shard that sorts first in the offset cumsum).
+    val sweep = pts.unionByName(bounds)
+      .filter(col("__t").isNotNull)
+      .withColumn("__shard",
+        floor((col("__t") - lit(lo)) / lit(shardWidth)))
+    val local = Window.partitionBy("__shard")
+      .orderBy(col("__t"), col("__w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sweep.withColumn("__cum", sum("__w").over(local))
+    // per-shard totals: tiny (<= ~nShards + out-of-span stragglers), so
+    // the single-partition window over shard ids is bounded by nShards,
+    // never by data volume
+    val offW = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sweep.groupBy("__shard").agg(sum("__w").as("__stot"))
+      .select(col("__shard"),
+        coalesce(sum("__stot").over(offW), lit(0L)).as("__off"))
+
+    cum.filter(col("__kind") >= 0) // boundary rows only: 2|I| survive
+      .join(broadcast(offsets), Seq("__shard"))
+      .withColumn("__F", col("__cum") + col("__off"))
+      .groupBy("__key")
+      .agg((max(when(col("__kind") === 1, col("__F"))) -
+        max(when(col("__kind") === 0, col("__F")))).as(countCol))
+      .filter(col(countCol) > 0)
+      .select(col("__key.*"), col(countCol))
+  }
 }

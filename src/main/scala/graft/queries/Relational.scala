@@ -596,6 +596,25 @@ object Relational {
           "w_start", "w_end")
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_ship"))
         .orderBy("o_orderkey")
+    }),
+    // Same question as q_join_range_binned — lineitems shipped inside
+    // each sampled 7-day order window — via the boundary SWEEP
+    // (RangeJoin.countPerInterval) instead of the pair join. The pair
+    // plan's output is |I|·rho·W rows, k²-growing when both sides
+    // densify in a fixed span (the sf10 sweep measured ~26e9 candidate
+    // pairs and an executor OOM at default memory for THIS count-only
+    // question); the sweep is one shuffle of n + 2|I| rows — prefix
+    // sums, never pairs — at any density. Both entries share one DuckDB
+    // oracle text, so the driver proves plan-for-plan equivalence.
+    "q_join_range_sweep" -> ((s, dir) => {
+      val iv = tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + make_dt_interval(days = lit(7))).as("w_end"))
+      val pts = tbl(s, dir, "lineitem").select("l_shipdate")
+      graft.ops.RangeJoin.countPerInterval(pts, "l_shipdate", iv,
+          Seq("o_orderkey"), "w_start", "w_end", countCol = "n_ship")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -876,6 +895,13 @@ object Relational {
          FROM base b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey
          ORDER BY o_orderkey""",
     "q_join_range_binned" ->
+      """SELECT o.o_orderkey, count(*) AS n_ship
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         WHERE o.o_orderkey % 100 = 0
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
+    "q_join_range_sweep" ->
       """SELECT o.o_orderkey, count(*) AS n_ship
          FROM orders o JOIN lineitem l
            ON l.l_shipdate >= o.o_orderdate

@@ -183,4 +183,77 @@ class MergeRangeSpec extends SparkSpec {
     val out = graft.ops.Merge.upsert(base, delta, Seq("k")).collect()
     assert(out.length == 1 && out.head.getString(1) == "b")
   }
+
+  test("boundary sweep matches pair join + count exactly, incl. half-open ties") {
+    // iv 1: [0,10)  — point at 0 counted (start inclusive), at 10 not
+    // iv 2: [5,35)  — end-exclusive tie at 35
+    // iv 3: [100,101) — one interior point
+    // iv 4: [200,210) — no points: dropped (inner-join semantics)
+    // iv 5: [40,40) — empty interval: dropped
+    // iv 6: [50,45) — malformed (end < start): dropped
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 35L), (3L, 100L, 101L),
+      (4L, 200L, 210L), (5L, 40L, 40L), (6L, 50L, 45L))
+      .toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    val pts = Seq((10L, 0L), (11L, 9L), (12L, 10L), (13L, 34L), (14L, 35L),
+      (15L, 100L), (16L, 101L), (17L, 20L))
+      .toDF("pt_id", "t_raw")
+      .select(col("pt_id"), col("t_raw").cast("timestamp").as("t"))
+    val swept = RangeJoin.countPerInterval(pts.select("t"), "t", iv,
+        Seq("iv_id"), "s", "e", countCol = "n")
+      .orderBy("iv_id").as[(Long, Long)].collect().toSeq
+    val paired = RangeJoin.pointInInterval(pts, "t", iv, "s", "e",
+        binSeconds = 8L)
+      .groupBy("iv_id").agg(count(lit(1)).as("n"))
+      .orderBy("iv_id").as[(Long, Long)].collect().toSeq
+    assert(swept == paired, "sweep must agree with the pair join")
+    assert(swept == Seq((1L, 2L), (2L, 4L), (3L, 1L)))
+  }
+
+  test("boundary sweep agrees with the pair join on the real corpus at every shard count") {
+    val dir = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("s"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("e"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_shipdate")
+    val expected = RangeJoin.pointInIntervalAdaptive(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate"), "l_shipdate", o, "s", "e")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderkey").as[(Long, Long)].collect().toSeq
+    // shard count is a parallelism knob, never a semantics knob: a
+    // single shard (one global cumsum) and a shard per few seconds must
+    // return identical counts
+    for (shards <- Seq(1, 7, 256)) {
+      val swept = RangeJoin.countPerInterval(li, "l_shipdate", o,
+          Seq("o_orderkey"), "s", "e", countCol = "n", nShards = shards)
+        .orderBy("o_orderkey").as[(Long, Long)].collect().toSeq
+      assert(swept == expected, s"sweep at nShards=$shards diverged")
+    }
+  }
+
+  test("boundary sweep: no points and null timestamps degenerate cleanly") {
+    val iv = Seq((1L, 0L, 10L)).toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    val noPts = Seq.empty[(Long, Long)].toDF("pt_id", "t_raw")
+      .select(col("t_raw").cast("timestamp").as("t"))
+    assert(RangeJoin.countPerInterval(noPts, "t", iv,
+      Seq("iv_id"), "s", "e").count() == 0L)
+    // null point timestamps are dropped, not mis-sharded; an interval
+    // with a null boundary is dropped like the binned join drops it
+    val pts = Seq(Some(5L), None, Some(7L)).toDF("t_raw")
+      .select(col("t_raw").cast("timestamp").as("t"))
+    val ivNull = Seq((1L, Some(0L), Some(10L)), (2L, Some(0L), None))
+      .toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    val out = RangeJoin.countPerInterval(pts, "t", ivNull,
+        Seq("iv_id"), "s", "e", countCol = "n")
+      .orderBy("iv_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
 }
