@@ -106,6 +106,57 @@ object TextAnalysis {
       .drop("_toks", "_n")
   }
 
+  /** Per-document unigram-LM pseudo-perplexity — the CCNet-style corpus
+    * quality signal: score each document by the mean negative
+    * log-likelihood (NLL, nats/token) of its tokens under a unigram
+    * language model estimated from the corpus itself. Common boilerplate
+    * scores low (head), rare-token noise scores high (tail); bucketing on
+    * the score is the classic head/middle/tail curation split.
+    *
+    * Scale shape at 100 TB:
+    *  - The LM is ONE hash aggregate over the exploded token stream
+    *    (map-side partials: the shuffle carries a row per (task, term),
+    *    never per token) plus a one-row total that ships as a broadcast
+    *    (crossJoin(broadcast) — no collect).
+    *  - Scoring joins the exploded tokens against the BROADCAST LM —
+    *    map-side, so the hot terms ("the") that would wreck a shuffle
+    *    join on `term` never shuffle at all. Natural-language vocabulary
+    *    is Zipf-bounded, but at open-web scale cap it with a min-count
+    *    threshold and score out-of-vocabulary tokens at a floor
+    *    probability — the standard smoothing — to keep the broadcast
+    *    bounded.
+    *  - The per-doc aggregate collapses map-side too: a document's
+    *    tokens are co-located after the narrow explode, so the partial
+    *    aggregation reduces to ~one row per document before the shuffle.
+    *
+    * Numeric determinism: per-token NLL is quantized to integer
+    * MICRO-NATS (floor(-ln(p)·1e6 + 0.5)) BEFORE aggregation, so the
+    * per-doc sum is exact long arithmetic — order-independent, immune to
+    * the cross-engine FP-summation-order divergence that an avg(double)
+    * would reintroduce (the q_window_distribution lesson). The final
+    * per-doc mean divides two integers and floors once — a fixed IEEE
+    * op sequence both engines reproduce bit-identically; only ln itself
+    * can vary (by ≤1 ulp, same validated class as tf-idf's ln).
+    *
+    * Returns (doc_id, n_tok, nll) with nll rounded to 6 decimals. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val lm = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks
+      .join(broadcast(lm.crossJoin(broadcast(total))), "term")
+      .withColumn("__q",
+        floor(-log(col("cnt").cast("double") / col("total")) * 1000000d + 0.5d)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("__q").as("__sq"))
+      .select(col("doc_id"), col("n_tok"),
+        (floor(col("__sq").cast("double") / col("n_tok") + 0.5d) / 1000000d)
+          .as("nll"))
+  }
+
   /** Per-document repetition score: the fraction of character n-gram
     * occurrences that repeat an already-seen n-gram (1 - distinct/total).
     * Boilerplate, template spam, and degenerate generation loops score

@@ -22,6 +22,17 @@ object TextQueries {
     "r3_repetitive" -> (col("uniq_words") * 3 < col("words")),
     "r4_too_long" -> (col("words") > 90))
 
+  /** Head/middle/tail NLL bucket thresholds for `q_text_perplexity` —
+    * ONE definition interpolated into both the Spark query and the DuckDB
+    * oracle text so a tune cannot drift between them. In production these
+    * come from per-language approx percentiles of a corpus sample (the
+    * CCNet recipe); fixed constants keep the catalog query deterministic.
+    * The nll value compared against them is exact 6-decimal arithmetic on
+    * both engines (see TextAnalysis.unigramNll), so the boundary
+    * comparison is engine-portable. */
+  private[queries] val PerplexityHeadMax = 3.40
+  private[queries] val PerplexityMiddleMax = 3.41
+
   val defs: Map[String, Q] = Map(
     "q_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -128,6 +139,17 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("shard", "pack_id")
     }),
+    // Unigram-LM pseudo-perplexity scoring + CCNet-style head/middle/tail
+    // bucketing (TextAnalysis.unigramNll): LM = one hash agg over the
+    // exploded token stream, scoring = broadcast-LM join, per-token NLL
+    // quantized to integer micro-nats so aggregation is exact long math.
+    "q_text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramNll(tbl(s, dir, "documents"), "doc_id", "text")
+        .withColumn("bucket",
+          when(col("nll") < PerplexityHeadMax, "head")
+            .when(col("nll") < PerplexityMiddleMax, "middle")
+            .otherwise("tail"))
+        .orderBy("doc_id")),
     // Repetition scoring (corpus-curation quality filter): fraction of
     // trigram occurrences that repeat an already-seen trigram. Map-only.
     "q_text_repetition" -> ((s, dir) => {
@@ -250,6 +272,28 @@ object TextQueries {
          SELECT shard, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
+    "q_text_perplexity" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         lm AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM tok2),
+         q AS (
+           SELECT doc_id,
+             CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+               AS BIGINT) AS q
+           FROM tok2 JOIN lm USING (term) CROSS JOIN tot),
+         d AS (
+           SELECT doc_id, count(*) AS n_tok,
+             floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) / 1000000 AS nll
+           FROM q GROUP BY doc_id)
+         SELECT doc_id, n_tok, nll,
+           CASE WHEN nll < $PerplexityHeadMax THEN 'head'
+                WHEN nll < $PerplexityMiddleMax THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM d ORDER BY doc_id""",
     "q_text_repetition" ->
       """SELECT doc_id,
          CAST(greatest(length(text) - 2, 1) AS INT) AS n_shingles,

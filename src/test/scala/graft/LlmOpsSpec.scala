@@ -271,6 +271,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(keep.forall { case (_, k, _) => keptIds.contains(k) })
   }
 
+  test("unigramNll: common-token docs score below rare-token docs; token math exact") {
+    // 'a' appears 7 times in the corpus, each rare token once
+    val docs = Seq(
+      (1L, "a a a a"),        // all common -> lowest NLL
+      (2L, "a a qq zz"),      // mixed
+      (3L, "ww xx yy vv a")   // mostly rare -> highest NLL
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_tok")).toSeq == Seq(4L, 4L, 5L))
+    val nll = out.map(_.getAs[Double]("nll"))
+    assert(nll(0) < nll(1) && nll(1) < nll(2), s"NLL order wrong: ${nll.toSeq}")
+    // doc 1: every token has p = 7/13 -> nll = round(1e6*ln(13/7))/1e6
+    val expected = math.floor(-math.log(7.0 / 13.0) * 1e6 + 0.5) / 1e6
+    assert(math.abs(nll(0) - expected) < 1e-9, s"${nll(0)} vs $expected")
+  }
+
   test("chunkDocs: window/stride boundary arithmetic") {
     def doc(n: Int) = (1L, (1 to n).map(i => s"t$i").mkString(" "))
     def chunksOf(n: Int) = {
