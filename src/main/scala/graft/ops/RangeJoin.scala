@@ -152,8 +152,52 @@ object RangeJoin {
                        intervals: DataFrame, keyCols: Seq[String],
                        startCol: String, endCol: String,
                        countCol: String = "n_points",
-                       nShards: Int = 256): DataFrame = {
-    require(keyCols.nonEmpty, "countPerInterval needs interval key columns")
+                       nShards: Int = 256): DataFrame =
+    sweepAgg(points, ptCol, intervals, keyCols, startCol, endCol,
+        Seq(countCol -> lit(1L)), nShards)
+      .filter(col(countCol) > 0)
+
+  /** Weighted-sum-per-interval via the same boundary sweep: for each
+    * interval, the count of covered points AND the sum of an integral
+    * point weight — i.e. `join ⋈ group by ⋈ count(*), sum(w)` without
+    * ever materializing a pair. Same prefix-sum plan as
+    * [[countPerInterval]]: both accumulators ride ONE shuffle of
+    * n + 2|I| rows (the window computes all cumsums in one pass), so the
+    * k² pair-volume wall measured at sf10 never applies.
+    *
+    * `weight` MUST be integral (it is cast to long): long sums are exact
+    * and associative, which the F(end) − F(start) difference — and
+    * cross-engine determinism — depend on. Fixed-point-quantize real
+    * payloads first (e.g. `floor(amount * 100 + 0.5)` for cents); an FP
+    * cumsum would be summation-order-dependent and is deliberately
+    * unsupported. Null weights contribute 0 to the sum (SQL `sum`
+    * semantics) but still count toward `countCol`; intervals covering no
+    * points are dropped (inner-join semantics, matching the pair plan's
+    * `join + group by`). */
+  def sumPerInterval(points: DataFrame, ptCol: String, weight: Column,
+                     intervals: DataFrame, keyCols: Seq[String],
+                     startCol: String, endCol: String,
+                     sumCol: String = "w_sum",
+                     countCol: String = "n_points",
+                     nShards: Int = 256): DataFrame =
+    sweepAgg(points, ptCol, intervals, keyCols, startCol, endCol,
+        Seq(countCol -> lit(1L), sumCol -> weight.cast("long")), nShards)
+      .filter(col(countCol) > 0)
+
+  /** Shared sweep core: per interval key, the F(end) − F(start)
+    * difference of one prefix sum per weight column. All weights ride the
+    * same union + single window (one shuffle, one per-shard sort); rows
+    * are ordered (t, __r) with boundary rows FIRST at equal instants so
+    * the half-open [start, end) semantics hold for every weight: a point at
+    * t == start is above the start boundary's F (counted), a point at
+    * t == end is above the end boundary's F (excluded). */
+  private def sweepAgg(points: DataFrame, ptCol: String,
+                       intervals: DataFrame, keyCols: Seq[String],
+                       startCol: String, endCol: String,
+                       weights: Seq[(String, Column)],
+                       nShards: Int): DataFrame = {
+    require(keyCols.nonEmpty, "sweep aggregation needs interval key columns")
+    require(weights.nonEmpty, "sweep aggregation needs at least one weight")
     import org.apache.spark.sql.expressions.Window
     def sec(c: Column): Column = c.cast("timestamp").cast("long")
     val st = points.agg(min(sec(col(ptCol))).as("lo"),
@@ -165,17 +209,20 @@ object RangeJoin {
                    else (st.getLong(0), st.getLong(1))
     val shardWidth = math.max(1L, (hi - lo) / nShards + 1L)
 
+    val wNames = weights.indices.map(i => s"__w$i")
     val key = struct(keyCols.map(col): _*)
     val bounds = intervals.select(
       explode(array(
         struct(sec(col(startCol)).as("t"), lit(0).as("kind")),
         struct(sec(col(endCol)).as("t"), lit(1).as("kind")))).as("b"),
       key.as("__key"))
-      .select(col("b.t").as("__t"), lit(0L).as("__w"),
-        col("b.kind").as("__kind"), col("__key"))
+      .select(col("b.t").as("__t") +: lit(0).as("__r") +:
+        wNames.map(n => lit(0L).as(n)) :+
+        col("b.kind").as("__kind") :+ col("__key"): _*)
     val keyType = bounds.schema("__key").dataType
-    val pts = points.select(sec(col(ptCol)).as("__t"), lit(1L).as("__w"),
-      lit(-1).as("__kind"), lit(null).cast(keyType).as("__key"))
+    val pts = points.select(sec(col(ptCol)).as("__t") +: lit(1).as("__r") +:
+      weights.zipWithIndex.map { case ((_, w), i) => w.as(s"__w$i") } :+
+      lit(-1).as("__kind") :+ lit(null).cast(keyType).as("__key"): _*)
 
     // out-of-span boundaries simply land in shards below 0 / above
     // nShards — the offset cumsum is over whatever shard ids exist.
@@ -187,26 +234,37 @@ object RangeJoin {
       .withColumn("__shard",
         floor((col("__t") - lit(lo)) / lit(shardWidth)))
     val local = Window.partitionBy("__shard")
-      .orderBy(col("__t"), col("__w"))
+      .orderBy(col("__t"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sweep.withColumn("__cum", sum("__w").over(local))
+    val cum = wNames.foldLeft(sweep) { (df, n) =>
+      df.withColumn(s"__cum_$n", coalesce(sum(col(n)).over(local), lit(0L)))
+    }
     // per-shard totals: tiny (<= ~nShards + out-of-span stragglers), so
     // the single-partition window over shard ids is bounded by nShards,
     // never by data volume
     val offW = Window.orderBy("__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sweep.groupBy("__shard").agg(sum("__w").as("__stot"))
-      .select(col("__shard"),
-        coalesce(sum("__stot").over(offW), lit(0L)).as("__off"))
+    val offsets = sweep.groupBy("__shard")
+      .agg(sum(col(wNames.head)).as(s"__stot_${wNames.head}"),
+        wNames.tail.map(n => sum(col(n)).as(s"__stot_$n")): _*)
+      .select(col("__shard") +: wNames.map(n =>
+        coalesce(sum(coalesce(col(s"__stot_$n"), lit(0L))).over(offW), lit(0L))
+          .as(s"__off_$n")): _*)
 
     cum.filter(col("__kind") >= 0) // boundary rows only: 2|I| survive
       .join(broadcast(offsets), Seq("__shard"))
-      .withColumn("__F", col("__cum") + col("__off"))
       .groupBy("__key")
-      .agg((max(when(col("__kind") === 1, col("__F"))) -
-        max(when(col("__kind") === 0, col("__F")))).as(countCol))
-      .filter(col(countCol) > 0)
-      .select(col("__key.*"), col(countCol))
+      .agg(fDiff(wNames.head).as(weights.head._1),
+        weights.tail.zip(wNames.tail).map { case ((name, _), n) =>
+          fDiff(n).as(name)
+        }: _*)
+      .select(col("__key.*") +: weights.map(w => col(w._1)): _*)
+  }
+
+  /** End-minus-start difference of the global prefix sum for one weight. */
+  private def fDiff(n: String): Column = {
+    val f = col(s"__cum_$n") + col(s"__off_$n")
+    max(when(col("__kind") === 1, f)) - max(when(col("__kind") === 0, f))
   }
 
   /** Pairs-below count per group via the same sweep idea as

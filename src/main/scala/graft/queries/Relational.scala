@@ -632,6 +632,23 @@ object Relational {
       graft.ops.RangeJoin.countPerInterval(pts, "l_shipdate", iv,
           Seq("o_orderkey"), "w_start", "w_end", countCol = "n_ship")
         .orderBy("o_orderkey")
+    }),
+    // Weighted sweep twin: count AND a quantity sum per window, still one
+    // n + 2|I| shuffle — the payload (l_quantity, fixed-point cents) rides
+    // the same prefix sum as the count, proving the sweep generalizes
+    // beyond count(*) to any sum of an integral weight. Same oracle shape
+    // as the pair join would produce.
+    "q_join_range_sweep_sum" -> ((s, dir) => {
+      val iv = tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + make_dt_interval(days = lit(7))).as("w_end"))
+      val pts = tbl(s, dir, "lineitem").select("l_shipdate", "l_quantity")
+      graft.ops.RangeJoin.sumPerInterval(pts, "l_shipdate",
+          floor(col("l_quantity") * 100 + 0.5d), iv,
+          Seq("o_orderkey"), "w_start", "w_end",
+          sumCol = "qty_c", countCol = "n_ship")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -925,6 +942,15 @@ object Relational {
          GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
     "q_join_range_sweep" ->
       """SELECT o.o_orderkey, count(*) AS n_ship
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         WHERE o.o_orderkey % 100 = 0
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
+    "q_join_range_sweep_sum" ->
+      """SELECT o.o_orderkey, count(*) AS n_ship,
+           CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty_c
          FROM orders o JOIN lineitem l
            ON l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY

@@ -235,6 +235,32 @@ class MergeRangeSpec extends SparkSpec {
     }
   }
 
+  test("weighted sweep matches pair join + sum, incl. ties, null weights, negatives") {
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 35L), (3L, 100L, 101L),
+      (4L, 200L, 210L))
+      .toDF("iv_id", "s_raw", "e_raw")
+      .select(col("iv_id"), col("s_raw").cast("timestamp").as("s"),
+        col("e_raw").cast("timestamp").as("e"))
+    // weights: boundary-tie points carry distinct weights; one null weight
+    // (counts toward n, adds 0); one NEGATIVE weight (the F-difference is
+    // exact signed long math — no positivity assumption)
+    val pts = Seq((0L, Some(5L)), (9L, Some(7L)), (10L, Some(11L)),
+      (34L, None), (35L, Some(13L)), (100L, Some(-3L)), (20L, Some(17L)))
+      .toDF("t_raw", "w")
+      .select(col("t_raw").cast("timestamp").as("t"), col("w"))
+    val swept = RangeJoin.sumPerInterval(pts, "t", col("w"), iv,
+        Seq("iv_id"), "s", "e", sumCol = "ws", countCol = "n")
+      .orderBy("iv_id").as[(Long, Long, Long)].collect().toSeq
+    val paired = RangeJoin.pointInInterval(pts, "t", iv, "s", "e", 8L)
+      .groupBy("iv_id").agg(count(lit(1)).as("n"), sum("w").as("ws"))
+      .orderBy("iv_id").as[(Long, Long, Long)].collect().toSeq
+    assert(swept == paired, "weighted sweep must agree with the pair join")
+    // iv1 [0,10): pts 0(w5), 9(w7) -> n=2 ws=12
+    // iv2 [5,35): pts 9(w7), 10(w11), 20(w17), 34(null) -> n=4 ws=35
+    // iv3 [100,101): pt 100(w-3) -> n=1 ws=-3
+    assert(swept == Seq((1L, 2L, 12L), (2L, 4L, 35L), (3L, 1L, -3L)))
+  }
+
   test("pairs-below sweep matches the inequality join, incl. ties, nulls, empty groups") {
     // group 1: values with a tie (strict > must exclude it); group 2:
     // left value below every right value (zero pairs -> dropped); group
