@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): embedding-space near-duplicates — paraphrases,
+  * re-renders, boilerplate variants that no lexical dedup (MinHash /
+  * SimHash / exact hash) can see — found by k-means BLOCKING plus a
+  * within-cluster cosine threshold, never an all-pairs comparison.
+  *
+  * Pipeline: (1) cluster the embedding space with the same cheap coarse
+  * quantizer IVF uses (random init, few iterations — blocking needs rough
+  * balance, not converged clusters); (2) within each cluster, find pairs
+  * above the similarity threshold with the chunk-salted exact pair join
+  * ([[Similarity.thresholdPairs]] — hot clusters fan out to chunks²
+  * balanced tasks); (3) drop every document that has an over-threshold
+  * neighbor with a SMALLER id in its cluster.
+  *
+  * The drop rule is ONE PASS — no iterative component closure. It differs
+  * from connected-components keep-min (`q_dedup_embedding`) exactly on
+  * transitive chains: under CC keep-min, a doc over-threshold only to
+  * another DROPPED doc still collapses into that component and drops with
+  * it, and a star's far leaves drop despite being dissimilar to each
+  * other; here a doc drops iff it personally exceeds the threshold
+  * against some smaller id. For curation that is the safer semantics (no
+  * transitive over-dropping) and the cheaper plan: the decision is a
+  * distinct over the pair list plus one join back — no O(log diameter)
+  * label-propagation rounds over the edge list.
+  *
+  * Scale shape at 100 TB: k-means blocking bounds pair work at
+  * O(Σ n_cluster²) with clusters balanced BY CONSTRUCTION (unlike LSH
+  * buckets under skewed embedding mass); the dropped-id set is near-dup
+  * sized — orders of magnitude smaller than the corpus — so the keep-list
+  * join broadcasts under AQE; fit the quantizer on a corpus sample and
+  * reuse it across batches (the [[Similarity.fitIvf]] fit-once contract).
+  */
+object SemanticDedup {
+
+  /** k-means cluster assignment — the SemDeDup blocking step. Seeded and
+    * deterministic under a fixed input partitioning (the same stance as
+    * the IVF quantizer it mirrors). Init is k-means|| — NOT the cheaper
+    * random init IVF uses — because a dedup corpus is by hypothesis
+    * duplicate-heavy: random init samples ROWS, and two identical rows
+    * chosen as centers collapse to fewer than k distinct centers (Spark
+    * 4.1's block trainer then throws outright). k-means|| weights center
+    * candidates by distance², so a duplicate of an already-picked center
+    * has zero probability — distinct centers by construction. */
+  def assignClusters(embeddings: DataFrame, idCol: String, embCol: String,
+                     k: Int, seed: Long = 42, maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings
+      .withColumn("__fv", array_to_vector(col(embCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("k-means||").setFeaturesCol("__fv").fit(feat)
+    model.transform(feat)
+      .select(col(idCol), col(embCol), col("prediction").as("cluster"))
+  }
+
+  /** Per-document keep/drop decision: (idCol, cluster, dropped). A row is
+    * dropped iff some same-cluster document with a smaller id scores
+    * `sim > threshold` against it. */
+  def dedup(embeddings: DataFrame, idCol: String, embCol: String,
+            k: Int, threshold: Double, chunks: Int = 8, seed: Long = 42,
+            sim: (Column, Column) => Column): DataFrame =
+    dedupAssigned(assignClusters(embeddings, idCol, embCol, k, seed),
+      idCol, embCol, threshold, chunks, sim)
+
+  /** The drop rule over a PRE-BLOCKED corpus (`cluster` column present) —
+    * bring your own blocking: [[assignClusters]], a fitted IVF index's
+    * list ids ([[Similarity.fitIvf]] writes exactly this layout), or any
+    * partition key that co-locates candidate near-dups. */
+  def dedupAssigned(assigned: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, chunks: Int,
+                    sim: (Column, Column) => Column): DataFrame = {
+    val pairs = Similarity.thresholdPairs(assigned, "cluster", idCol, embCol,
+      threshold, chunks, sim)
+    // thresholdPairs emits id_a < id_b only, so the dropped set is exactly
+    // the distinct right-hand ids — near-dup sized, broadcastable
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__drop"), lit(false)).as("dropped"))
+  }
+}

@@ -376,7 +376,17 @@ object LlmOps {
           coalesce(col("component"), col("vec_id")).as("keep_id"))
         .withColumn("kept", col("vec_id") === col("keep_id"))
         .orderBy("vec_id")
-    })
+    }),
+    // SemDeDup (ops.SemanticDedup): k-means blocking instead of the
+    // metadata label — the dedup that works when no label exists. Rows-only
+    // (k-means clusters are not SQL-expressible); SemanticDedupSpec pins
+    // the keep/drop contract on planted data, and the emitted row count is
+    // the full corpus (one verdict per vector).
+    "q_dedup_semantic" -> ((s, dir) =>
+      graft.ops.SemanticDedup.dedup(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, threshold = 0.35, chunks = 4,
+          sim = (x, y) => cosine_sim(x, y))
+        .orderBy("vec_id"))
   )
 
   val oracles: Map[String, String] = Map(
