@@ -386,7 +386,26 @@ object LlmOps {
       graft.ops.SemanticDedup.dedup(tbl(s, dir, "embeddings"),
           "vec_id", "embedding", k = 8, threshold = 0.35, chunks = 4,
           sim = (x, y) => cosine_sim(x, y))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+    // Product quantization (ops.ProductQuantizer): 64 floats -> 8 codes,
+    // 32x compression for the corpus-scale similarity tiers. Fit on a
+    // deterministic 1024-row sample (driver-side Lloyd's, the FAISS
+    // recipe), encode + reconstruct map-side via codebook literals, and
+    // report per-label reconstruction quality. Rows-only (k-means
+    // codebooks are not SQL-expressible); PqSpec pins the encode/decode
+    // contract and a reconstruction floor.
+    "q_embed_pq" -> ((s, dir) => {
+      import graft.ops.{ProductQuantizer => PQ}
+      val e = tbl(s, dir, "embeddings")
+      val cb = PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+      val recon = PQ.decodeExpr(PQ.encodeExpr(col("embedding"), cb), cb)
+      e.withColumn("rc", Similarity.cosine(col("embedding"), recon))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round6(avg("rc")).as("avg_recon_cos"),
+          round6(min("rc")).as("min_recon_cos"))
+        .orderBy("label")
+    })
   )
 
   val oracles: Map[String, String] = Map(

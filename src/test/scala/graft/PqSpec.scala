@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{ProductQuantizer => PQ, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Invariant contract for the rows-only `q_embed_pq` entry: code shape,
+  * exact reconstruction when the data IS the codebook, a reconstruction
+  * floor on the real corpus, nearest-neighbor preservation on separated
+  * data, and determinism of the fit. */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("codes are m ints in [0, ks); identical vectors encode identically") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+    assert(cb.centroids.length == 8 && cb.centroids.forall(_.length == 16))
+    val coded = e.select(col("vec_id"),
+      PQ.encodeExpr(col("embedding"), cb).as("codes"))
+    assert(coded.filter(size(col("codes")) =!= 8).count() == 0)
+    assert(coded.filter(
+      exists(col("codes"), c => c < 0 || c >= 16)).count() == 0)
+    // same input vector -> same codes (duplicate one row)
+    val twice = e.limit(1).union(e.limit(1))
+      .select(PQ.encodeExpr(col("embedding"), cb).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(twice(0) == twice(1))
+  }
+
+  test("data drawn FROM the codebook reconstructs exactly") {
+    // 4-dim, m=2, ks=2: vectors built from 2 prototypes per 2-dim
+    // subspace. Lloyd's must recover the prototypes (they are the only
+    // mass), so decode(encode(v)) == v bit-exactly.
+    val protoA = Seq(1f, 2f); val protoB = Seq(5f, 6f)
+    val rows = for (i <- 0L until 16L) yield {
+      val s1 = if (i % 2 == 0) protoA else protoB
+      val s2 = if ((i / 2) % 2 == 0) protoA else protoB
+      (i, (s1 ++ s2).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = PQ.fit(df, "vec_id", "embedding", dim = 4, m = 2, ks = 2,
+      sampleN = 16)
+    val bad = df.withColumn("recon",
+        PQ.decodeExpr(PQ.encodeExpr(col("embedding"), cb), cb))
+      .filter(col("recon") =!= col("embedding").cast("array<double>"))
+    assert(bad.count() == 0, "prototype corpus must reconstruct exactly")
+  }
+
+  test("reconstruction cosine floor on the real corpus") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+    val recon = PQ.decodeExpr(PQ.encodeExpr(col("embedding"), cb), cb)
+    val stats = e.select(Similarity.cosine(col("embedding"), recon).as("rc"))
+      .agg(avg("rc").as("a"), min("rc").as("mn")).head()
+    // random 64-dim data is the PQ worst case; floors measured with
+    // margin (observed avg ~0.62 at m=8/ks=16 on the driver corpus)
+    assert(stats.getDouble(0) >= 0.5, s"avg recon cos ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) >= 0.2, s"min recon cos ${stats.getDouble(1)}")
+  }
+
+  test("separated clusters stay nearest-neighbor-consistent through PQ") {
+    // two far-apart groups: after encode+decode, every vector's decoded
+    // form is still closer (cosine) to its own group's members than to
+    // the other group's
+    val base = Array.fill(8)(0f)
+    val gA = (0L until 8L).map(i => (i, base.updated(0, 10f).updated(1, i * 0.1f)))
+    val gB = (8L until 16L).map(i => (i, base.updated(4, 10f).updated(5, (i - 8) * 0.1f)))
+    val df = (gA ++ gB).toDF("vec_id", "embedding")
+    val cb = PQ.fit(df, "vec_id", "embedding", dim = 8, m = 2, ks = 4,
+      sampleN = 16)
+    val dec = df.select(col("vec_id"),
+      PQ.decodeExpr(PQ.encodeExpr(col("embedding"), cb), cb).as("demb"))
+    val cross = dec.as("a").join(dec.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.demb"), col("b.demb")).as("cos"))
+      .withColumn("same_group", (col("ia") < 8) === (col("ib") < 8))
+    val minSame = cross.filter(col("same_group")).agg(min("cos")).head().getDouble(0)
+    val maxDiff = cross.filter(!col("same_group")).agg(max("cos")).head().getDouble(0)
+    assert(minSame > maxDiff,
+      s"group structure lost: minSame=$minSame maxDiff=$maxDiff")
+  }
+
+  test("fit is deterministic") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+    val b = PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+    assert(a.centroids.flatten.flatten.toSeq == b.centroids.flatten.flatten.toSeq)
+  }
+}
