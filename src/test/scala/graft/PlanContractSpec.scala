@@ -230,6 +230,42 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "mixture stats should arrive via a broadcast subtree")
   }
 
+  test("perplexity scoring joins the broadcast LM, never a token shuffle") {
+    // unigramNll's contract: the per-token scoring join must broadcast
+    // the (vocab-sized) LM — a sort-merge join on `term` would shuffle
+    // the full token stream and serialize Zipf-hot terms into stragglers
+    val p = plan("q_text_perplexity")
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"LM join must broadcast:\n$p")
+    val smj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"token stream must never sort-merge:\n$p")
+  }
+
+  test("weighted sweep: both accumulators ride the count twin's exchanges") {
+    // sumPerInterval's claim is that adding the payload accumulator adds
+    // NO exchange over countPerInterval — both cumsums ride the same
+    // window. Count row-bearing (non-broadcast) exchanges in both twins
+    // and require equality; the broadcast subtree (per-shard offsets)
+    // stays broadcast.
+    def rowBearing(name: String) = {
+      val p = plan(name)
+      def shufflesIn(t: org.apache.spark.sql.execution.SparkPlan) =
+        t.collect { case e: ShuffleExchangeExec => e }
+      val all = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+      val underB = collectWithSubqueries(p) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.flatMap(b => shufflesIn(b.child))
+      (all.filterNot(e => underB.exists(_ eq e)).length, underB.nonEmpty, p)
+    }
+    val (nCount, bCount, _) = rowBearing("q_join_range_sweep")
+    val (nSum, bSum, pSum) = rowBearing("q_join_range_sweep_sum")
+    assert(bCount && bSum, "shard offsets must arrive via broadcast")
+    assert(nSum == nCount,
+      s"payload accumulator added exchanges: $nSum vs $nCount:\n$pSum")
+  }
+
   test("recursive CTE plans as a real UnionLoop, not an unrolled union") {
     // Spark 4's WITH RECURSIVE plans the fixpoint as UnionLoop (anchor +
     // per-iteration join against UnionLoopRef) — the engine iterates to
