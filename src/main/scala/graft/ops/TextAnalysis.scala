@@ -138,18 +138,31 @@ object TextAnalysis {
     * op sequence both engines reproduce bit-identically; only ln itself
     * can vary (by ≤1 ulp, same validated class as tf-idf's ln).
     *
-    * Returns (doc_id, n_tok, nll) with nll rounded to 6 decimals. */
-  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Returns (doc_id, n_tok, nll) with nll rounded to 6 decimals.
+    *
+    * `minCount` is the vocabulary cap that keeps the broadcast bounded at
+    * open-web scale: terms rarer than it are PRUNED from the LM (Zipf:
+    * the long tail is most of the vocabulary but almost none of the
+    * token mass) and score at the floor probability minCount/total — an
+    * upper bound on any pruned term's true probability, so capping can
+    * only soften, never exaggerate, a rare-token penalty. minCount = 1
+    * (the default) is the exact uncapped model. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
       .filter(col("term") =!= "")
     val lm = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
     val total = toks.agg(count(lit(1)).as("total"))
+    def microNll(cnt: Column, tot: Column): Column =
+      floor(-log(cnt.cast("double") / tot) * 1000000d + 0.5d).cast("long")
     toks
-      .join(broadcast(lm.crossJoin(broadcast(total))), "term")
+      .join(broadcast(lm), Seq("term"), "left")
+      .crossJoin(broadcast(total))
       .withColumn("__q",
-        floor(-log(col("cnt").cast("double") / col("total")) * 1000000d + 0.5d)
-          .cast("long"))
+        microNll(coalesce(col("cnt"), lit(minCount)), col("total")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("__q").as("__sq"))
       .select(col("doc_id"), col("n_tok"),

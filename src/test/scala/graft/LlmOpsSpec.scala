@@ -288,6 +288,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(nll(0) - expected) < 1e-9, s"${nll(0)} vs $expected")
   }
 
+  test("unigramNll vocabulary cap: pruned terms score at the floor, never harsher") {
+    val docs = Seq(
+      (1L, "a a a a"),      // 'a' cnt=7 survives any cap here
+      (2L, "a a qq zz"),    // qq/zz cnt=1 -> pruned at minCount=2
+      (3L, "ww xx yy vv a")
+    ).toDF("doc_id", "text")
+    val exact = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Double]("nll"))
+    val capped = TextAnalysis.unigramNll(docs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect().map(_.getAs[Double]("nll"))
+    // all-common doc unchanged; rare-token docs soften (floor prob
+    // minCount/total > true 1/total) but never harshen
+    assert(capped(0) == exact(0))
+    assert(capped(1) < exact(1) && capped(2) < exact(2),
+      s"cap must soften rare-token NLL: $capped vs $exact")
+    // floor = -ln(2/13) micro-nat-quantized for a pruned token
+    val floorQ = math.floor(-math.log(2.0 / 13.0) * 1e6 + 0.5)
+    val aQ = math.floor(-math.log(7.0 / 13.0) * 1e6 + 0.5)
+    val want = math.floor((2 * aQ + 2 * floorQ) / 4 + 0.5) / 1e6
+    assert(math.abs(capped(1) - want) < 1e-9, s"${capped(1)} vs $want")
+  }
+
   test("chunkDocs: window/stride boundary arithmetic") {
     def doc(n: Int) = (1L, (1 to n).map(i => s"t$i").mkString(" "))
     def chunksOf(n: Int) = {
