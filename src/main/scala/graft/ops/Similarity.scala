@@ -208,6 +208,85 @@ object Similarity {
       .select(col("label"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF-PQ: the canonical billion-scale ANN layout (FAISS `IVFx,PQy`) —
+    * IVF coarse pruning, PQ-code scoring inside the probed lists, exact
+    * rerank of a short list. Three tiers, each cutting the work the next
+    * tier sees:
+    *
+    *  1. **Coarse (IVF)**: queries probe `nProbe` of `nLists` inverted
+    *     lists — corpus I/O drops ~nProbe/nLists via the partition-pruned
+    *     index scan ([[probeIvf]]'s contract).
+    *  2. **Cheap scoring (PQ / ADC)**: inside the probed lists, candidates
+    *     score as cosine(raw query, DECODED code) — asymmetric distance
+    *     against m-byte codes instead of dim-float vectors. At 100 TB the
+    *     codes are what fits in memory; this tier exists so the raw
+    *     vectors are touched only for...
+    *  3. **Exact rerank**: the top `rerank` PQ-scored candidates per
+    *     query join back to their raw embeddings (a broadcast of
+    *     queries×rerank ids against the corpus — the Spark analogue of
+    *     point lookups) and the final top-k is exact cosine.
+    *
+    * In production the codes are WRITTEN into the inverted-list layout at
+    * index-build time; this demo computes them at read so it can reuse
+    * the plain [[fitIvf]] index. Ties break on (score desc, id asc) at
+    * both tiers — deterministic end to end. Fit-once/probe-many: both
+    * halves of the index ([[fitIvf]] + [[ProductQuantizer.fit]]) are
+    * corpus-lifecycle artifacts; this probe entry point serves any number
+    * of query batches against them. */
+  def probeIvfPq(embeddings: DataFrame, queries: DataFrame, k: Int,
+                 index: IvfIndex, cb: ProductQuantizer.PqCodebook,
+                 nProbe: Int = 2, rerank: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.CosineSimilarity.cosine_sim
+    val spark = embeddings.sparkSession
+    val corpus = spark.read.parquet(index.path)
+      .select(col("vec_id").as("neighbor_id"),
+        ProductQuantizer.decodeExpr(
+          ProductQuantizer.encodeExpr(col("embedding"), cb), cb).as("d_emb"),
+        col("list_id"))
+    def centroidLit(i: Int): Column =
+      array(index.centroids(i).toIndexedSeq.map(v => lit(v)): _*)
+    val probeSims = array((0 until index.nLists).map { i =>
+      struct(lit(i).as("list_id"), cosine_sim(col("q_emb"), centroidLit(i)).as("csim"))
+    }: _*)
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("p.csim").desc, col("p.list_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"), explode(probeSims).as("p"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("p.list_id").as("list_id"))
+    // tier 2: ADC scoring over codes in the probed lists only
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val shortlist = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", cosine_sim(col("q_emb"), col("d_emb")))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
+    // tier 3: exact rerank of the short list against raw embeddings
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .withColumn("cos", cosine_sim(col("q_emb"), col("c_emb")))
+    rankTopK(scored, k)
+  }
+
+  /** Self-contained IVF-PQ demo: fit both index halves to a fresh temp
+    * dir, then probe — the [[ivfTopK]] analogue for tests and one-shot
+    * use. Production fits once per corpus and calls [[probeIvfPq]]. */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                nLists: Int = 8, nProbe: Int = 2,
+                m: Int = 8, ks: Int = 16, dim: Int = 64,
+                rerank: Int = 12): DataFrame = {
+    val dir = graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_")
+    val index = fitIvf(embeddings, nLists, dir.getAbsolutePath)
+    val cb = ProductQuantizer.fit(embeddings, "vec_id", "embedding",
+      dim = dim, m = m, ks = ks)
+    probeIvfPq(embeddings, queries, k, index, cb, nProbe, rerank)
+  }
+
   /** Approximate top-k: neighbors restricted to the query's LSH bucket,
     * optionally MULTI-PROBED.
     *

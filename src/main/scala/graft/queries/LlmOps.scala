@@ -28,6 +28,17 @@ object LlmOps {
       fit: () => Similarity.IvfIndex): Similarity.IvfIndex =
     ivfIndexes.computeIfAbsent(dir, _ => fit())
 
+  /** Per-corpus IVF-PQ memo (its OWN IVF index dir — fitted alongside the
+    * PQ codebooks, not shared with `q_sim_ivf_ann`'s, so the two queries'
+    * index lifecycles stay independent). */
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (Similarity.IvfIndex, graft.ops.ProductQuantizer.PqCodebook)]()
+
+  private[queries] def ivfPqIndexFor(dir: String,
+      fit: () => (Similarity.IvfIndex, graft.ops.ProductQuantizer.PqCodebook))
+      : (Similarity.IvfIndex, graft.ops.ProductQuantizer.PqCodebook) =
+    ivfPqIndexes.computeIfAbsent(dir, _ => fit())
+
   /** Per-corpus LSH signature-index memo (same lifecycle as the IVF memo:
     * layout cost paid once per corpus per JVM). */
   private val lshIndexes =
@@ -197,6 +208,24 @@ object LlmOps {
         .orderBy("query_id", "rnk")
     }),
     // IVF ANN — k-means inverted lists, balanced by construction (rows-only).
+    // IVF-PQ (FAISS IVFx,PQy): coarse lists -> ADC scoring over 8-byte
+    // codes -> exact rerank of 12 candidates. The three-tier shape that
+    // serves billion-vector ANN; rows-only (k-means + PQ codebooks are
+    // not SQL-expressible), recall floor pinned in PqSpec. Both index
+    // halves are fit ONCE per corpus (memoized like q_sim_ivf_ann's);
+    // every invocation after that is a pure probe.
+    "q_sim_ivfpq_ann" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val (index, cb) = LlmOps.ivfPqIndexFor(dir, () => {
+        val d = graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_")
+        (Similarity.fitIvf(e, nLists = 8, d.getAbsolutePath),
+          graft.ops.ProductQuantizer.fit(e, "vec_id", "embedding",
+            dim = 64, m = 8, ks = 16))
+      })
+      Similarity.probeIvfPq(e, e.filter(col("vec_id") % 50 === 0), k = 3,
+          index, cb, nProbe = 2, rerank = 32)
+        .orderBy("query_id", "rnk")
+    }),
     "q_sim_ivf_ann" -> ((s, dir) => {
       // fit/probe split in catalog form: the index (k-means + corpus
       // partitioned by list_id) is built ONCE per corpus and memoized for
