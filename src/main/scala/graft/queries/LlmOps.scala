@@ -216,12 +216,10 @@ object LlmOps {
     // every invocation after that is a pure probe.
     "q_sim_ivfpq_ann" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-      val (index, cb) = LlmOps.ivfPqIndexFor(dir, () => {
-        val d = graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_")
-        (Similarity.fitIvf(e, nLists = 8, d.getAbsolutePath),
-          graft.ops.ProductQuantizer.fit(e, "vec_id", "embedding",
-            dim = 64, m = 8, ks = 16))
-      })
+      val (index, cb) = LlmOps.ivfPqIndexFor(dir, () =>
+        Similarity.fitIvfPq(e, nLists = 8, m = 8, ks = 16, dim = 64,
+          graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_")
+            .getAbsolutePath))
       Similarity.probeIvfPq(e, e.filter(col("vec_id") % 50 === 0), k = 3,
           index, cb, nProbe = 2, rerank = 32)
         .orderBy("query_id", "rnk")
