@@ -69,10 +69,11 @@ object ScaleUpMain {
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
     val documents = spark.read.parquet(s"$src/documents.parquet")
     val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
-    // events.ts is TIMESTAMP(NANOS): read as raw nanos (the catalog's own
-    // read path), written back as plain INT64 nanos
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$src/events.parquet")
+    // events.ts: normalized to raw epoch-nanos LongType whatever layout
+    // the source carries (the catalog's own read chokepoint), written back
+    // as plain INT64 nanos — the contract local_verify.py's oracle shim
+    // and the stream staging depend on
+    val events = graft.io.Sources.eventsRawNanos(spark, s"$src/events.parquet")
 
     val (custS, suppS, partS) =
       (stride(customer, "c_custkey"), stride(supplier, "s_suppkey"),

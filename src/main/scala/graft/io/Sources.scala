@@ -103,4 +103,35 @@ object Sources {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
+
+  /** Read the driver's events parquet with `ts` normalized to raw
+    * epoch-NANOS LongType, whatever physical layout the file carries —
+    * the single chokepoint for a column whose parquet type has already
+    * changed under us once. Observed layouts:
+    *
+    *  - `TIMESTAMP(NANOS)` (driver testdata before 2026-08-13): Spark 4
+    *    refuses it outright ([PARQUET_TYPE_ILLEGAL]) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set, which surfaces it
+    *    as LongType nanos;
+    *  - `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (driver testdata since
+    *    2026-08-13): surfaces as TimestampNTZType — scaled to nanos via
+    *    `unix_micros` (sessions run UTC, so the NTZ→LTZ cast is the
+    *    identity on the underlying micros);
+    *  - plain INT64 nanos (ScaleUpMain-written scaled dirs): LongType.
+    *
+    * The nanos conf is set-and-left (parquet scans re-read SQLConf after
+    * this returns, so a scoped restore could fire mid-plan); it is a
+    * no-op for the non-NANOS layouts. */
+  def eventsRawNanos(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts type $other in $path")
+    }
+  }
 }

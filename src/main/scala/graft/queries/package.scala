@@ -15,16 +15,15 @@ package object queries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Read one driver test table (TESTDATA.md) from a scale-factor dir.
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright
-    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a microsecond
-    * TimestampType — the same truncation DuckDB applies, so oracle
-    * comparisons agree.
+    * `events.ts` has shipped in several parquet layouts (TIMESTAMP(NANOS),
+    * TIMESTAMP(MICROS) NTZ, raw INT64 nanos) — `Sources.eventsRawNanos`
+    * normalizes them all to epoch-nanos LongType, which is then truncated
+    * to a microsecond TimestampType: the same truncation DuckDB applies,
+    * so oracle comparisons agree across every layout.
     */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      graft.io.Sources.eventsRawNanos(spark, s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 

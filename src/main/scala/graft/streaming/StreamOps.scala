@@ -89,15 +89,14 @@ object StreamOps {
         // chunks=1 degenerate case is one full-range write — a raw file
         // copy would be cheaper but silently stages an EMPTY directory
         // when the source is a Spark-written dataset dir rather than a
-        // single parquet file, so the read path is used for both). The
-        // nanos conf is set only for this staging read and restored — the
-        // rewritten chunks carry plain INT64 ts, so the stream itself does
-        // not depend on session state.
+        // single parquet file, so the read path is used for both).
+        // `eventsRawNanos` absorbs whatever parquet layout the source
+        // carries (NANOS, MICROS-NTZ, raw INT64); the rewritten chunks
+        // always carry plain INT64 nanos, so the stream itself never
+        // depends on the source layout or session state.
         val nChunks = math.max(chunks, 1)
-        val prevNanos = s.conf.get(NanosConf)
-        s.conf.set(NanosConf, "true")
-        try {
-          val ev = s.read.parquet(src.getAbsolutePath)
+        locally {
+          val ev = graft.io.Sources.eventsRawNanos(s, src.getAbsolutePath)
           val b = ev.agg(min("ts"), max("ts"), count(lit(1))).head()
           // a ZERO-ROW source has null min/max: leave the staging dir
           // empty — the stream simply runs zero batches. Rows whose ts is
@@ -136,7 +135,7 @@ object StreamOps {
             }
             org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
           }
-        } finally s.conf.set(NanosConf, prevNanos)
+        }
         stage.getAbsolutePath
       })
     val schema = StructType(Seq(
