@@ -404,6 +404,31 @@ object LlmOps {
         .withColumn("kept", col("vec_id") === col("keep_id"))
         .orderBy("vec_id")
     }),
+    // Exact all-pairs set-similarity join (ops.SetSimJoin): every document
+    // pair with token-3-gram-shingle-set Jaccard >= 0.75, via the
+    // lossless Bayardo prefix filter (rarest-element prefixes, candidates
+    // only from prefix collisions) — the exact counterpart to the
+    // probabilistic MinHash-LSH path, and fully hash-oracled because
+    // nothing in it is approximate. Shingles, not words: the synthetic
+    // 31-word vocabulary makes word-set prefixes collide on everything
+    // (measured all-pairs degeneration, 114 s at sf0.1), while the ~27k
+    // shingle universe prunes candidates to ~1% (see SetSimJoin scaladoc).
+    // tau = 0.75 is exactly representable in binary, so the prefix-length
+    // ceil() cannot round across an integer boundary.
+    // Elements enter as the codegen'd 64-bit gram hashes, not strings:
+    // equal grams always collide, unequal with p ~ 2^-64 (the
+    // q_contamination equivalence argument), so every count — df, prefix
+    // rank, intersection, jac — equals the string computation the DuckDB
+    // oracle runs, while the engine shuffles 8-byte longs and never
+    // materializes gram strings (HOF shingling measured 2.6 s of the
+    // 8 s total at sf0.1; the native kernel is a narrow codegen'd map).
+    "q_sim_set_join" -> ((s, dir) =>
+      graft.ops.SetSimJoin.similarPairs(
+        tbl(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id",
+        org.apache.spark.sql.graft.TokenShingleHashes
+          .token_shingle_hashes(col("text"), 3),
+        tau = 0.75)),
     // SemDeDup (ops.SemanticDedup): k-means blocking instead of the
     // metadata label — the dedup that works when no label exists. Rows-only
     // (k-means clusters are not SQL-expressible); SemanticDedupSpec pins
@@ -513,6 +538,33 @@ object LlmOps {
          WHERE q.vec_id >= 20 AND q.vec_id < 40
          QUALIFY rnk <= 5
          ORDER BY query_id, rnk""",
+    // Blocking oracle for the prefix-filtered join: tau > 0 implies any
+    // qualifying pair shares >= 1 token, so candidates = pairs sharing ANY
+    // token (lossless, cheaper than all-pairs), then exact Jaccard. The
+    // engine's prefix filter is a strict subset of this candidate set with
+    // identical survivors. jac is a ratio of ints — deterministic IEEE
+    // division, bit-identical across engines, no rounding needed.
+    "q_sim_set_join" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE text IS NOT NULL),
+         toks AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+           FROM raw),
+         tok AS (SELECT doc_id, unnest(g) AS tok FROM toks),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM tok a JOIN tok b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id)
+         SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
+             / (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) AS jac
+         FROM cand c
+         JOIN toks ta ON ta.doc_id = c.id_a
+         JOIN toks tb ON tb.doc_id = c.id_b
+         WHERE CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
+             / (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) >= 0.75
+         ORDER BY id_a, id_b""",
     "q_sim_threshold_pairs" ->
       """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b

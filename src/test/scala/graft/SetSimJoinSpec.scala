@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.SetSimJoin
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the prefix-filtered set-similarity join. */
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(rows: Seq[(Long, Seq[String])], tau: Double) =
+    SetSimJoin.similarPairs(
+      rows.toDF("doc_id", "elems"), "doc_id", col("elems"), tau)
+
+  test("finds exactly the pairs at or above tau, nothing else") {
+    // A={a,b,c,d}, B={a,b,c,e} -> J=3/5=0.6; C={a,b,c,d} -> J(A,C)=1.0,
+    // J(B,C)=0.6; D={x,y} disjoint from all.
+    val out = pairs(Seq(
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "b", "c", "e"),
+      3L -> Seq("a", "b", "c", "d"),
+      4L -> Seq("x", "y")), tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 0.6), (1L, 3L, 1.0), (2L, 3L, 0.6)))
+  }
+
+  test("prefix filter is lossless: matches brute force on random-ish sets") {
+    // 40 docs over a 12-element universe (deterministic construction) —
+    // small universe forces heavy prefix collisions AND near-threshold
+    // pairs, the regime where an off-by-one prefix length loses pairs.
+    val universe = ('a' to 'l').map(_.toString)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, universe.filter(u => (i * 31 + u.hashCode) % 3 != 0))
+    }
+    val tau = 0.75
+    val got = pairs(docs, tau).as[(Long, Long, Double)].collect().toSet
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      jac = inter.toDouble / (sa.toSet.size + sb.toSet.size - inter)
+      if jac >= tau
+    } yield (ia, ib, jac)).toSet
+    assert(got == want, s"prefix filter dropped or invented pairs")
+    assert(want.nonEmpty, "degenerate fixture: no qualifying pairs")
+  }
+
+  test("duplicate elements and null sets are tolerated") {
+    val out = SetSimJoin.similarPairs(
+      Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a", "b")))
+        .toDF("doc_id", "elems")
+        .union(Seq((3L, null: Seq[String])).toDF("doc_id", "elems")),
+      "doc_id", col("elems"), tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 1.0)))
+  }
+}
