@@ -381,6 +381,24 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // Iterative graph analytics: 5 rounds of fixed-point PageRank over the
+    // customer<->supplier trade graph (distinct (cust, supp) pairs from
+    // orders x lineitem, symmetrized; keys namespaced 2k / 2k+1 so the two
+    // id spaces cannot collide). Integer "microranks" make the iterated
+    // sums order-invariant — bit-identical on any cluster size AND to the
+    // DuckDB oracle, which is generated from the same loop
+    // (ops.PageRank.oracleSql) so recurrence and oracle cannot drift.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.PageRank.fixedPoint(edges, iters = 5).orderBy("node")
+    }),
+
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
     // one pathologically hot key spreads over SALT shuffle partitions.
@@ -810,6 +828,15 @@ object Relational {
            AND EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_graph_pagerank" -> graft.ops.PageRank.oracleSql(
+      """SELECT src, dst FROM (
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         UNION ALL
+         SELECT dst AS src, src AS dst FROM (
+           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+      iters = 5),
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
