@@ -96,6 +96,37 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bad.isEmpty, s"range join degraded to a nested loop:\n$p")
   }
 
+  test("set-similarity join never degrades to a nested loop or cartesian") {
+    // the lossless prefix filter exists to REPLACE the all-pairs shape —
+    // a resolution change that reintroduces one (e.g. the id_a < id_b
+    // predicate migrating out of an equi-join) must fail here, not show
+    // up as a quadratic bench entry
+    val p = plan("q_sim_set_join")
+    val bad = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"set-sim join degraded to an all-pairs shape:\n$p")
+  }
+
+  test("pagerank: iterations read caches, and nothing goes cartesian") {
+    val p = plan("q_graph_pagerank")
+    // the vertex-count cross join broadcasts a one-row aggregate INSIDE
+    // the persisted vertex frame; in the outer plan no join may ever be
+    // an unbroadcast cartesian
+    assert(collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"pagerank grew a cartesian product:\n$p")
+    // the 5 iterations consume the edge list and the vertex frame via
+    // persisted in-memory relations — the scan+repartition+aggregate
+    // lineage must not replay per round (5 edge scans + 6 vertex scans)
+    val cached = collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cached.size >= 11,
+      s"expected >= 11 cached scans (5 edge + 6 vertex), got ${cached.size}:\n$p")
+  }
+
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {
     // Semi-join reduction: the filtered creation side builds a bloom filter
     // that prunes fact rows BEFORE the join shuffle — at 100 TB this is the
