@@ -121,7 +121,16 @@ object Sources {
     *
     * The nanos conf is set-and-left (parquet scans re-read SQLConf after
     * this returns, so a scoped restore could fire mid-plan); it is a
-    * no-op for the non-NANOS layouts. */
+    * no-op for the non-NANOS layouts. SESSION-WIDE SIDE EFFECT: after the
+    * first call, any OTHER TIMESTAMP(NANOS) parquet column read in the
+    * same session surfaces as LongType nanos instead of failing with
+    * [PARQUET_TYPE_ILLEGAL] — acceptable here because `events.ts` is the
+    * only NANOS column in the corpus (TESTDATA.md documents the conf).
+    *
+    * The NTZ branch converts wall-clock micros to epoch micros via an
+    * NTZ→LTZ cast, which is the identity ONLY under a UTC session
+    * timezone; enforced below so a future non-UTC entry point fails fast
+    * instead of silently shifting every timestamp by the zone offset. */
   def eventsRawNanos(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -129,6 +138,9 @@ object Sources {
     raw.schema("ts").dataType match {
       case LongType => raw
       case TimestampNTZType | TimestampType =>
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "eventsRawNanos requires spark.sql.session.timeZone=UTC: the " +
+            "NTZ->LTZ cast is only micros-preserving under UTC")
         raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case other => throw new IllegalStateException(
         s"unsupported events.ts type $other in $path")

@@ -47,9 +47,25 @@ object PageRank {
 
   /** `iters` rounds over `edges` (cols `src`, `dst`, both integral).
     * Returns (node, rank_micro) — rank_micro longs summing to ~R modulo
-    * the deterministic div truncation. dampMicro is d * 1e9. */
+    * the deterministic div truncation. dampMicro is d * 1e9.
+    *
+    * CACHE CONTRACT: the returned plan reads two persisted frames (the
+    * repartitioned edge list and the vertex frame) that stay in the
+    * CacheManager until the caller clears them — `Bench` calls
+    * `spark.catalog.clearCache()` per query; long-lived sessions should
+    * use [[fixedPointWithRelease]] and invoke the release callback once
+    * the result has been consumed. */
   def fixedPoint(edges: DataFrame, iters: Int,
-      dampMicro: Long = 850000000L): DataFrame = {
+      dampMicro: Long = 850000000L): DataFrame =
+    fixedPointWithRelease(edges, iters, dampMicro)._1
+
+  /** [[fixedPoint]] plus an explicit cache-release callback: call it
+    * AFTER the returned DataFrame has been fully consumed (an unpersist
+    * before the action would silently replay the edge scan + repartition
+    * once per iteration level). Blocking=false: release is a hint, the
+    * executors drop blocks asynchronously. */
+  def fixedPointWithRelease(edges: DataFrame, iters: Int,
+      dampMicro: Long = 850000000L): (DataFrame, () => Unit) = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampMicro >= 0L && dampMicro <= R,
       s"dampMicro must be in [0, $R]: $dampMicro")
@@ -78,7 +94,89 @@ object PageRank {
           expr(s"(${R}L - ${dampMicro}L) div nn + " +
             s"(${dampMicro}L * coalesce(s, 0L)) div ${R}L").as("r"))
     }
-    ranks.select(col("node"), col("r").as("rank_micro"))
+    val out = ranks.select(col("node"), col("r").as("rank_micro"))
+    (out, () => { e.unpersist(false); nodes.unpersist(false); () })
+  }
+
+  /** Convergence summary of [[untilConverged]]: the final ranks (backed
+    * by a checkpointed RDD — safe to consume after release), the number
+    * of iterations actually run, and the last measured step delta. */
+  final case class Converged(ranks: DataFrame, iters: Int, deltaMicro: Long)
+
+  /** Iterate-to-tolerance PageRank — the production 50–100-iteration
+    * shape. [[fixedPoint]] unrolls all rounds into ONE lazy plan, which
+    * is the right thing for a handful of iterations but grows plan depth
+    * (and Catalyst analysis time) linearly with `iters`; this variant
+    * runs EAGERLY in segments of `checkpointEvery` rounds, truncating
+    * lineage with `localCheckpoint` at each segment boundary, so plan
+    * depth is bounded by the segment length no matter how many rounds
+    * convergence takes.
+    *
+    * Convergence test: max over nodes of |r_k(v) - r_{k-seg}(v)| <=
+    * epsMicro, evaluated at segment boundaries only (the delta aggregate
+    * piggy-backs on data the checkpoint just materialized — no extra
+    * pass over edges). Integer arithmetic means a true fixed point
+    * (delta == 0) is reachable exactly, not just approached: epsMicro=0
+    * is a valid and meaningful tolerance.
+    *
+    * Scale shape (100 TB graph): identical per-iteration cost to
+    * [[fixedPoint]] — edges repartitioned ONCE and persisted, each round
+    * shuffles only the vertex-sized rank vector — plus one vertex-sized
+    * localCheckpoint write per segment. localCheckpoint (not reliable
+    * checkpoint) is deliberate: it persists to executor-local
+    * MEMORY_AND_DISK, no distributed-FS round trip; superseded
+    * checkpoint RDDs are released by the ContextCleaner as references
+    * drop. The edge/vertex caches are released before returning (the
+    * result is checkpointed, so it no longer needs them). */
+  def untilConverged(edges: DataFrame, epsMicro: Long, maxIters: Int = 100,
+      dampMicro: Long = 850000000L, checkpointEvery: Int = 5): Converged = {
+    require(epsMicro >= 0L, s"epsMicro must be >= 0: $epsMicro")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1: $checkpointEvery")
+    require(dampMicro >= 0L && dampMicro <= R,
+      s"dampMicro must be in [0, $R]: $dampMicro")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n1 = deg.agg(count(lit(1)).as("nn"))
+    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+      .crossJoin(broadcast(n1))
+      .persist()
+
+    var prev = nodes.withColumn("r", expr(s"${R}L div nn")).localCheckpoint()
+    var done = 0
+    var delta = Long.MaxValue
+    while (done < maxIters && delta > epsMicro) {
+      val segment = math.min(checkpointEvery, maxIters - done)
+      var ranks = prev
+      for (_ <- 1 to segment) {
+        val contribs = ranks
+          .select(col("node"), expr("r div outdeg").as("c"))
+          .join(e, col("node") === col("src"))
+          .groupBy("dst").agg(sum("c").as("s"))
+        ranks = nodes
+          .join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"), col("outdeg"), col("nn"),
+            expr(s"(${R}L - ${dampMicro}L) div nn + " +
+              s"(${dampMicro}L * coalesce(s, 0L)) div ${R}L").as("r"))
+      }
+      val cur = ranks.localCheckpoint() // eager: lineage truncated here
+      // rename one side: cur and prev share attribute ids (both descend
+      // from the persisted vertex frame), so a qualified self-join would
+      // be ambiguous
+      val p2 = prev.select(col("node").as("p_node"), col("r").as("p_r"))
+      delta = cur
+        .join(p2, col("node") === col("p_node"))
+        .agg(max(abs(col("r") - col("p_r"))).as("d"))
+        .head().getLong(0)
+      prev = cur
+      done += segment
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    Converged(prev.select(col("node"), col("r").as("rank_micro")),
+      done, delta)
   }
 
   /** The matching DuckDB recurrence, generated by the same loop so engine

@@ -54,12 +54,45 @@ object SetSimJoin {
     *
     * `elems` is the set-valued expression to compare (e.g.
     * `Dedup.tokenShingles(col("text"), 3)`); it is array_distinct'd
-    * here, so callers may pass raw arrays. tau should be exactly
-    * representable in binary (0.75, 0.5, …) so `ceil(tau*n)` cannot
-    * round across an integer boundary and break the lossless-prefix
-    * guarantee. Rows whose `elems` is NULL are dropped. */
+    * here, so callers may pass raw arrays. Rows whose `elems` is NULL
+    * are dropped.
+    *
+    * `tau` is interpreted as the RATIONAL its shortest decimal form
+    * denotes (0.7 → 7/10, 0.75 → 3/4 — `BigDecimal.valueOf`, i.e. the
+    * round-trip `Double.toString` representation), and all threshold
+    * arithmetic is then exact — see [[similarPairsRational]]. This
+    * closes the FP hole where `ceil(tau * n)` could land on the wrong
+    * side of an integer for a tau not representable in binary (e.g.
+    * 0.7 * n computed in doubles) and silently shorten the prefix,
+    * turning the lossless guarantee into a scaladoc promise. */
   def similarPairs(docs: DataFrame, idCol: String, elems: Column,
       tau: Double): DataFrame = {
+    val bd = java.math.BigDecimal.valueOf(tau) // shortest decimal form
+    require(bd.scale <= 9 && bd.precision - bd.scale <= 1,
+      s"tau must be a short decimal in (0, 1]: $tau")
+    val den = java.math.BigDecimal.TEN.pow(math.max(bd.scale, 0))
+    similarPairsRational(docs, idCol, elems,
+      bd.movePointRight(math.max(bd.scale, 0)).longValueExact,
+      den.longValueExact)
+  }
+
+  /** [[similarPairs]] with the threshold as an exact rational
+    * tauNum/tauDen — every comparison against it is integer arithmetic:
+    *
+    *  - prefix length: n - ceil(tauNum*n / tauDen) + 1, with the ceil as
+    *    `(tauNum*n + tauDen - 1) div tauDen` (longs; n <= 2^31 and any
+    *    practical tauDen keep the product far from overflow);
+    *  - final acceptance: Jaccard >= tau ⟺ inter * (tauNum + tauDen)
+    *    >= tauNum * (|A| + |B|), since union = |A| + |B| - inter —
+    *    integers only, no division at all.
+    *
+    * The reported `jac` column stays a double ratio of ints (correctly
+    * rounded IEEE division, bit-identical across engines) but is no
+    * longer what the filter tests. */
+  def similarPairsRational(docs: DataFrame, idCol: String, elems: Column,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauDen > 0 && tauNum > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
     val toks = docs.select(col(idCol).as("doc_id"),
         array_distinct(elems).as("toks"))
       .filter(col("toks").isNotNull)
@@ -70,10 +103,12 @@ object SetSimJoin {
     val tokDf = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
 
     // Rank each doc's elements rare-first; keep the lossless prefix.
+    // Integer ceil-div: no FP anywhere near the boundary.
     val prefix = docTok.join(tokDf, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")).cast("int") + 1)
+      .filter(col("rk") <= col("n") -
+        expr(s"(${tauNum}L * n + ${tauDen - 1}L) div ${tauDen}L") + 1)
       .select("doc_id", "tok")
 
     val cands = prefix.select(col("doc_id").as("id_a"), col("tok"))
@@ -85,9 +120,10 @@ object SetSimJoin {
     val tb = toks.select(col("doc_id").as("id_b"), col("toks").as("t_b"))
     cands.join(ta, "id_a").join(tb, "id_b")
       .withColumn("__inter", size(array_intersect(col("t_a"), col("t_b"))))
+      .filter(col("__inter") * lit(tauNum + tauDen) >=
+        lit(tauNum) * (size(col("t_a")) + size(col("t_b"))))
       .withColumn("jac", col("__inter").cast("double") /
         (size(col("t_a")) + size(col("t_b")) - col("__inter")))
-      .filter(col("jac") >= tau)
       .select("id_a", "id_b", "jac")
       .orderBy("id_a", "id_b")
   }

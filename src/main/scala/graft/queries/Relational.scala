@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Iteration count of `q_graph_pagerank` — shared with its generated
+    * DuckDB oracle and with PlanContractSpec's cached-scan count
+    * (`2*iters + 1`: each round scans the edge cache once and the vertex
+    * cache once, plus the rank seed's vertex scan), so changing the
+    * query keeps oracle and plan contract in lockstep. */
+  private[graft] val pagerankIters = 5
+
   /** Inputs + join/agg body of `q_join_bucketed`, shared with
     * `BucketProbe` so the probe's measured shuffle numbers stay the
     * numbers of THIS plan — a drifted manual copy would silently measure
@@ -396,7 +403,7 @@ object Relational {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.PageRank.fixedPoint(edges, iters = 5).orderBy("node")
+      graft.ops.PageRank.fixedPoint(edges, iters = pagerankIters).orderBy("node")
     }),
 
     // Skew mitigation by salting: append a deterministic salt to the fact
@@ -836,7 +843,7 @@ object Relational {
          SELECT dst AS src, src AS dst FROM (
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
-      iters = 5),
+      iters = pagerankIters),
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05

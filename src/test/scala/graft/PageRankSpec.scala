@@ -51,4 +51,71 @@ class PageRankSpec extends SparkSpec {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(a == b, "rank must not depend on partitioning")
   }
+
+  /** The integer recurrence run on the driver — the test oracle for
+    * iteration counts far too deep to unroll in one Catalyst plan. */
+  private def driverRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val R = 1000000000L; val d = 850000000L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nn = outdeg.size.toLong
+    var r = outdeg.map { case (n, _) => n -> R / nn }
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, t) <- edges) contrib(t) += r(s) / outdeg(s)
+      r = outdeg.map { case (n, _) => n -> ((R - d) / nn + d * contrib(n) / R) }
+    }
+    r
+  }
+
+  test("untilConverged stops at tolerance and matches the driver recurrence") {
+    // Damping 0.85 contracts deltas geometrically (~0.85x per round on
+    // this graph), so a micro-scale tolerance converges in the
+    // production 50-100-iteration band — far deeper than fixedPoint can
+    // unroll in one plan (110 unrolled levels StackOverflows task
+    // serialization; that failure mode is WHY untilConverged exists).
+    // Oracle: the same integer recurrence run on the driver.
+    val base = (1L to 20L).map(l => (l % 7, l))
+    val edgeSeq = base ++ base.map(_.swap)
+    val edges = edgeSeq.toDF("src", "dst")
+    val c = PageRank.untilConverged(edges, epsMicro = 1000L, maxIters = 200,
+      checkpointEvery = 10)
+    assert(c.deltaMicro <= 1000L, s"did not converge: delta=${c.deltaMicro}")
+    assert(c.iters < 200, s"should converge well before maxIters: ${c.iters}")
+    assert(c.iters >= 50, s"suspiciously fast for this graph: ${c.iters}")
+    val got = c.ranks.orderBy("node").as[(Long, Long)].collect().toMap
+    assert(got == driverRanks(edgeSeq, c.iters),
+      s"segmented loop diverged from the recurrence at iter ${c.iters}")
+  }
+
+  test("untilConverged segments agree bit-for-bit with the unrolled plan") {
+    // At a depth shallow enough to unroll, segmented (3+3+1) and
+    // one-plan execution must give identical ranks: checkpointing may
+    // truncate lineage, never change a value.
+    val base = (1L to 20L).map(l => (l % 7, l))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val c = PageRank.untilConverged(edges, epsMicro = 0L, maxIters = 7,
+      checkpointEvery = 3)
+    assert(c.iters == 7, s"eps=0 must run to maxIters here: ${c.iters}")
+    val got = c.ranks.orderBy("node").as[(Long, Long)].collect().toSeq
+    val want = PageRank.fixedPoint(edges, iters = 7)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == want, "segmented != unrolled at equal iteration count")
+  }
+
+  test("untilConverged truncates lineage: plan depth bounded by the segment") {
+    // 50 iterations with checkpointEvery=5 — without localCheckpoint the
+    // final plan would unroll all rounds (hundreds of nodes); with it,
+    // the result must sit on a checkpointed leaf a few nodes deep.
+    val base = (1L to 30L).map(l => (l % 11, l))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val c = PageRank.untilConverged(edges, epsMicro = 0L,
+      maxIters = 50, checkpointEvery = 5)
+    val plan = c.ranks.queryExecution.optimizedPlan
+    val depth = plan.numberedTreeString.linesIterator.size
+    assert(plan.collectLeaves().forall(
+      _.getClass.getSimpleName.contains("LogicalRDD")),
+      s"result must read a checkpointed RDD leaf:\n$plan")
+    assert(depth < 10, s"plan depth $depth suggests lineage was not truncated:\n$plan")
+  }
 }

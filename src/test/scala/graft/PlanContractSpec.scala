@@ -117,14 +117,17 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(p) {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, s"pagerank grew a cartesian product:\n$p")
-    // the 5 iterations consume the edge list and the vertex frame via
+    // the iterations consume the edge list and the vertex frame via
     // persisted in-memory relations — the scan+repartition+aggregate
-    // lineage must not replay per round (5 edge scans + 6 vertex scans)
+    // lineage must not replay per round (iters edge scans + iters+1
+    // vertex scans; count derived from the query's own constant so the
+    // contract tracks the definition)
+    val expectCached = 2 * graft.queries.Relational.pagerankIters + 1
     val cached = collectWithSubqueries(p) {
       case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
     }
-    assert(cached.size >= 11,
-      s"expected >= 11 cached scans (5 edge + 6 vertex), got ${cached.size}:\n$p")
+    assert(cached.size >= expectCached,
+      s"expected >= $expectCached cached scans, got ${cached.size}:\n$p")
   }
 
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {

@@ -43,6 +43,31 @@ class SetSimJoinSpec extends SparkSpec {
     assert(want.nonEmpty, "degenerate fixture: no qualifying pairs")
   }
 
+  test("non-binary tau (0.7) is exact: rational threshold matches brute force") {
+    // 0.7 has no finite binary representation — the old double
+    // `ceil(tau*n)` could shorten the prefix by one for unlucky n. The
+    // rational path (7/10) must match brute force on a fixture dense in
+    // near-threshold pairs, and the explicit-rational entry point must
+    // agree with the decimal-interpreted double.
+    val universe = ('a' to 'n').map(_.toString)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, universe.filter(u => (i * 37 + u.hashCode) % 4 != 0))
+    }
+    val got = pairs(docs, tau = 0.7).as[(Long, Long, Double)].collect().toSet
+    val viaRational = SetSimJoin.similarPairsRational(
+        docs.toDF("doc_id", "elems"), "doc_id", col("elems"), 7L, 10L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == viaRational, "double and rational entry points disagree")
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.toSet.size + sb.toSet.size - inter
+      if inter * 10 >= 7 * union // exact rational acceptance
+    } yield (ia, ib, inter.toDouble / union)).toSet
+    assert(got == want, "rational prefix filter dropped or invented pairs")
+    assert(want.nonEmpty, "degenerate fixture: no qualifying pairs")
+  }
+
   test("duplicate elements and null sets are tolerated") {
     val out = SetSimJoin.similarPairs(
       Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a", "b")))
