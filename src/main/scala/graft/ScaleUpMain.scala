@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthetic scale-up generator: writes an N× copy of a TESTDATA.md
@@ -30,12 +30,39 @@ import org.apache.spark.sql.functions._
   *    (N× density, unchanged span) — exactly what `queries.tbl` and
   *    `StreamOps.eventsStream` read; watermark/window semantics scale
   *    without shifting.
+  *
+  * ZIPF-SKEW MODE (`args(3) == "zipf"`): uniform replication never grows
+  * key skew with scale (every replica's key-space is disjoint), so the
+  * uniform ladder cannot exercise AQE skew-split or salting — the one
+  * 100 TB failure mode a 1000-executor cluster WILL hit (one hot
+  * customer, one viral content id). In skew mode, replicas i > 0 reroute
+  * an `alphaPct`% deterministic sample of each scaling table's FOREIGN
+  * keys onto `hotK` replica-0 hot keys (primary keys keep their offsets,
+  * so row counts and key-space sizes are unchanged):
+  *  - `lineitem.l_orderkey` → hotK original order keys (the skewed
+  *    fact-fact join input),
+  *  - `orders.o_custkey` and `events.user_id` → hotK original customers,
+  *  - `embeddings.label` → the corpus's hottest label (inflates the
+  *    label-blocked pair join super-linearly — the documented quadratic
+  *    family under its worst case).
+  * Hot share ≈ alphaPct·(factor−1)/factor of each table concentrates on
+  * hotK keys, i.e. a hot key carries ~alphaPct/hotK of ALL rows — orders
+  * of magnitude past any mean-frequency multiple, which is exactly the
+  * regime `q_skew_profile` flags and `q_join_skew_salted` mitigates.
+  * Every reroute lands on a key that exists in replica 0, so referential
+  * integrity — and therefore every DuckDB oracle — holds on the skewed
+  * corpus unchanged.
   */
 object ScaleUpMain {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skewMode = args.length > 3 && args(3) == "zipf"
+    val alphaPct = if (args.length > 4) args(4).toInt else 25
+    val hotK = if (args.length > 5) args(5).toInt else 4
+    require(!skewMode || (alphaPct >= 1 && alphaPct <= 90 && hotK >= 1),
+      s"zipf mode needs alphaPct in [1,90] and hotK >= 1: $alphaPct/$hotK")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,6 +89,26 @@ object ScaleUpMain {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(key)).head().getLong(0) + 1L
 
+    /** The hotK smallest replica-0 keys — guaranteed to exist in every
+      * skewed output because replica 0 is written verbatim. */
+    def hotLongs(df: DataFrame, key: String): Seq[Long] =
+      df.select(col(key)).distinct().orderBy(col(key)).limit(hotK)
+        .collect().map(_.getLong(0)).toSeq
+
+    /** Zipf reroute: for replicas i > 0, send an alphaPct% deterministic
+      * sample of `fk` onto the hot keys (uniformly across them). `seed`
+      * must be a per-row-stable column (the offset primary key) so the
+      * sample is reproducible run-to-run. Replica 0 and non-skew runs
+      * pass through untouched. */
+    def zipfReroute(d: DataFrame, i: Int, fk: String, seed: Column,
+        hot: Seq[Long]): DataFrame =
+      if (!skewMode || i == 0) d
+      else d.withColumn(fk,
+        when(pmod(xxhash64(seed, lit(i)), lit(100)) < lit(alphaPct),
+          element_at(typedLit(hot),
+            (pmod(xxhash64(seed, lit(i + 7919)), lit(hot.size)) + 1).cast("int")))
+          .otherwise(col(fk)))
+
     val customer = spark.read.parquet(s"$src/customer.parquet")
     val supplier = spark.read.parquet(s"$src/supplier.parquet")
     val part = spark.read.parquet(s"$src/part.parquet")
@@ -86,16 +133,25 @@ object ScaleUpMain {
     write("region", spark.read.parquet(s"$src/region.parquet"), 1)
     write("nation", spark.read.parquet(s"$src/nation.parquet"), 1)
 
+    val hotCust = if (skewMode) hotLongs(customer, "c_custkey") else Nil
+    val hotOrd = if (skewMode) hotLongs(orders, "o_orderkey") else Nil
+    if (skewMode) println(s"[scaleup] zipf mode: alpha=$alphaPct% " +
+      s"hotK=$hotK hotCust=$hotCust hotOrd=$hotOrd")
+
     write("customer", rep(customer, Map("c_custkey" -> custS)), 2)
     write("supplier", rep(supplier, Map("s_suppkey" -> suppS)), 1)
     write("part", rep(part, Map("p_partkey" -> partS)), 2)
     write("orders", rep(orders, Map(
-      "o_orderkey" -> ordS, "o_custkey" -> custS)), 8)
+      "o_orderkey" -> ordS, "o_custkey" -> custS),
+      (d, i) => zipfReroute(d, i, "o_custkey", col("o_orderkey"), hotCust)), 8)
     write("lineitem", rep(lineitem, Map(
-      "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)), 16)
+      "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS),
+      (d, i) => zipfReroute(d, i, "l_orderkey",
+        xxhash64(col("l_orderkey"), col("l_linenumber")), hotOrd)), 16)
     // user_id lives in the c_custkey key-space (stream-static join)
     write("events", rep(events, Map(
-      "event_id" -> evS, "user_id" -> custS)), 8)
+      "event_id" -> evS, "user_id" -> custS),
+      (d, i) => zipfReroute(d, i, "user_id", col("event_id"), hotCust)), 8)
 
     // per-replica alphabet permutation — must be INJECTIVE over replica
     // index, not merely non-identity: any two replicas sharing a
@@ -138,6 +194,11 @@ object ScaleUpMain {
     require(factor <= 2 * (dim - 1) + 1,
       s"embedding permutation supports at most ${2 * (dim - 1) + 1} " +
         s"distinct replicas at dim $dim, got $factor")
+    // skew target for the label-blocked pair join: the corpus's hottest
+    // label (label is INT, not a long key-space — reroute is a literal)
+    val hotLabel: Int = if (!skewMode) 0 else
+      embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("label")).head().getInt(0)
     write("embeddings", rep(embeddings, Map("vec_id" -> vecS),
       (d, i) => {
         if (i == 0) d
@@ -146,8 +207,12 @@ object ScaleUpMain {
           val negate = ((i - 1) / (dim - 1)) % 2 == 1
           val rotated = concat(slice(col("embedding"), k + 1, dim - k),
             slice(col("embedding"), 1, k))
-          d.withColumn("embedding",
+          val rot = d.withColumn("embedding",
             if (negate) transform(rotated, x => -x) else rotated)
+          if (!skewMode) rot
+          else rot.withColumn("label",
+            when(pmod(xxhash64(col("vec_id"), lit(i)), lit(100)) < lit(alphaPct),
+              lit(hotLabel)).otherwise(col("label")))
         }
       }), 4)
 
