@@ -28,6 +28,34 @@ object Bench {
         from_json(lit("""{"k":1}"""), StructType(Seq(StructField("k", IntegerType)))).getField("k"),
         get_json_object(lit("""{"k":1}"""), "$.k")).count()
     }
+    // Host-speed calibration probe: a FIXED in-memory sort+agg workload that
+    // touches no testdata, timed as median-of-5 after 2 codegen warmups.
+    // Two consecutive rounds saw the whole catalog drift uniformly (0.97x ->
+    // 1.24x vs pin) with zero workload regressions — ambient host-speed
+    // shifts were consuming the 2x regression gate's headroom. Recording the
+    // probe alongside the per-query medians lets the gate normalize: a
+    // uniformly slower host inflates probe and queries alike (ratio
+    // cancels), while a genuine code regression moves only its query. The
+    // workload spans the engine's cost centers (codegen'd hash agg over 8M
+    // rows, a 9973-key shuffle, a range-partitioned sort) so it drifts with
+    // the same machine characteristics the catalog does.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+          .select(col("id"), pmod(hash(col("id")), lit(9973)).as("k"),
+            (col("id") % 1000).cast("double").as("v"))
+          .groupBy("k")
+          .agg(sum("v").as("s"), avg("v").as("a"), count(lit(1)).as("c"))
+          .orderBy("k").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); once() // codegen + shuffle-machinery warmup, untimed
+      val xs = List.fill(5)(once()).sorted
+      xs(2)
+    }
+    val calib = calibrate()
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
@@ -124,8 +152,8 @@ object Bench {
     val mapPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(mapPath,
-      s"""{"sf":"$sfDir","cpus":$cpus,"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"calib":${f3(calib)},"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

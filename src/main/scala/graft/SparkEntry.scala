@@ -12,7 +12,10 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  // def, not val: LlmOps.oracles GENERATES q_dedup_semantic's SQL from
+  // centroids recorded at query run time — a val would freeze the map
+  // before any query ran and permanently drop that entry.
+  private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Flagship.defs, Flagship.oracles),
       (Relational.defs, Relational.oracles),

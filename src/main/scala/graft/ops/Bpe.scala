@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer induction (Sennrich et al.
+  * 2016, arXiv:1508.07909) — the vocabulary-building step of an LLM data
+  * pipeline, run as Spark aggregations.
+  *
+  * The scale move is the same one the reference implementation makes on
+  * one machine: train on the WORD-FREQUENCY table, not the token stream.
+  * A 100 TB corpus has trillions of running words but a Zipf-bounded
+  * number of distinct word forms (tens of millions); `wordFreqs` is one
+  * map-side-combined aggregation that compresses the corpus by ~10⁵, and
+  * every merge round after it touches only that vocab-sized table:
+  * count adjacent symbol pairs weighted by word frequency (a shuffle of
+  * pair strings with partial aggregation), pick the arg-max pair
+  * (count desc, pair asc — a 1-row driver decision, the same bounded
+  * collect PQ/IVF fits make), and apply the merge to each word's symbol
+  * array map-side. Per-round cost is O(|vocab|), independent of corpus
+  * size; the corpus is read exactly once.
+  *
+  * Pair counting is POSITIONAL (each adjacent position counts, including
+  * overlaps: "aaa" holds (a,a) twice), and merge application is greedy
+  * left-to-right non-overlapping ("aaa" + (a,a) -> [aa, a]) — both
+  * exactly the reference BPE semantics. Ties on count break on the pair
+  * string ascending, making the whole merge sequence deterministic
+  * across partitionings and engines: the catalog query's DuckDB oracle
+  * RECOMPUTES the sequence independently (per-round CTEs replay the
+  * merge state via delimiter-guarded string replace) and must agree
+  * round for round.
+  */
+object Bpe {
+
+  final case class Merge(merge_rank: Int, lhs: String, rhs: String,
+                         n_occurrences: Long)
+
+  /** Distinct word forms with occurrence counts — the vocab-sized
+    * compressed intermediate everything else runs on. */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs as "lhs rhs" strings, one per position.
+    * Symbols never contain spaces (words are split ON spaces), so the
+    * space-joined pair string is unambiguous and its ascending order is
+    * the tie-break both engines share. */
+  def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One greedy left-to-right merge pass over a symbol array: every
+    * non-overlapping (lhs, rhs) adjacency becomes the concatenated
+    * symbol. A sequential fold IS the greedy scan — after a merge the
+    * accumulator's tail is the merged symbol, so an immediately
+    * following `rhs` cannot re-merge ("aaa" + (a,a) -> [aa, a]). */
+  def applyMerge(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(lhs)
+            && x === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` merge rules. Each round: one vocab-sized pair
+    * aggregation, a 1-row collect of the arg-max pair, one map-side
+    * merge application. Symbol tables are persisted and swapped per
+    * round (materialize-then-release, the PageRank lineage-truncation
+    * pattern) so plan depth stays bounded at production merge counts
+    * (30k-round vocabularies), and every cache is released on exit. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    var syms = wordFreqs(docs, textCol)
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    try {
+      var exhausted = false
+      for (r <- 1 to nMerges if !exhausted) {
+        val top = syms
+          .select(col("freq"), explode(pairsOf(col("syms"))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // no adjacent pairs left anywhere
+        else {
+          val Array(l, rt) = top.head.getString(0).split(" ", 2)
+          merges += Merge(r, l, rt, top.head.getLong(1))
+          val next = syms
+            .select(col("freq"), applyMerge(col("syms"), l, rt).as("syms"))
+            .persist()
+          next.count() // materialize before dropping the parent cache
+          syms.unpersist()
+          syms = next
+        }
+      }
+    } finally syms.unpersist()
+    merges.toSeq
+  }
+
+  /** The merge table as a DataFrame — the trained tokenizer model
+    * (rank-ordered rules), which is what a pipeline persists and ships. */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF().select(col("merge_rank"), col("lhs"), col("rhs"),
+      col("n_occurrences")).orderBy("merge_rank")
+  }
+
+  /** STATIC DuckDB oracle for a `train(nMerges)` run: per-round CTEs
+    * recompute the merge sequence from scratch — round k's state applies
+    * round k-1's COMPUTED winner (scalar subqueries, not embedded
+    * answers) via delimiter-guarded string replace ('|a|b|' -> '|ab|',
+    * whose left-to-right non-overlapping scan is exactly the greedy
+    * fold), so a wrong Spark merge at ANY round mismatches. */
+  def oracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { k =>
+      val src = if (k == 1) "base" else s"s$k"
+      val state = if (k == 1) "" else {
+        val prev = if (k == 2) "base" else s"s${k - 1}"
+        s"""s$k AS (SELECT freq, replace(s,
+             (SELECT '|' || lhs || '|' || rhs || '|' FROM r${k - 1}),
+             (SELECT '|' || lhs || rhs || '|' FROM r${k - 1})) AS s
+           FROM $prev),
+         """
+      }
+      s"""${state}p$k AS (SELECT freq, unnest(list_transform(range(1, len(cs)),
+             i -> cs[i] || ' ' || cs[i+1])) AS pair
+           FROM (SELECT freq, list_filter(string_split(s, '|'),
+                   x -> x <> '') AS cs FROM $src) q),
+         r$k AS (SELECT $k AS merge_rank, split_part(pair, ' ', 1) AS lhs,
+             split_part(pair, ' ', 2) AS rhs, CAST(n AS BIGINT) AS n_occurrences
+           FROM (SELECT pair, sum(freq) AS n FROM p$k
+                 GROUP BY pair ORDER BY n DESC, pair LIMIT 1) t)"""
+    }.mkString(",\n         ")
+    val union = (1 to nMerges).map(k => s"SELECT * FROM r$k")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       wf AS (SELECT word, count(*) AS freq FROM w
+              WHERE length(word) >= 1 GROUP BY word),
+       base AS (SELECT freq,
+           '|' || array_to_string(string_split(word, ''), '|') || '|' AS s
+         FROM wf),
+       $rounds
+       $union ORDER BY merge_rank"""
+  }
+}

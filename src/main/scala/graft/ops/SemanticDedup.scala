@@ -67,6 +67,89 @@ object SemanticDedup {
     dedupAssigned(assignClusters(embeddings, idCol, embCol, k, seed),
       idCol, embCol, threshold, chunks, sim)
 
+  /** The fitted blocking centroids alone — [[assignClusters]]' k-means||
+    * fit without the assignment, for callers that assign via
+    * [[nearestCentroid]] so the oracle can replay the decision. */
+  def fitCentroids(embeddings: DataFrame, embCol: String, k: Int,
+                   seed: Long = 42, maxIter: Int = 5): Seq[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings
+      .withColumn("__fv", array_to_vector(col(embCol).cast("array<double>")))
+    new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("k-means||").setFeaturesCol("__fv").fit(feat)
+      .clusterCenters.map(_.toArray).toSeq
+  }
+
+  /** Nearest-centroid assignment as a pure Column expression — map-side,
+    * zero-shuffle blocking (centroids ride along as literals, the way the
+    * IVF probe and PQ codebooks do). The fold visits clusters in index
+    * order with a strict `<`, so ties keep the SMALLEST cluster id, and
+    * the distance is the sequential left fold Σ(a_i − c_i)² in doubles —
+    * the exact operation order [[oracleSql]]'s generated DuckDB replays
+    * (`list_reduce` over `list_transform`), making the assignment
+    * reproducible across both engines rather than an opaque ML-model
+    * verdict (`KMeansModel.transform` scores with a norm-precomputed
+    * `fastSquaredDistance` whose FP rounding no SQL engine replays). */
+  def nearestCentroid(emb: Column, centroids: Seq[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cents = array(centroids.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    aggregate(
+      sequence(lit(0), lit(centroids.length - 1)),
+      struct(lit(Double.PositiveInfinity).as("d"), lit(0).as("c")),
+      (acc, i) => {
+        val d = aggregate(
+          zip_with(emb.cast("array<double>"), element_at(cents, i + lit(1)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (s, x) => s + x)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), i.cast("int").as("c"))).otherwise(acc)
+      },
+      acc => acc.getField("c"))
+  }
+
+  /** GENERATE the DuckDB oracle for a [[dedupAssigned]] run whose blocking
+    * was [[nearestCentroid]] over these centroids — the same move as
+    * `PageRank.oracleSql`: the deterministic, seeded fit's output is
+    * embedded as literals and every DOWNSTREAM decision (assignment
+    * argmin, within-cluster cosine threshold, smaller-id drop rule) is
+    * replayed in SQL. `Double.toString` literals round-trip (Java prints
+    * enough digits to re-parse to the same bits; DuckDB's parse is
+    * correctly rounded), so both engines fold the same 64 doubles in the
+    * same order. Ties in the argmin break to the smallest cluster id on
+    * both sides. */
+  def oracleSql(centroids: Seq[Array[Double]], threshold: Double): String = {
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST([${c.map(java.lang.Double.toString).mkString(", ")}] AS DOUBLE[]))"
+    }.mkString(", ")
+    s"""WITH cents(cluster, cent) AS (VALUES $rows),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dist AS (
+         SELECT e.vec_id, c.cluster,
+           list_reduce(list_transform(range(1, len(c.cent) + 1),
+             i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])),
+             (acc, x) -> acc + x) AS d
+         FROM e CROSS JOIN cents c),
+       assigned AS (
+         SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist) t
+         WHERE rn = 1),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM assigned a JOIN assigned b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         JOIN e ea ON ea.vec_id = a.vec_id
+         JOIN e eb ON eb.vec_id = b.vec_id
+         WHERE list_cosine_similarity(ea.emb, eb.emb) > $threshold),
+       dropped AS (SELECT DISTINCT id_b FROM pairs)
+       SELECT a.vec_id, a.cluster, (d.id_b IS NOT NULL) AS dropped
+       FROM assigned a LEFT JOIN dropped d ON d.id_b = a.vec_id
+       ORDER BY a.vec_id"""
+  }
+
   /** The drop rule over a PRE-BLOCKED corpus (`cluster` column present) —
     * bring your own blocking: [[assignClusters]], a fitted IVF index's
     * list ids ([[Similarity.fitIvf]] writes exactly this layout), or any

@@ -60,6 +60,21 @@ object LlmOps {
       build: () => (String, String)): (String, String) =
     lshFullLoop.computeIfAbsent(dir, _ => build())
 
+  /** q_dedup_semantic's cosine threshold — ONE definition shared by the
+    * query and its generated oracle (edited together by construction). */
+  private val SemanticThreshold = 0.35
+
+  /** The blocking centroids q_dedup_semantic last fitted — consumed by
+    * [[oracles]] to GENERATE its DuckDB oracle. graft.Verify runs every
+    * query BEFORE dumping oracle_sql.json, so by dump time this holds the
+    * centroids the dumped result was computed with (the fit is seeded and
+    * deterministic, so re-runs write identical values). When the query
+    * never ran (a SPARK_GRAFT_ONLY subset without it), the oracle entry is
+    * simply omitted and the driver records rows-only — never a stale or
+    * fabricated oracle. */
+  private val semanticCentroids =
+    new java.util.concurrent.atomic.AtomicReference[Option[Seq[Array[Double]]]](None)
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
@@ -430,15 +445,27 @@ object LlmOps {
           .token_shingle_hashes(col("text"), 3),
         tau = 0.75)),
     // SemDeDup (ops.SemanticDedup): k-means blocking instead of the
-    // metadata label — the dedup that works when no label exists. Rows-only
-    // (k-means clusters are not SQL-expressible); SemanticDedupSpec pins
-    // the keep/drop contract on planted data, and the emitted row count is
-    // the full corpus (one verdict per vector).
-    "q_dedup_semantic" -> ((s, dir) =>
-      graft.ops.SemanticDedup.dedup(tbl(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 8, threshold = 0.35, chunks = 4,
+    // metadata label — the dedup that works when no label exists. FULLY
+    // ORACLED despite the ML fit: the seeded k-means|| produces
+    // deterministic centroids, the assignment is an explicit
+    // nearest-centroid argmin expression (not the model's opaque
+    // transform), and the fitted centroids are recorded so [[oracles]]
+    // can GENERATE the DuckDB SQL that replays assignment + threshold +
+    // drop rule over centroid literals (the q_graph_pagerank pattern).
+    // SemanticDedupSpec additionally pins the keep/drop contract on
+    // planted data.
+    "q_dedup_semantic" -> ((s, dir) => {
+      import graft.ops.SemanticDedup
+      val e = tbl(s, dir, "embeddings")
+      val cents = SemanticDedup.fitCentroids(e, "embedding", k = 8)
+      semanticCentroids.set(Some(cents))
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        SemanticDedup.nearestCentroid(col("embedding"), cents).as("cluster"))
+      SemanticDedup.dedupAssigned(assigned, "vec_id", "embedding",
+          threshold = SemanticThreshold, chunks = 4,
           sim = (x, y) => cosine_sim(x, y))
-        .orderBy("vec_id")),
+        .orderBy("vec_id")
+    }),
     // Product quantization (ops.ProductQuantizer): 64 floats -> 8 codes,
     // 32x compression for the corpus-scale similarity tiers. Fit on a
     // deterministic 1024-row sample (driver-side Lloyd's, the FAISS
@@ -460,7 +487,15 @@ object LlmOps {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the GENERATED q_dedup_semantic oracle (present
+    * once the query has run and recorded its fitted centroids — Verify's
+    * dump order guarantees that for the driver's full runs). */
+  def oracles: Map[String, String] =
+    staticOracles ++ semanticCentroids.get().map(cents =>
+      "q_dedup_semantic" ->
+        graft.ops.SemanticDedup.oracleSql(cents, SemanticThreshold))
+
+  private val staticOracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash

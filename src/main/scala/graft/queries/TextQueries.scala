@@ -158,8 +158,83 @@ object TextQueries {
         .select(col("doc_id"), total.as("n_shingles"), uniq.as("n_uniq"),
           ratio.as("rep_ratio"))
         .orderBy("doc_id")
+    }),
+    // BPE pair statistics (ops.Bpe): the per-round kernel of tokenizer
+    // induction as one catalog query — adjacent character-pair counts
+    // over the word-frequency table (the vocab-sized compressed
+    // intermediate; the corpus's trillions of running words collapse into
+    // it via one map-side-combined agg). Fully oracled.
+    "q_bpe_pairs" -> ((s, dir) => {
+      val words = graft.ops.Bpe.wordFreqs(tbl(s, dir, "documents"), "text")
+        .filter(length(col("word")) >= 2)
+      words
+        .select(col("word"), col("freq"), explode(
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(countDistinct("word").as("n_words"),
+          sum("freq").as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("pair"))
+    }),
+    // Full BPE training loop (ops.Bpe.train): BpeMerges rounds of
+    // count-pairs -> argmax -> apply-merge over the vocab-sized symbol
+    // table; the result is the rank-ordered merge table (the tokenizer
+    // model a pipeline persists). The DuckDB oracle RECOMPUTES the whole
+    // merge sequence independently — per-round CTEs replay each state
+    // via delimiter-guarded string replace and re-derive each round's
+    // arg-max winner, so any divergence at any round hash-mismatches.
+    "q_bpe_train" -> ((s, dir) =>
+      graft.ops.Bpe.mergeTable(s,
+        graft.ops.Bpe.train(tbl(s, dir, "documents"), "text", BpeMerges))),
+    // Inverted index (posting-list construction): term -> document
+    // frequency, collection frequency, and a bounded posting sample
+    // (first 10 doc ids, sorted — the driver-visible digest; production
+    // writes full posting lists to a term-partitioned sink instead of
+    // returning them). One exploded-token agg, map-side combined.
+    "q_text_inverted_index" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) >= 1)
+        .groupBy("term")
+        .agg(countDistinct("doc_id").as("df"),
+          count(lit(1)).as("cf"),
+          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 10), ",")
+            .as("posting_sample"))
+        .orderBy("term")),
+    // Collocation mining via pointwise mutual information over adjacent
+    // word pairs: PMI = ln(c_ab·N / (c_a·c_b)) with left/right marginals,
+    // quantized to integer micro-nats (the q_text_perplexity move) so the
+    // emitted value is exact long math on both engines. Three hash aggs
+    // over the pair stream + two broadcastable marginal joins — linear,
+    // map-side combined, no driver collect.
+    "q_text_pmi" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val prs = tbl(s, dir, "documents")
+        .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      val ca = prs.groupBy("w1").agg(count(lit(1)).as("n_left"))
+      val cb = prs.groupBy("w2").agg(count(lit(1)).as("n_right"))
+      val tot = prs.agg(count(lit(1)).as("n_tot"))
+      cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+        .filter(col("n_pair") >= 5)
+        .withColumn("pmi_micro",
+          floor(log((col("n_pair").cast("double") * col("n_tot"))
+            / (col("n_left").cast("double") * col("n_right"))) * 1e6 + 0.5d)
+            .cast("long"))
+        .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"))
+        .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))
     })
   )
+
+  /** q_bpe_train's round count — interpolated into the oracle generator
+    * (Bpe.oracleSql) so the query and its replay stay in lockstep. */
+  private[queries] val BpeMerges = 8
 
   private val markerCase = {
     // CASE chain mirroring TextAnalysis.langId (en > es > fr > de > zh on ties)
@@ -304,6 +379,46 @@ object TextQueries {
              range(1, greatest(length(text) - 2, 1) + 1),
              i -> substring(text, CAST(i AS INT), 3)))) AS DOUBLE)
            / greatest(length(text) - 2, 1), 6) AS rep_ratio
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         wf AS (SELECT word, count(*) AS freq FROM w
+                WHERE length(word) >= 2 GROUP BY word),
+         p AS (SELECT word, freq,
+                 unnest(list_transform(range(1, length(word)),
+                   i -> substring(word, CAST(i AS INT), 2))) AS pair
+               FROM wf)
+         SELECT pair, count(DISTINCT word) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences
+         FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair""",
+    // STATIC round-replay oracle: recomputes the merge sequence itself —
+    // see Bpe.oracleSql (not data-dependent; generated from the round
+    // count alone, so it can live in this static map).
+    "q_bpe_train" -> graft.ops.Bpe.oracleSql(BpeMerges),
+    "q_text_inverted_index" ->
+      """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf,
+           array_to_string(list_slice(list_sort(list_distinct(list(doc_id))), 1, 10), ',')
+             AS posting_sample
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents) t
+         WHERE length(term) >= 1
+         GROUP BY term ORDER BY term""",
+    "q_text_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         prs AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+                 FROM toks WHERE len(t) >= 2),
+         pr AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM prs),
+         cab AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2),
+         ca AS (SELECT w1, count(*) AS n_left FROM pr GROUP BY w1),
+         cb AS (SELECT w2, count(*) AS n_right FROM pr GROUP BY w2),
+         tot AS (SELECT count(*) AS n_tot FROM pr)
+         SELECT cab.w1, cab.w2, cab.n_pair,
+           CAST(floor(ln((CAST(n_pair AS DOUBLE) * n_tot)
+             / (CAST(n_left AS DOUBLE) * n_right)) * 1e6 + 0.5) AS BIGINT)
+             AS pmi_micro
+         FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+         WHERE n_pair >= 5
+         ORDER BY pmi_micro DESC, w1, w2"""
   )
 }

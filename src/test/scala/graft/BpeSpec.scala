@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Contract for the distributed BPE trainer: semantics match an
+  * INDEPENDENT in-memory reference implementation (Sennrich-style:
+  * positional pair counts, greedy left-to-right merge application,
+  * count-desc/pair-asc selection) on both planted corpora and the real
+  * test corpus. The DuckDB round-replay oracle checks the same thing a
+  * third way at verify time. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --- reference implementation (plain Scala, shares no code with ops.Bpe)
+
+  private def refApply(s: List[String], l: String, r: String): List[String] = {
+    val b = mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += s(i); i += 1 }
+    }
+    b.toList
+  }
+
+  private def refTrain(words: Map[String, Long],
+                       n: Int): Seq[(String, String, Long)] = {
+    var syms: Map[List[String], Long] =
+      words.map { case (w, f) => w.toList.map(_.toString) -> f }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < n) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((s, f) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) += f
+      if (counts.isEmpty) round = n
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l + " " + r) }
+        out += ((l, r, c))
+        syms = syms.groupMapReduce { case (s, _) => refApply(s, l, r) }(_._2)(_ + _)
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("applyMerge is greedy left-to-right and non-overlapping") {
+    val cases = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("x", "a", "b", "b"), "a", "b", Seq("x", "ab", "b")),
+      (Seq("a"), "a", "a", Seq("a")),
+      (Seq.empty[String], "a", "a", Seq.empty[String]))
+    cases.foreach { case (in, l, r, want) =>
+      val got = Seq(Tuple1(in)).toDF("syms")
+        .select(Bpe.applyMerge(col("syms"), l, r).as("m"))
+        .as[Seq[String]].head()
+      assert(got == want, s"$in + ($l,$r): got $got want $want")
+      assert(got == refApply(in.toList, l, r), "reference impl disagrees")
+    }
+  }
+
+  test("pair counting is positional: overlapping occurrences all count") {
+    val got = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+      .select(explode(Bpe.pairsOf(col("syms"))).as("p"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a a", "a a"), s"got $got")
+  }
+
+  test("train matches the reference on a planted corpus with ties") {
+    // "ab" x3, "ba" x3: round 1 ties (a,b)=3 vs (b,a)=3 -> pair-asc picks
+    // (a,b); round 2 then finds (b,a) only in the unmerged "ba" words
+    val docs = Seq("ab ab ab ba ba ba").toDF("text")
+    val got = Bpe.train(docs, "text", 3)
+      .map(m => (m.lhs, m.rhs, m.n_occurrences))
+    val want = refTrain(Map("ab" -> 3L, "ba" -> 3L), 3)
+    assert(got == want, s"got $got want $want")
+    assert(got.head == (("a", "b", 3L)), "tie must break pair-ascending")
+  }
+
+  test("train stops when no adjacent pairs remain") {
+    val got = Bpe.train(Seq("ab ab").toDF("text"), "text", 10)
+    // round 1 merges (a,b) everywhere; afterwards every word is a single
+    // symbol and no further rule exists
+    assert(got.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")), s"got $got")
+  }
+
+  test("distributed train matches the reference on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val want = refTrain(words, 8)
+    val got = Bpe.train(docs, "text", 8)
+      .map(m => (m.lhs, m.rhs, m.n_occurrences))
+    assert(got == want, s"got $got want $want")
+    assert(got.size == 8)
+  }
+}

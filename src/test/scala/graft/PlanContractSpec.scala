@@ -312,4 +312,25 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(loops.nonEmpty, s"no UnionLoop in:\n${qe.optimizedPlan}")
   }
+
+  test("q_window_rank ranks only heap-pruned rows, never a global window") {
+    // the low-cardinality rank demo must keep its TopK.rankTrio shape:
+    // a bounded-heap mapPartitions prune feeding a PER-GROUP window. A
+    // regression to a bare row_number() window would funnel the full
+    // table into 3 sort tasks (one per return flag) — the classic
+    // works-at-sf0.1, dies-at-100TB plan. (Its sf3 scale ratio sits in
+    // the scan-bound band BECAUSE of this prune; see SCALE.md.)
+    val p = plan("q_window_rank")
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected a WindowExec:\n$p")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"presentation window must be per-group, not global:\n$p"))
+    val prunes = collectWithSubqueries(p) {
+      case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+    }
+    assert(prunes.nonEmpty,
+      s"window input must descend from the bounded-heap prune:\n$p")
+  }
 }

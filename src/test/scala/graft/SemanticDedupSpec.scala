@@ -84,4 +84,38 @@ class SemanticDedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toSeq
     assert(out == Seq(1L -> false, 2L -> false, 3L -> true), s"got $out")
   }
+
+  test("nearestCentroid: argmin assignment, smallest cluster id on ties") {
+    // centroids on two axes; points nearer one, the other, or equidistant
+    val cents = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val rows = Seq(
+      10L -> Array(0.9f, 0.1f, 0f, 0f),  // nearest centroid 0
+      11L -> Array(0.1f, 0.9f, 0f, 0f),  // nearest centroid 1
+      12L -> Array(0.5f, 0.5f, 0f, 0f))  // exactly equidistant -> 0
+    val out = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        SemanticDedup.nearestCentroid(col("embedding"), cents).as("cluster"))
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    assert(out == Seq(10L -> 0, 11L -> 1, 12L -> 0), s"got $out")
+  }
+
+  test("nearestCentroid agrees with a driver-side argmin on fitted centroids") {
+    // the oracle-replayable assignment must BE the nearest-centroid rule:
+    // compare the expression against a plain Scala argmin over the same
+    // fitted centroids, same fold order, for every planted vector
+    val rows = Seq(1L -> dirA, 2L -> dirA, 3L -> dirB, 4L -> dirB,
+      5L -> dirC, 6L -> dirD)
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = SemanticDedup.fitCentroids(df, "embedding", k = 3)
+    val got = df.select(col("vec_id"),
+        SemanticDedup.nearestCentroid(col("embedding"), cents).as("cluster"))
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { case (id, emb) =>
+      val dists = cents.map(c =>
+        emb.map(_.toDouble).zip(c).foldLeft(0.0) { case (s, (a, b)) =>
+          s + (a - b) * (a - b) })
+      val want = dists.indexOf(dists.min) // first index wins ties
+      assert(got(id) == want, s"vec $id: expr ${got(id)} vs argmin $want")
+    }
+  }
 }

@@ -13,6 +13,16 @@ is meaningless). Queries absent from the pin (newly added) are listed
 informationally. A median far above the SAME run's min is flagged as
 likely ambient contention rather than a code regression — reproduce
 before chasing it.
+
+Host-drift normalization: when both artifacts carry a "calib" field (the
+bench's fixed in-memory probe, graft.Bench.calibrate — testdata-free, so
+it moves only with machine speed), the gate divides every query ratio by
+host = bench_calib / pin_calib before comparing against the threshold.
+Two rounds of uniform host drift (0.97x -> 1.24x with zero workload
+regressions) showed why: un-normalized, a 1.5x-slower machine fakes
+regressions across the whole catalog, and a faster one masks real ones.
+Raw ratios are still printed next to the normalized ones. Without calib
+on both sides the gate falls back to raw ratios (host = 1).
 """
 import json
 import sys
@@ -34,6 +44,25 @@ def main() -> int:
             print(f"ERROR: bench {k}={bench[k]} != pin {k}={pin[k]} — "
                   f"artifact and pin are not comparable")
         return 1
+    # Calibration-normalized gating: host > 1 means this machine is slower
+    # than the one that recorded the pin; dividing ratios by it keeps the
+    # gate anchored to workload changes. A wildly shifted probe (>3x either
+    # way) more likely signals a broken probe or a misconfigured session
+    # than a credible host change — warn and fall back to raw.
+    bcal, pcal = bench.get("calib"), pin.get("calib")
+    host = 1.0
+    if bcal and pcal and bcal > 0 and pcal > 0:
+        host = bcal / pcal
+        if not (1 / 3 <= host <= 3):
+            print(f"WARNING: calib shift {host:.2f}x (bench {bcal:.3f}s vs "
+                  f"pin {pcal:.3f}s) outside plausible host drift — "
+                  f"gating on RAW ratios; investigate the probe")
+            host = 1.0
+        else:
+            print(f"host calibration: bench {bcal:.3f}s vs pin {pcal:.3f}s "
+                  f"-> normalizing query ratios by {host:.2f}x")
+    else:
+        print("no calib field on both artifacts — gating on raw ratios")
     regressions, new = [], []
     # A pinned query absent from the bench map means it was dropped,
     # renamed, or failed before entering the selected set — that loss must
@@ -46,16 +75,22 @@ def main() -> int:
         if name not in pq or pq[name] <= 0:
             new.append((name, med))
             continue
-        if med > ratio * pq[name]:
+        if med / host > ratio * pq[name]:
             mn = mins.get(name)
             note = ("median %.2fx its own min -> likely contention, reproduce"
                     % (med / mn) if mn and mn > 0 and med > 1.5 * mn
                     else "reproducible? investigate")
+            note = (f"raw {med / pq[name]:.2f}x, normalized "
+                    f"{med / host / pq[name]:.2f}x — " + note)
             regressions.append((name, med, pq[name], note))
     total = sum(v for v in bq.values() if v >= 0)
     pinned_total = sum(v for k, v in pq.items() if k in bq and v > 0)
-    print(f"total {total:.2f}s vs pinned subset {pinned_total:.2f}s "
-          f"({total / pinned_total:.2f}x)" if pinned_total else "no pinned overlap")
+    if pinned_total:
+        print(f"total {total:.2f}s vs pinned subset {pinned_total:.2f}s "
+              f"(raw {total / pinned_total:.2f}x, normalized "
+              f"{total / host / pinned_total:.2f}x)")
+    else:
+        print("no pinned overlap")
     for name, med in new:
         print(f"  NEW   {name:28s} {med:6.3f}s (no pin)")
     for name in missing:
@@ -64,7 +99,8 @@ def main() -> int:
     for name, med, p, note in regressions:
         print(f"  OVER  {name:28s} {med:6.3f}s vs pin {p:6.3f}s — {note}")
     if not regressions and not missing:
-        print(f"OK: no query exceeds {ratio}x its pin")
+        print(f"OK: no query exceeds {ratio}x its pin (calib-normalized)"
+              if host != 1.0 else f"OK: no query exceeds {ratio}x its pin")
     return 1 if regressions or missing else 0
 
 if __name__ == "__main__":
