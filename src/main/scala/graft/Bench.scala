@@ -28,22 +28,28 @@ object Bench {
         from_json(lit("""{"k":1}"""), StructType(Seq(StructField("k", IntegerType)))).getField("k"),
         get_json_object(lit("""{"k":1}"""), "$.k")).count()
     }
-    // Host-speed calibration probe: a FIXED in-memory sort+agg workload that
-    // touches no testdata, timed as median-of-5 after 2 codegen warmups.
-    // Two consecutive rounds saw the whole catalog drift uniformly (0.97x ->
-    // 1.24x vs pin) with zero workload regressions — ambient host-speed
-    // shifts were consuming the 2x regression gate's headroom. Recording the
-    // probe alongside the per-query medians lets the gate normalize: a
-    // uniformly slower host inflates probe and queries alike (ratio
-    // cancels), while a genuine code regression moves only its query. The
-    // workload spans the engine's cost centers (codegen'd hash agg over 8M
-    // rows, a 9973-key shuffle, a range-partitioned sort) so it drifts with
-    // the same machine characteristics the catalog does.
+    // Host-speed calibration probe: a FIXED in-memory sort+agg workload
+    // that touches no testdata — MIN of 7 reps after 3 codegen/JIT
+    // warmups. Two consecutive rounds saw the whole catalog drift
+    // uniformly (0.97x -> 1.24x vs pin) with zero workload regressions —
+    // ambient host-speed shifts were consuming the 2x regression gate's
+    // headroom. Recording the probe alongside the per-query medians lets
+    // the gate normalize: a uniformly slower host inflates probe and
+    // queries alike (ratio cancels), while a genuine code regression
+    // moves only its query. The workload spans the engine's cost centers
+    // (codegen'd hash agg over 48M rows, a 9973-key shuffle, a
+    // range-partitioned sort) so it drifts with the machine
+    // characteristics the catalog feels. MIN of 7, not median: the probe
+    // estimates the machine's attainable speed, and the minimum is the
+    // sample statistic least polluted by GC pauses and scheduling noise.
+    // Probe-length tuning (measured across fresh JVMs on one host): at 8M
+    // rows min-of-7 wobbled ~1.5x run to run, at 16M ~1.4x, at 48M ~1.1x
+    // — rep length must amortize scheduler noise before the min settles.
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       def once(): Double = {
         val t0 = System.nanoTime()
-        spark.range(0L, 8L * 1000 * 1000, 1L, 32)
+        spark.range(0L, 48L * 1000 * 1000, 1L, 32)
           .select(col("id"), pmod(hash(col("id")), lit(9973)).as("k"),
             (col("id") % 1000).cast("double").as("v"))
           .groupBy("k")
@@ -51,9 +57,8 @@ object Bench {
           .orderBy("k").count()
         (System.nanoTime() - t0) / 1e9
       }
-      once(); once() // codegen + shuffle-machinery warmup, untimed
-      val xs = List.fill(5)(once()).sorted
-      xs(2)
+      (1 to 3).foreach(_ => once()) // codegen + JIT + shuffle warmup, untimed
+      List.fill(7)(once()).min
     }
     val calib = calibrate()
     // optional comma-separated subset for local iteration

@@ -108,41 +108,84 @@ object Bpe {
       col("n_occurrences")).orderBy("merge_rank")
   }
 
-  /** STATIC DuckDB oracle for a `train(nMerges)` run: per-round CTEs
+  /** The shared WITH-body of the replay oracles: per-round CTEs that
     * recompute the merge sequence from scratch — round k's state applies
     * round k-1's COMPUTED winner (scalar subqueries, not embedded
     * answers) via delimiter-guarded string replace ('|a|b|' -> '|ab|',
     * whose left-to-right non-overlapping scan is exactly the greedy
-    * fold), so a wrong Spark merge at ANY round mismatches. */
-  def oracleSql(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map { k =>
-      val src = if (k == 1) "base" else s"s$k"
-      val state = if (k == 1) "" else {
-        val prev = if (k == 2) "base" else s"s${k - 1}"
-        s"""s$k AS (SELECT freq, replace(s,
+    * fold), so a wrong Spark merge at ANY round mismatches. With
+    * `finalState`, also emits s${n+1}: every word's symbol string after
+    * ALL merges (what [[applyOracleSql]] tokenizes against). */
+  private def roundCtes(nMerges: Int, finalState: Boolean): String = {
+    // AS MATERIALIZED throughout: round k's state references round k-1's
+    // winner through TWO scalar subqueries, so DuckDB's default CTE
+    // inlining re-expands the whole prefix at every reference — an
+    // exponential (~3^rounds) plan that took minutes at 8 rounds on a
+    // 31-word vocab. Materializing pins each round to run exactly once
+    // (the whole replay then costs milliseconds).
+    def stateCte(k: Int): String = {
+      val prev = if (k == 2) "base" else s"s${k - 1}"
+      s"""s$k AS MATERIALIZED (SELECT word, freq, replace(s,
              (SELECT '|' || lhs || '|' || rhs || '|' FROM r${k - 1}),
              (SELECT '|' || lhs || rhs || '|' FROM r${k - 1})) AS s
-           FROM $prev),
-         """
-      }
+           FROM $prev)"""
+    }
+    val rounds = (1 to nMerges).map { k =>
+      val src = if (k == 1) "base" else s"s$k"
+      val state = if (k == 1) "" else stateCte(k) + ",\n         "
       s"""${state}p$k AS (SELECT freq, unnest(list_transform(range(1, len(cs)),
              i -> cs[i] || ' ' || cs[i+1])) AS pair
            FROM (SELECT freq, list_filter(string_split(s, '|'),
                    x -> x <> '') AS cs FROM $src) q),
-         r$k AS (SELECT $k AS merge_rank, split_part(pair, ' ', 1) AS lhs,
+         r$k AS MATERIALIZED (SELECT $k AS merge_rank,
+             split_part(pair, ' ', 1) AS lhs,
              split_part(pair, ' ', 2) AS rhs, CAST(n AS BIGINT) AS n_occurrences
            FROM (SELECT pair, sum(freq) AS n FROM p$k
                  GROUP BY pair ORDER BY n DESC, pair LIMIT 1) t)"""
     }.mkString(",\n         ")
-    val union = (1 to nMerges).map(k => s"SELECT * FROM r$k")
-      .mkString(" UNION ALL ")
-    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       wf AS (SELECT word, count(*) AS freq FROM w
+    val tail = if (finalState) ",\n         " + stateCte(nMerges + 1) else ""
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM w
               WHERE length(word) >= 1 GROUP BY word),
-       base AS (SELECT freq,
+       base AS MATERIALIZED (SELECT word, freq,
            '|' || array_to_string(string_split(word, ''), '|') || '|' AS s
          FROM wf),
-       $rounds
+       $rounds$tail"""
+  }
+
+  /** STATIC DuckDB oracle for a `train(nMerges)` run — the recomputed
+    * per-round winners, rank-ordered. */
+  def oracleSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(k => s"SELECT * FROM r$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${roundCtes(nMerges, finalState = false)}
        $union ORDER BY merge_rank"""
+  }
+
+  /** STATIC DuckDB oracle for [[tokenizeVocab]] + the per-document
+    * token-count join: replays training, applies the full merge chain to
+    * every vocab word, and re-aggregates token counts per document. */
+  def applyOracleSql(nMerges: Int): String =
+    s"""WITH ${roundCtes(nMerges, finalState = true)},
+       vocab AS (SELECT word, len(list_filter(string_split(s, '|'),
+           x -> x <> '')) AS word_tokens
+         FROM s${nMerges + 1}),
+       dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+       FROM dw JOIN vocab USING (word)
+       WHERE length(word) >= 1
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Every distinct word tokenized by the trained rules — the vocab-sized
+    * table a corpus-wide apply BROADCASTS: the corpus-scale tokenize is
+    * then one map-side join (tokenize 10⁷ vocab entries once, join 10¹²
+    * running words against it), never a per-running-word merge chain. */
+  def tokenizeVocab(docs: DataFrame, textCol: String,
+                    merges: Seq[Merge]): DataFrame = {
+    val syms = merges.foldLeft(split(col("word"), ""))(
+      (c, m) => applyMerge(c, m.lhs, m.rhs))
+    wordFreqs(docs, textCol).select(col("word"), size(syms).as("word_tokens"))
   }
 }

@@ -186,6 +186,23 @@ object TextQueries {
     "q_bpe_train" -> ((s, dir) =>
       graft.ops.Bpe.mergeTable(s,
         graft.ops.Bpe.train(tbl(s, dir, "documents"), "text", BpeMerges))),
+    // Tokenizer APPLY at corpus scale: train the merge rules, tokenize
+    // the VOCAB once (merge chains run over distinct words, never running
+    // words), then broadcast-join the corpus's exploded words against the
+    // vocab-sized (word -> token count) table — the shape that tokenizes
+    // 10^12 running words with 10^7 merge-chain evaluations. Oracled by
+    // the same static replay SQL family as q_bpe_train.
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.ops.Bpe.train(docs, "text", BpeMerges)
+      val vocab = graft.ops.Bpe.tokenizeVocab(docs, "text", merges)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .join(broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
     // Inverted index (posting-list construction): term -> document
     // frequency, collection frequency, and a bounded posting sample
     // (first 10 doc ids, sorted — the driver-visible digest; production
@@ -395,6 +412,7 @@ object TextQueries {
     // see Bpe.oracleSql (not data-dependent; generated from the round
     // count alone, so it can live in this static map).
     "q_bpe_train" -> graft.ops.Bpe.oracleSql(BpeMerges),
+    "q_bpe_apply" -> graft.ops.Bpe.applyOracleSql(BpeMerges),
     "q_text_inverted_index" ->
       """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf,
            array_to_string(list_slice(list_sort(list_distinct(list(doc_id))), 1, 10), ',')
