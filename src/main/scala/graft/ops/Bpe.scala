@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * string ascending, making the whole merge sequence deterministic
   * across partitionings and engines: the catalog query's DuckDB oracle
   * RECOMPUTES the sequence independently (per-round CTEs replay the
-  * merge state via delimiter-guarded string replace) and must agree
-  * round for round.
+  * merge state via delimiter-guarded string replace, each symbol wrapped
+  * in its OWN delimiter pair so back-to-back matches never share one)
+  * and must agree round for round.
   */
 object Bpe {
 
@@ -111,9 +112,16 @@ object Bpe {
   /** The shared WITH-body of the replay oracles: per-round CTEs that
     * recompute the merge sequence from scratch — round k's state applies
     * round k-1's COMPUTED winner (scalar subqueries, not embedded
-    * answers) via delimiter-guarded string replace ('|a|b|' -> '|ab|',
-    * whose left-to-right non-overlapping scan is exactly the greedy
-    * fold), so a wrong Spark merge at ANY round mismatches. With
+    * answers) via delimiter-guarded string replace, so a wrong Spark
+    * merge at ANY round mismatches. Each symbol is wrapped in its OWN
+    * delimiter pair ('|a||b||a|', never '|a|b|a|'): with a SHARED
+    * delimiter, back-to-back occurrences of the winning pair overlap on
+    * the middle '|' that the first match consumes, so replace skips the
+    * second occurrence ('|a|b|a|b|' -> '|ab|a|b|') while the greedy fold
+    * merges both ("abab" -> [ab, ab]) — private delimiters make matches
+    * disjoint, and replace's left-to-right non-overlapping scan (which
+    * never rescans emitted replacement text, so a merged symbol cannot
+    * re-merge within its round) is then exactly the greedy fold. With
     * `finalState`, also emits s${n+1}: every word's symbol string after
     * ALL merges (what [[applyOracleSql]] tokenizes against). */
   private def roundCtes(nMerges: Int, finalState: Boolean): String = {
@@ -126,7 +134,7 @@ object Bpe {
     def stateCte(k: Int): String = {
       val prev = if (k == 2) "base" else s"s${k - 1}"
       s"""s$k AS MATERIALIZED (SELECT word, freq, replace(s,
-             (SELECT '|' || lhs || '|' || rhs || '|' FROM r${k - 1}),
+             (SELECT '|' || lhs || '||' || rhs || '|' FROM r${k - 1}),
              (SELECT '|' || lhs || rhs || '|' FROM r${k - 1})) AS s
            FROM $prev)"""
     }
@@ -148,7 +156,7 @@ object Bpe {
        wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM w
               WHERE length(word) >= 1 GROUP BY word),
        base AS MATERIALIZED (SELECT word, freq,
-           '|' || array_to_string(string_split(word, ''), '|') || '|' AS s
+           '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
          FROM wf),
        $rounds$tail"""
   }

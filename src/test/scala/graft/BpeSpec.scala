@@ -82,6 +82,32 @@ class BpeSpec extends SparkSpec {
     assert(got.head == (("a", "b", 3L)), "tie must break pair-ascending")
   }
 
+  test("train handles back-to-back winning pairs (banana/abab corpus)") {
+    // 'banana' holds (a,n) twice with the two post-merge 'an' symbols
+    // ADJACENT, and 'abab'/'aaaa' repeat their winners back-to-back too —
+    // the case where a shared-delimiter string-replace replay of the
+    // greedy fold goes wrong (it skips every second occurrence). The
+    // in-memory reference is the greedy fold by construction; the DuckDB
+    // replay oracle is exercised on this same corpus shape by
+    // tools/check_bpe_oracle.py.
+    val docs = Seq(
+      "banana banana abab cabbage", "bananana abab abab papaya",
+      "banana aaaa aaaa cacao", "ababab banana cabbage papaya",
+      "aaaa bananana cacao abab").toDF("text")
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val got = Bpe.train(docs, "text", 8)
+      .map(m => (m.lhs, m.rhs, m.n_occurrences))
+    val want = refTrain(words, 8)
+    assert(got == want, s"got $got want $want")
+    // the planted corpus must actually exercise adjacency: some round's
+    // winner must occur back-to-back inside a word ('anan' in 'banana')
+    assert(want.map(p => p._1 + p._2)
+      .exists(m => words.keys.exists(_.contains(m + m))),
+      "corpus no longer contains a back-to-back winner — keep one planted")
+  }
+
   test("train stops when no adjacent pairs remain") {
     val got = Bpe.train(Seq("ab ab").toDF("text"), "text", 10)
     // round 1 merges (a,b) everywhere; afterwards every word is a single
