@@ -204,26 +204,49 @@ object TextQueries {
         .orderBy("doc_id")
     }),
     // Inverted index (posting-list construction): term -> document
-    // frequency, collection frequency, and a bounded posting sample
-    // (first 10 doc ids, sorted — the driver-visible digest; production
-    // writes full posting lists to a term-partitioned sink instead of
-    // returning them). One exploded-token agg, map-side combined.
-    "q_text_inverted_index" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+    // frequency, collection frequency, and a bounded posting sample (the
+    // 10 smallest doc ids — the driver-visible digest; production writes
+    // full posting lists to a term-partitioned sink instead of returning
+    // them). df/cf are plain counts (constant per-key state, map-side
+    // combined); the sample is bounded BEFORE any per-term aggregation
+    // buffer exists: distinct (term, doc_id) pairs -> TopK.perGroup's
+    // bounded-heap prune (k=10 smallest ids per term per input partition)
+    // -> a collect_list over at most 10 survivor rows per term. The old
+    // shape — collect_set(doc_id) then slice — buffered every doc id
+    // containing the term in ONE aggregation buffer, which for a stopword
+    // at 100 TB is a corpus-sized per-key OOM; here no buffer anywhere
+    // exceeds 10 ids. The sample aggregate reuses the prune window's
+    // term partitioning (no extra exchange), and the counts join is
+    // vocab-sized on both sides.
+    "q_text_inverted_index" -> ((s, dir) => {
+      val terms = tbl(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) >= 1)
+      val counts = terms.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      val sample = graft.ops.TopK.perGroup(
+          terms.distinct(), Seq("term"), Seq(("doc_id", true)),
+          k = 10, rankCol = "sample_rn")
         .groupBy("term")
-        .agg(countDistinct("doc_id").as("df"),
-          count(lit(1)).as("cf"),
-          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 10), ",")
-            .as("posting_sample"))
-        .orderBy("term")),
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("posting_sample"))
+      counts.join(sample, "term").orderBy("term")
+    }),
     // Collocation mining via pointwise mutual information over adjacent
     // word pairs: PMI = ln(c_ab·N / (c_a·c_b)) with left/right marginals,
     // quantized to integer micro-nats (the q_text_perplexity move) so the
-    // emitted value is exact long math on both engines. Three hash aggs
-    // over the pair stream + two broadcastable marginal joins — linear,
-    // map-side combined, no driver collect.
+    // emitted value is exact long math on both engines. The corpus-scale
+    // pair stream is aggregated ONCE (`cab`, map-side combined); the
+    // marginals are exactly derivable from it (n_left = Σ_w2 n_pair,
+    // n_right = Σ_w1 n_pair, n_tot = Σ n_pair — every pair occurrence is
+    // counted exactly once in each), so `ca`/`cb`/`tot` re-aggregate the
+    // DISTINCT-PAIR table, never the corpus: one documents scan (the
+    // other three references reuse cab's shuffle via ReuseExchange —
+    // plan-asserted in PlanContractSpec), and the marginal joins shuffle
+    // vocab²-bounded rows instead of the raw pair stream, which also
+    // shrinks the Zipf-hub keys ("the" as w1) from corpus-frequency to
+    // distinct-successor counts — the compress-then-compute move
+    // Bpe.wordFreqs makes.
     "q_text_pmi" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val prs = tbl(s, dir, "documents")
@@ -234,10 +257,18 @@ object TextQueries {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        // semantic no-op (split() never yields null elements) that makes
+        // the join-inferred isnotnull constraints explicit and IDENTICAL
+        // in every branch: without it, Catalyst pushes a different null
+        // filter into each cab reference (w1-only under the ca join,
+        // w2-only under cb, none under tot), the four subtrees stop
+        // canonicalizing equal, and AQE's stage reuse cannot collapse
+        // them — 4 corpus scans instead of 1
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
       val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-      val ca = prs.groupBy("w1").agg(count(lit(1)).as("n_left"))
-      val cb = prs.groupBy("w2").agg(count(lit(1)).as("n_right"))
-      val tot = prs.agg(count(lit(1)).as("n_tot"))
+      val ca = cab.groupBy("w1").agg(sum("n_pair").as("n_left"))
+      val cb = cab.groupBy("w2").agg(sum("n_pair").as("n_right"))
+      val tot = cab.agg(sum("n_pair").as("n_tot"))
       cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
         .filter(col("n_pair") >= 5)
         .withColumn("pmi_micro",

@@ -313,6 +313,51 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(loops.nonEmpty, s"no UnionLoop in:\n${qe.optimizedPlan}")
   }
 
+  test("q_text_pmi scans documents once: marginals derive from the pair table") {
+    // The marginals (n_left/n_right/n_tot) are exact re-aggregations of
+    // the pair-count table, so the corpus-scale pair stream must be
+    // derived and aggregated ONCE — the three extra references reuse
+    // cab's exchange instead of re-scanning documents and re-running the
+    // explode. A regression to per-marginal pair-stream derivation is 4
+    // corpus scans where 1 suffices. Stage reuse is an AQE runtime
+    // decision, so materialize first and inspect the final plan.
+    val df = SparkEntry.queries("q_text_pmi")(spark, sfDir)
+    df.collect() // THIS df's execution, not a derived count() plan
+    val p = df.queryExecution.executedPlan
+    // reused stages re-expose the original subtree when traversed, so
+    // count DISTINCT scan instances, not traversal visits
+    val docScans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("documents") => s
+    }
+    assert(docScans.distinct.size == 1,
+      s"expected exactly 1 distinct documents scan, got ${docScans.distinct.size}:\n$p")
+    val reused = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
+        if q.plan.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ReusedExchangeExec] => q
+    }
+    assert(reused.nonEmpty,
+      s"marginal branches must reuse cab's exchange:\n$p")
+  }
+
+  test("q_text_inverted_index bounds the posting sample before aggregating") {
+    // The posting sample must descend from the bounded-heap prune
+    // (TopK.perGroup) — a regression to collect_set-then-slice buffers
+    // every doc id of a stopword term in one aggregation buffer, the
+    // per-key OOM shape at 100 TB.
+    val p = plan("q_text_inverted_index")
+    val prunes = collectWithSubqueries(p) {
+      case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+    }
+    assert(prunes.nonEmpty,
+      s"posting sample must ride the bounded-heap prune:\n$p")
+    // and no unbounded set-collection aggregate anywhere in the plan
+    assert(!p.toString.contains("collect_set"),
+      s"unbounded collect_set crept back into the plan:\n$p")
+  }
+
   test("q_window_rank ranks only heap-pruned rows, never a global window") {
     // the low-cardinality rank demo must keep its TopK.rankTrio shape:
     // a bounded-heap mapPartitions prune feeding a PER-GROUP window. A
