@@ -64,16 +64,19 @@ object LlmOps {
     * query and its generated oracle (edited together by construction). */
   private val SemanticThreshold = 0.35
 
-  /** The blocking centroids q_dedup_semantic last fitted — consumed by
-    * [[oracles]] to GENERATE its DuckDB oracle. graft.Verify runs every
-    * query BEFORE dumping oracle_sql.json, so by dump time this holds the
-    * centroids the dumped result was computed with (the fit is seeded and
-    * deterministic, so re-runs write identical values). When the query
-    * never ran (a SPARK_GRAFT_ONLY subset without it), the oracle entry is
-    * simply omitted and the driver records rows-only — never a stale or
-    * fabricated oracle. */
+  /** The blocking centroids q_dedup_semantic fitted, KEYED BY CORPUS DIR
+    * — consumed by [[oracles]] to GENERATE its DuckDB oracle. graft.Verify
+    * runs every query BEFORE dumping oracle_sql.json, so by dump time this
+    * holds the centroids the dumped result was computed with (the fit is
+    * seeded and deterministic, so re-runs write identical values). The
+    * oracle entry is emitted only when exactly ONE corpus has been fitted
+    * this JVM: when the query never ran (a SPARK_GRAFT_ONLY subset without
+    * it) there is nothing to emit, and when MORE than one dir ran (a
+    * multi-corpus session) the right corpus for the dump is ambiguous —
+    * both cases fall back to the driver's rows-only check rather than risk
+    * a wrong-corpus (silently stale) oracle. */
   private val semanticCentroids =
-    new java.util.concurrent.atomic.AtomicReference[Option[Seq[Array[Double]]]](None)
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
@@ -458,7 +461,7 @@ object LlmOps {
       import graft.ops.SemanticDedup
       val e = tbl(s, dir, "embeddings")
       val cents = SemanticDedup.fitCentroids(e, "embedding", k = 8)
-      semanticCentroids.set(Some(cents))
+      semanticCentroids.put(dir, cents)
       val assigned = e.select(col("vec_id"), col("embedding"),
         SemanticDedup.nearestCentroid(col("embedding"), cents).as("cluster"))
       SemanticDedup.dedupAssigned(assigned, "vec_id", "embedding",
@@ -488,12 +491,17 @@ object LlmOps {
   )
 
   /** Static oracles plus the GENERATED q_dedup_semantic oracle (present
-    * once the query has run and recorded its fitted centroids — Verify's
-    * dump order guarantees that for the driver's full runs). */
-  def oracles: Map[String, String] =
-    staticOracles ++ semanticCentroids.get().map(cents =>
-      "q_dedup_semantic" ->
-        graft.ops.SemanticDedup.oracleSql(cents, SemanticThreshold))
+    * once the query has run against exactly one corpus and recorded its
+    * fitted centroids — Verify's single-dir dump order guarantees that
+    * for the driver's full runs; see [[semanticCentroids]] for why a
+    * multi-corpus session omits the entry instead). */
+  def oracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val fitted = semanticCentroids.asScala.values.toSeq
+    staticOracles ++ (if (fitted.size == 1) Map("q_dedup_semantic" ->
+      graft.ops.SemanticDedup.oracleSql(fitted.head, SemanticThreshold))
+    else Map.empty)
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "q_dedup_exact" ->

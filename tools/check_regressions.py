@@ -84,7 +84,11 @@ def main() -> int:
                     f"{med / host / pq[name]:.2f}x — " + note)
             regressions.append((name, med, pq[name], note))
     total = sum(v for v in bq.values() if v >= 0)
-    pinned_total = sum(v for k, v in pq.items() if k in bq and v > 0)
+    # exclude FAILED queries (bench median -1) from the pinned side too:
+    # total already excludes their runtimes, so including their pins
+    # would bias the printed ratio low exactly when queries fail
+    pinned_total = sum(v for k, v in pq.items()
+                       if bq.get(k, -1) >= 0 and v > 0)
     if pinned_total:
         print(f"total {total:.2f}s vs pinned subset {pinned_total:.2f}s "
               f"(raw {total / pinned_total:.2f}x, normalized "
