@@ -334,7 +334,11 @@ object Dedup {
   }
 
   /** Join the cached shingles onto both sides of each candidate pair,
-    * score exact Jaccard once per pair, keep pairs ≥ threshold. */
+    * score exact Jaccard once per pair, keep pairs ≥ threshold. The
+    * 4-decimal rounding is the engine-stable floor form (`round(x, 4)`
+    * rounds Spark's SHORTEST-DECIMAL rendering HALF_UP while DuckDB
+    * rounds the exact binary value — see graft.queries.round6; the
+    * verify-replay oracles below compare this column bit-for-bit). */
   private def scorePairs(sh: DataFrame, cands: DataFrame, idCol: String,
                          leftCol: String, rightCol: String,
                          threshold: Double): DataFrame =
@@ -344,6 +348,61 @@ object Dedup {
           .join(sh.withColumnRenamed(idCol, rightCol).withColumnRenamed("sh", "sh_y"), rightCol),
         "sh_x", "sh_y", "jac")
       .filter(col("jac") >= threshold)
-      .select(col(leftCol), col(rightCol), round(col("jac"), 4).as("jac"))
+      .select(col(leftCol), col(rightCol),
+        (floor(col("jac") * 10000d + 0.5d) / 10000d).as("jac"))
       .orderBy(leftCol, rightCol)
+
+  /** GENERATED DuckDB oracle for the [[verifyCandidates]] stage: given the
+    * recorded candidate pairs (the only non-SQL-expressible piece — murmur
+    * MinHash banding — embedded as literals, the q_dedup_semantic /
+    * PageRank recorded-fit pattern), DuckDB independently recomputes token
+    * 3-gram shingling from the raw `documents` table, exact Jaccard, the
+    * threshold filter, the engine-stable 4-decimal rounding, and the
+    * ordering. A Spark bug anywhere in the verification stage — wrong
+    * shingles, wrong intersection, a dropped or phantom pair, a threshold
+    * or rounding drift — hash-mismatches; only the candidate GENERATION
+    * is trusted as recorded (its determinism is separately pinned by
+    * seeded signatures + IncrementalDedupSpec/RecallFloorSpec).
+    *
+    * `pairs` carries an optional stage label per pair (multi-stage loops
+    * emit a `stage` column; single-stage callers pass None). Shingle
+    * semantics replayed exactly: tokens = split on single spaces (empties
+    * kept), windows i..i+2 CLAMPED at the end (DuckDB list slicing), so a
+    * 1-2 token text yields its whole token list as the one shingle —
+    * matching [[tokenShingles]]'s greatest(size-2, 1) + slice. */
+  def verifyReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
+                            leftCol: String, rightCol: String,
+                            threshold: Double): String = {
+    val staged = pairs.exists(_._1.isDefined)
+    val candCols = (if (staged) Seq("stage") else Nil) ++ Seq(leftCol, rightCol)
+    val rows =
+      if (pairs.isEmpty) s"SELECT ${if (staged) "CAST(NULL AS VARCHAR), " else ""}" +
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE"
+      else {
+        val vals = pairs.map { case (st, a, b) =>
+          (st.map(s => s"'$s', ").getOrElse("")) + s"$a, $b"
+        }.mkString("(", "), (", ")")
+        val cols = (if (staged) Seq("s", "a", "b") else Seq("a", "b"))
+        s"SELECT ${if (staged) "s, " else ""}CAST(a AS BIGINT), CAST(b AS BIGINT) " +
+          s"FROM (VALUES $vals) v(${cols.mkString(", ")})"
+      }
+    val stageSel = if (staged) "c.stage, " else ""
+    val stageOrd = if (staged) "stage, " else ""
+    s"""WITH cand(${candCols.mkString(", ")}) AS ($rows),
+       tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+         FROM tk),
+       scored AS (SELECT ${stageSel}c.$leftCol, c.$rightCol,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+         FROM cand c
+         JOIN sh x ON x.doc_id = c.$leftCol
+         JOIN sh y ON y.doc_id = c.$rightCol)
+       SELECT $stageOrd$leftCol, $rightCol,
+         floor(j * 10000 + 0.5) / 10000 AS jac
+       FROM scored WHERE j >= $threshold
+       ORDER BY $stageOrd$leftCol, $rightCol"""
+  }
 }

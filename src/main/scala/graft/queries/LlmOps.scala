@@ -78,6 +78,44 @@ object LlmOps {
   private val semanticCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
 
+  /** Recorded LSH CANDIDATE pairs (pre-verification), keyed by corpus dir
+    * — consumed by [[oracles]] to GENERATE verify-replay DuckDB oracles
+    * for the three MinHash-based dedup queries (the q_dedup_semantic
+    * pattern: the murmur-based candidate generation is the only
+    * non-SQL-expressible piece, so it enters the oracle as recorded
+    * literals while DuckDB independently recomputes shingling, exact
+    * Jaccard, threshold, rounding, and ordering from the raw documents
+    * table). Same one-dir emission rule as [[semanticCentroids]]; a
+    * candidate set above [[ReplayOracleCap]] falls back to rows-only
+    * rather than emit an unbounded literal list. Candidate DETERMINISM
+    * (seeded signatures) is pinned separately by IncrementalDedupSpec /
+    * RecallFloorSpec. */
+  private type CandMemo =
+    java.util.concurrent.ConcurrentHashMap[String, Seq[(Option[String], Long, Long)]]
+  private val lshCandidates = new CandMemo()
+  private val incCandidates = new CandMemo()
+  private val fullCandidates = new CandMemo()
+  private val ReplayOracleCap = 5000
+
+  /** The exact-Jaccard keep threshold of the MinHash verify stage — ONE
+    * definition shared by the queries (verifyCandidates default) and the
+    * generated replay oracles. */
+  private val VerifyThreshold = 0.5
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame,
+                      stage: Option[String]): Seq[(Option[String], Long, Long)] =
+    df.collect().toSeq.map(r => (stage, r.getLong(0), r.getLong(1)))
+
+  private def replayOracle(memo: CandMemo, left: String,
+                           right: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val recorded = memo.asScala.values.toSeq
+    if (recorded.size == 1 && recorded.head.size <= ReplayOracleCap)
+      Some(graft.ops.Dedup.verifyReplayOracleSql(recorded.head, left, right,
+        VerifyThreshold))
+    else None
+  }
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
@@ -104,8 +142,11 @@ object LlmOps {
           tbl(s, dir, "documents"), "doc_id", "text",
           minRun = 20, maxGramDf = 100000L)
         .orderBy("doc_a", "doc_b")),
-    // MinHash+LSH candidates verified with exact Jaccard (no SQL oracle —
-    // murmur-based signatures aren't expressible in DuckDB).
+    // MinHash+LSH candidates verified with exact Jaccard. Oracled via the
+    // GENERATED verify-replay SQL: murmur-based candidate generation isn't
+    // expressible in DuckDB, so the recorded candidate pairs enter as
+    // literals and DuckDB independently recomputes shingling + Jaccard +
+    // threshold + ordering from raw documents (see [[lshCandidates]]).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       // Signatures are NOT persisted: the native expression makes them a
@@ -116,6 +157,10 @@ object LlmOps {
       // real scale this is a checkpoint to distributed storage instead.
       val sigs = Dedup.minHashSignatures(d, "doc_id", "text")
       val cands = Dedup.lshCandidatePairs(sigs).persist()
+      // record the candidate set once per corpus for the generated
+      // verify-replay oracle (first invocation pays one collect of the
+      // tiny persisted pair frame; later invocations hit the memo)
+      lshCandidates.computeIfAbsent(dir, _ => pairsOf(cands, None))
       // exact-Jaccard verification of the candidate set only — shared
       // helper (shingles the candidate docs once, persisted; threshold
       // 0.5) so this and the incremental query cannot drift
@@ -128,7 +173,8 @@ object LlmOps {
     // broadcast join against the index — the corpus is NEVER re-hashed,
     // which is what keeps a continuously-growing 100 TB corpus's total
     // dedup work linear instead of quadratic. Candidates get the exact-
-    // Jaccard verify; rows-only (murmur signatures aren't in DuckDB).
+    // Jaccard verify, oracled by the generated verify-replay SQL
+    // (recorded candidates + DuckDB-recomputed verification).
     // NOTE: this query runs step 1 of the documented 3-step ingest loop
     // (index probe) ONLY — the within-batch pass (step 2,
     // `lshCandidatePairs` over the batch itself; the probe never forms
@@ -150,6 +196,7 @@ object LlmOps {
       // LSH query
       val cands = Dedup.incrementalCandidatePairs(s, d.where(isNew), "doc_id", "text", idx)
         .persist()
+      incCandidates.computeIfAbsent(dir, _ => pairsOf(cands, None))
       Dedup.verifyCandidates(d, "doc_id", "text", cands, "id_new", "id_corpus")
     }),
     // The FULL 3-step ingest loop as one catalog entry (q_dedup_incremental
@@ -163,8 +210,9 @@ object LlmOps {
     // materialized before the append mutates the directory — the
     // production "probe before append, or probe a snapshot listing" rule.
     // Index build + append run once per corpus per JVM (memo), so each
-    // invocation pays batch-sized work only. Rows-only (murmur
-    // signatures); invariants in CatalogContractSpec.
+    // invocation pays batch-sized work only. Oracled by the generated
+    // verify-replay SQL (per-stage recorded candidates + DuckDB-recomputed
+    // verification); invariants additionally in CatalogContractSpec.
     "q_dedup_incremental_full" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val isDay1 = col("doc_id") % 5 === 0
@@ -186,6 +234,10 @@ object LlmOps {
         Dedup.minHashSignatures(d.where(isDay1), "doc_id", "text"))
       val s3 = Dedup.incrementalCandidatePairs(s, d.where(isDay2), "doc_id", "text", idx)
         .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
+      fullCandidates.computeIfAbsent(dir, _ =>
+        pairsOf(s1, Some("probe_corpus")) ++
+        pairsOf(s2, Some("within_batch")) ++
+        pairsOf(s3, Some("probe_appended")))
       def verified(c: org.apache.spark.sql.DataFrame, stage: String) =
         Dedup.verifyCandidates(d, "doc_id", "text", c, "id_a", "id_b")
           .withColumn("stage", lit(stage))
@@ -498,9 +550,16 @@ object LlmOps {
   def oracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val fitted = semanticCentroids.asScala.values.toSeq
-    staticOracles ++ (if (fitted.size == 1) Map("q_dedup_semantic" ->
-      graft.ops.SemanticDedup.oracleSql(fitted.head, SemanticThreshold))
-    else Map.empty)
+    staticOracles ++
+      (if (fitted.size == 1) Map("q_dedup_semantic" ->
+        graft.ops.SemanticDedup.oracleSql(fitted.head, SemanticThreshold))
+      else Map.empty) ++
+      replayOracle(lshCandidates, "id_a", "id_b")
+        .map("q_dedup_minhash_lsh" -> _) ++
+      replayOracle(incCandidates, "id_new", "id_corpus")
+        .map("q_dedup_incremental" -> _) ++
+      replayOracle(fullCandidates, "id_a", "id_b")
+        .map("q_dedup_incremental_full" -> _)
   }
 
   private val staticOracles: Map[String, String] = Map(
