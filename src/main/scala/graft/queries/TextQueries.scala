@@ -176,16 +176,18 @@ object TextQueries {
           sum("freq").as("n_occurrences"))
         .orderBy(desc("n_occurrences"), asc("pair"))
     }),
-    // Full BPE training loop (ops.Bpe.train): BpeMerges rounds of
-    // count-pairs -> argmax -> apply-merge over the vocab-sized symbol
-    // table; the result is the rank-ordered merge table (the tokenizer
-    // model a pipeline persists). The DuckDB oracle RECOMPUTES the whole
-    // merge sequence independently — per-round CTEs replay each state
-    // via delimiter-guarded string replace and re-derive each round's
-    // arg-max winner, so any divergence at any round hash-mismatches.
+    // Full BPE training loop (ops.Bpe.trainBatched): count-pairs ->
+    // provably-safe batched argmax -> apply-merges over the vocab-sized
+    // symbol table; the result is the rank-ordered merge table (the
+    // tokenizer model a pipeline persists), merge-for-merge identical to
+    // the 1-per-round sequence (BpeSpec) but in ~nMerges/batch scheduler
+    // round-trips. The DuckDB oracle RECOMPUTES the whole merge sequence
+    // independently — per-round CTEs replay each state via delimiter-
+    // guarded string replace and re-derive each round's arg-max winner,
+    // so any divergence at any round hash-mismatches.
     "q_bpe_train" -> ((s, dir) =>
       graft.ops.Bpe.mergeTable(s,
-        graft.ops.Bpe.train(tbl(s, dir, "documents"), "text", BpeMerges))),
+        graft.ops.Bpe.trainBatched(tbl(s, dir, "documents"), "text", BpeMerges))),
     // Tokenizer APPLY at corpus scale: train the merge rules, tokenize
     // the VOCAB once (merge chains run over distinct words, never running
     // words), then broadcast-join the corpus's exploded words against the
@@ -194,7 +196,7 @@ object TextQueries {
     // the same static replay SQL family as q_bpe_train.
     "q_bpe_apply" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val merges = graft.ops.Bpe.train(docs, "text", BpeMerges)
+      val merges = graft.ops.Bpe.trainBatched(docs, "text", BpeMerges)
       val vocab = graft.ops.Bpe.tokenizeVocab(docs, "text", merges)
       docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)

@@ -115,6 +115,36 @@ class BpeSpec extends SparkSpec {
     assert(got.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")), s"got $got")
   }
 
+  test("trainBatched is merge-for-merge identical to sequential train") {
+    // corpora chosen so batching DECISIONS actually trigger: overlapping
+    // winners (banana: (a,n) then (an,a) share symbols -> batch must
+    // stop), count ties at the batch boundary (ab/ba corpus), and
+    // concatenation collisions (merging (a,b) creates 'ab' while 'abab'
+    // words hold (ab,ab) candidates downstream)
+    val corpora = Seq(
+      Seq("banana banana abab cabbage", "bananana abab abab papaya",
+        "banana aaaa aaaa cacao", "ababab banana cabbage papaya",
+        "aaaa bananana cacao abab"),
+      Seq("ab ab ab ba ba ba"),
+      Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the five boxing wizards jump quickly"))
+    for (texts <- corpora; m <- Seq(1, 2, 4, 32)) {
+      val docs = texts.toDF("text")
+      val seq8 = Bpe.train(docs, "text", 12)
+      val bat8 = Bpe.trainBatched(docs, "text", 12, batchM = m)
+      assert(bat8 == seq8,
+        s"batchM=$m diverged on $texts:\nbatched $bat8\nsequential $seq8")
+    }
+  }
+
+  test("trainBatched matches sequential on the real corpus in fewer jobs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seq = Bpe.train(docs, "text", 8)
+    val bat = Bpe.trainBatched(docs, "text", 8)
+    assert(bat == seq, s"batched $bat\nsequential $seq")
+  }
+
   test("distributed train matches the reference on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = docs
