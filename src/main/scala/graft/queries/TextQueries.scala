@@ -279,6 +279,51 @@ object TextQueries {
             .cast("long"))
         .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"))
         .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))
+    }),
+    // Multinomial Naive Bayes language classifier (ops.TextModels) —
+    // the classifier tier of corpus curation (CCNet-style domain/quality
+    // filtering is a linear scorer of exactly this shape), trained and
+    // applied in one lazy plan. FULLY ORACLED despite being ML: Laplace-
+    // smoothed per-class token log-probs quantized to integer micro-nats
+    // at the ln call, exact long sums, deterministic class-asc
+    // tie-break; DuckDB re-derives the whole model and every score.
+    "q_text_nb_classify" -> ((s, dir) =>
+      graft.ops.TextModels.nbClassify(
+          tbl(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+    // DSIR importance weights (Xie et al. 2023): every document scored
+    // by log p_target - log p_raw under smoothed unigram feature models
+    // (target = the 'en' slice). Model tables are vocab-sized broadcasts;
+    // one corpus read; exact integer micro-nat math end to end.
+    "q_text_dsir" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.TextModels
+        .dsirWeights(d, "doc_id", "text", col("lang") === "en")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("dsir_weight_micro"))
+        .orderBy("doc_id")
+    }),
+    // Character-entropy quality signal (gibberish / low-information
+    // detection): per-doc Shannon entropy over characters, computed with
+    // the per-occurrence micro-nat quantization q_text_perplexity uses
+    // (each -ln(c/n) quantized to a long BEFORE the weighted sum), so
+    // both engines do identical exact arithmetic. Map-side + one
+    // (doc, char) aggregation.
+    "q_text_entropy" -> ((s, dir) => {
+      val ch = tbl(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n"),
+          explode(split(col("text"), "")).as("ch"))
+      ch.groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+        .withColumn("q",
+          floor(-log(col("c").cast("double") / col("n")) * 1e6 + 0.5d)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          floor(sum(col("c") * col("q")).cast("double") / max("n") + 0.5d)
+            .cast("long").as("entropy_micro"))
+        .orderBy("doc_id")
     })
   )
 
@@ -470,6 +515,75 @@ object TextQueries {
              AS pmi_micro
          FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
          WHERE n_pair >= 5
-         ORDER BY pmi_micro DESC, w1, w2"""
+         ORDER BY pmi_micro DESC, w1, w2""",
+    // Independently re-derives the whole NB model: dense vocab x class
+    // grid with Laplace smoothing, micro-nat quantization at each ln,
+    // exact BIGINT sums, class-asc tie-break — any Spark drift in
+    // smoothing, densification, priors, or tie-breaks hash-mismatches.
+    "q_text_nb_classify" ->
+      """WITH t2 AS (SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS word FROM documents),
+         toks AS (SELECT * FROM t2 WHERE length(word) >= 1),
+         vocab AS (SELECT DISTINCT word FROM toks),
+         v AS (SELECT count(*) AS v_size FROM vocab),
+         classes AS (SELECT DISTINCT lang AS hyp FROM documents),
+         cwl AS (SELECT word, lang AS hyp, count(*) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT lang AS hyp, count(*) AS t FROM toks GROUP BY 1),
+         model AS (SELECT vocab.word, classes.hyp,
+             CAST(floor(-ln((coalesce(c, 0) + 1.0) / (t + v_size)) * 1e6 + 0.5)
+               AS BIGINT) AS q
+           FROM vocab CROSS JOIN classes
+           LEFT JOIN cwl ON cwl.word = vocab.word AND cwl.hyp = classes.hyp
+           JOIN tot ON tot.hyp = classes.hyp CROSS JOIN v),
+         pri AS (SELECT lang AS hyp,
+             CAST(floor(-ln(CAST(nd AS DOUBLE) / ndt) * 1e6 + 0.5) AS BIGINT) AS qp
+           FROM (SELECT lang, count(*) AS nd FROM documents GROUP BY 1) x
+           CROSS JOIN (SELECT count(*) AS ndt FROM documents) y),
+         sc AS (SELECT toks.doc_id, min(toks.lang) AS lang, m.hyp,
+             CAST(sum(m.q) AS BIGINT) AS s
+           FROM toks JOIN model m ON m.word = toks.word
+           GROUP BY toks.doc_id, m.hyp),
+         fin AS (SELECT doc_id, lang, hyp, s + qp AS score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY s + qp ASC, hyp ASC) AS rn
+           FROM sc JOIN pri USING (hyp))
+         SELECT doc_id, lang, hyp AS pred_nb,
+           CAST(score AS BIGINT) AS nb_score_micro
+         FROM fin WHERE rn = 1 ORDER BY doc_id""",
+    "q_text_dsir" ->
+      """WITH t2 AS (SELECT doc_id, lang = 'en' AS is_t,
+             unnest(string_split(text, ' ')) AS word FROM documents),
+         toks AS (SELECT * FROM t2 WHERE length(word) >= 1),
+         vocab AS (SELECT DISTINCT word FROM toks),
+         v AS (SELECT count(*) AS v_size FROM vocab),
+         cnts AS (SELECT word, count(*) AS c_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
+           FROM toks GROUP BY 1),
+         tots AS (SELECT count(*) AS t_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_tgt FROM toks),
+         model AS (SELECT word,
+             CAST(floor(-ln((c_raw + 1.0) / (t_raw + v_size)) * 1e6 + 0.5) AS BIGINT)
+             - CAST(floor(-ln((c_tgt + 1.0) / (t_tgt + v_size)) * 1e6 + 0.5) AS BIGINT)
+               AS lambda
+           FROM cnts CROSS JOIN tots CROSS JOIN v),
+         w AS (SELECT toks.doc_id, count(*) AS n_tok,
+             CAST(sum(m.lambda) AS BIGINT) AS dsir_weight_micro
+           FROM toks JOIN model m ON m.word = toks.word
+           GROUP BY toks.doc_id)
+         SELECT w.doc_id, d.lang, w.n_tok, w.dsir_weight_micro
+         FROM w JOIN documents d ON d.doc_id = w.doc_id
+         ORDER BY w.doc_id""",
+    "q_text_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+             unnest(string_split(text, '')) AS ch FROM documents),
+         cnt AS (SELECT doc_id, n, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+         q AS (SELECT doc_id, n, c,
+             CAST(floor(-ln(CAST(c AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS q
+           FROM cnt)
+         SELECT doc_id, CAST(max(n) AS INT) AS n_chars,
+           count(*) AS n_distinct_chars,
+           CAST(floor(CAST(sum(c * q) AS DOUBLE) / max(n) + 0.5) AS BIGINT)
+             AS entropy_micro
+         FROM q GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -358,6 +358,24 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unbounded collect_set crept back into the plan:\n$p")
   }
 
+  test("text models score via broadcast model joins, never a token shuffle") {
+    // nbClassify/dsirWeights share unigramNll's contract: the vocab-sized
+    // model table broadcasts to the scoring join — a sort-merge join on
+    // `word` would shuffle the full token stream and serialize Zipf-hot
+    // words into stragglers. (The model-BUILD subtree may shuffle its
+    // vocab-sized aggregates; the scan-scale scoring path must not.)
+    for (q <- Seq("q_text_nb_classify", "q_text_dsir")) {
+      val p = plan(q)
+      val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, s"$q: model join must broadcast:\n$p")
+      val smjOnWord = collectWithSubqueries(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("word")) => j
+      }
+      assert(smjOnWord.isEmpty, s"$q: token stream sort-merged on word:\n$p")
+    }
+  }
+
   test("q_window_rank ranks only heap-pruned rows, never a global window") {
     // the low-cardinality rank demo must keep its TopK.rankTrio shape:
     // a bounded-heap mapPartitions prune feeding a PER-GROUP window. A
