@@ -369,10 +369,18 @@ object Dedup {
     * semantics replayed exactly: tokens = split on single spaces (empties
     * kept), windows i..i+2 CLAMPED at the end (DuckDB list slicing), so a
     * 1-2 token text yields its whole token list as the one shingle —
-    * matching [[tokenShingles]]'s greatest(size-2, 1) + slice. */
+    * matching [[tokenShingles]]'s greatest(size-2, 1) + slice.
+    *
+    * `extraCtes` (appended after the built-in CTEs) and `prefixCol`
+    * ((name, SQL expr over `scored` columns)) let a caller prepend a
+    * derived leading column — e.g. the streaming ingest query's
+    * batch_id, recomputed from staged id-range arithmetic — which also
+    * leads the ORDER BY. */
   def verifyReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
                             leftCol: String, rightCol: String,
-                            threshold: Double): String = {
+                            threshold: Double,
+                            extraCtes: String = "",
+                            prefixCol: Option[(String, String)] = None): String = {
     val staged = pairs.exists(_._1.isDefined)
     val candCols = (if (staged) Seq("stage") else Nil) ++ Seq(leftCol, rightCol)
     val rows =
@@ -388,6 +396,9 @@ object Dedup {
       }
     val stageSel = if (staged) "c.stage, " else ""
     val stageOrd = if (staged) "stage, " else ""
+    val extra = if (extraCtes.isEmpty) "" else s",\n       $extraCtes"
+    val preSel = prefixCol.map { case (n, e) => s"$e AS $n, " }.getOrElse("")
+    val preOrd = prefixCol.map { case (n, _) => s"$n, " }.getOrElse("")
     s"""WITH cand(${candCols.mkString(", ")}) AS ($rows),
        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -399,10 +410,10 @@ object Dedup {
              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
          FROM cand c
          JOIN sh x ON x.doc_id = c.$leftCol
-         JOIN sh y ON y.doc_id = c.$rightCol)
-       SELECT $stageOrd$leftCol, $rightCol,
+         JOIN sh y ON y.doc_id = c.$rightCol)$extra
+       SELECT $preSel$stageOrd$leftCol, $rightCol,
          floor(j * 10000 + 0.5) / 10000 AS jac
        FROM scored WHERE j >= $threshold
-       ORDER BY $stageOrd$leftCol, $rightCol"""
+       ORDER BY $preOrd$stageOrd$leftCol, $rightCol"""
   }
 }

@@ -116,6 +116,44 @@ object LlmOps {
     else None
   }
 
+  /** The incremental-dedup corpus index (base slice = doc_id % 5 >= 1,
+    * batch slice = % 5 == 0), built once per corpus per JVM — ONE
+    * definition shared by `q_dedup_incremental` and the streaming ingest
+    * entry so the two probe the same index and cannot drift. */
+  private[queries] def incrementalIndexFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    lshIndexFor(dir, () => {
+      val p = graft.io.TempDirs.createDeletedOnExit("graft_lshidx_")
+        .getAbsolutePath
+      Dedup.writeSignatureIndex(
+        tbl(s, dir, "documents").where(!(col("doc_id") % 5 === 0)),
+        "doc_id", "text", p)
+      p
+    })
+
+  /** Record-or-reuse the incremental probe's candidate pairs for `dir` —
+    * the shared memo behind both the batch and streaming ingest oracles
+    * (the candidate set is identical: new-vs-corpus pairs are
+    * per-document independent, so the per-chunk union equals the batch
+    * probe). */
+  private[queries] def incrementalCandidatesFor(dir: String,
+      compute: () => Seq[(Option[String], Long, Long)]): Unit =
+    incCandidates.computeIfAbsent(dir, _ => compute())
+
+  /** The generated verify-replay oracle over the recorded incremental
+    * candidates, with optional extra CTEs / derived leading column (the
+    * streaming ingest query's batch attribution). Same one-dir + cap
+    * emission rules as [[replayOracle]]. */
+  private[queries] def incrementalReplayOracleSql(extraCtes: String = "",
+      prefixCol: Option[(String, String)] = None): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val recorded = incCandidates.asScala.values.toSeq
+    if (recorded.size == 1 && recorded.head.size <= ReplayOracleCap)
+      Some(graft.ops.Dedup.verifyReplayOracleSql(recorded.head,
+        "id_new", "id_corpus", VerifyThreshold, extraCtes, prefixCol))
+    else None
+  }
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
@@ -185,11 +223,7 @@ object LlmOps {
     "q_dedup_incremental" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val isNew = col("doc_id") % 5 === 0
-      val idx = LlmOps.lshIndexFor(dir, () => {
-        val p = graft.io.TempDirs.createDeletedOnExit("graft_lshidx_").getAbsolutePath
-        Dedup.writeSignatureIndex(d.where(!isNew), "doc_id", "text", p)
-        p
-      })
+      val idx = incrementalIndexFor(s, dir)
       // persisted: three consumers (the verify helper's id projection +
       // two pair joins); tiny (pair ids only), plan-cache-deduplicated
       // across invocations, freed at session end — same stance as the

@@ -58,10 +58,54 @@ object StreamingQueries {
       StreamOps.runForeachBatchSink(s, purchases, sink.getAbsolutePath)
         .drop("batch_id")
         .orderBy("event_id")
+    }),
+    // STREAMING ingest dedup (StreamOps.dedupIngest): the incremental-
+    // dedup probe as a live stream — 4 real micro-batches of newly
+    // arriving docs (the doc_id % 5 == 0 slice staged as id-range drops),
+    // each probed against the SAME persisted signature index the batch
+    // query uses (shared builder, memoized per corpus) and exact-Jaccard
+    // verified into an idempotent batch_id-partitioned sink. Oracled by
+    // the generated verify-replay SQL (shared candidate memo — the
+    // per-chunk union provably equals the batch probe) EXTENDED with the
+    // batch attribution: DuckDB recomputes each pair's batch_id from the
+    // staged id-range arithmetic, so wrong chunking, a dropped batch, or
+    // replay duplication all hash-mismatch.
+    "q_stream_dedup_ingest" -> ((s, dir) => {
+      val idx = LlmOps.incrementalIndexFor(s, dir)
+      LlmOps.incrementalCandidatesFor(dir, () =>
+        graft.ops.Dedup.incrementalCandidatePairs(s,
+            tbl(s, dir, "documents").where(col("doc_id") % 5 === 0),
+            "doc_id", "text", idx)
+          .collect().toSeq.map(r => (None, r.getLong(0), r.getLong(1))))
+      StreamOps.dedupIngest(s, dir, idx)
+        .orderBy("batch_id", "id_new", "id_corpus")
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the GENERATED q_stream_dedup_ingest oracle
+    * (present once either incremental query has recorded the corpus's
+    * candidate pairs — emission rules in LlmOps). The batch_id column is
+    * re-derived in SQL from the staging's id-range arithmetic:
+    * step = (hi − lo) integer-div chunks, bucket = min(chunks−1,
+    * (id − lo) div step), with the step = 0 degenerate case landing in
+    * the LAST chunk (earlier ranges are empty by the same formula). */
+  def oracles: Map[String, String] = {
+    val n = StreamOps.DefaultChunks
+    val bounds =
+      s"""bounds AS (SELECT min(doc_id) AS lo,
+           (max(doc_id) - min(doc_id)) // $n AS step
+         FROM documents WHERE doc_id % 5 = 0)"""
+    val batchExpr =
+      s"""CAST(CASE WHEN (SELECT step FROM bounds) <= 0 THEN ${n - 1}
+           ELSE least(${n - 1},
+             (id_new - (SELECT lo FROM bounds)) // (SELECT step FROM bounds))
+           END AS BIGINT)"""
+    staticOracles ++
+      LlmOps.incrementalReplayOracleSql(bounds, Some(("batch_id", batchExpr)))
+        .map("q_stream_dedup_ingest" -> _)
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL 6 HOURS, ts)) AS win_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -235,6 +235,120 @@ object StreamOps {
     s.table(name)
   }
 
+  /** Staged-docs memo for [[newDocsStream]] — same lifecycle and hazards
+    * as [[stagedDirs]]. */
+  private val docStagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), String]()
+
+  /** File-source stream of "newly arriving" documents: the `doc_id %
+    * modulus == residue` slice of the documents table staged as `chunks`
+    * single-file drops split by doc_id RANGE (ids are the arrival order
+    * here — the daily-drop model of a landing directory), read with
+    * `maxFilesPerTrigger 1` so an AvailableNow run executes one real
+    * micro-batch per drop.
+    *
+    * Each staged file carries its chunk ordinal as an `arrival_batch`
+    * column. That — not the runtime batchId — is what downstream sinks
+    * should key on: if a range chunk happens to be EMPTY its file is
+    * never written and the engine's batch ids compact, but the embedded
+    * ordinal (and the id-range arithmetic an oracle replays) is
+    * unaffected. Chunk boundaries are lo + step*i with
+    * step = (hi − lo) / chunks in integer math, last chunk inclusive of
+    * hi — the exact formula the generated oracle mirrors. */
+  def newDocsStream(s: SparkSession, dir: String, modulus: Int, residue: Int,
+                    chunks: Int = DefaultChunks): DataFrame = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val stagePath = docStagedDirs.computeIfAbsent(
+      (src.getCanonicalPath, modulus, residue, math.max(chunks, 1)), { _ =>
+        val stage = graft.io.TempDirs.createDeletedOnExit("graft_stream_docs_")
+        val nChunks = math.max(chunks, 1)
+        val d = s.read.parquet(src.getAbsolutePath)
+          .where(col("doc_id") % modulus === residue)
+          .select(col("doc_id"), col("text"))
+        val b = d.agg(min("doc_id"), max("doc_id"), count(lit(1))).head()
+        if (b.getLong(2) > 0L) {
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val step = (hi - lo) / nChunks
+          val mtimeBase = 1000000000000L
+          for (i <- 0 until nChunks) {
+            val lower = lo + step * i
+            val upper = if (i == nChunks - 1) hi + 1 else lo + step * (i + 1)
+            val tmpOut = new java.io.File(stage, s"_chunk_$i")
+            d.filter(col("doc_id") >= lower && col("doc_id") < upper)
+              .withColumn("arrival_batch", lit(i.toLong))
+              .coalesce(1).write.parquet(tmpOut.getAbsolutePath)
+            val part = tmpOut.listFiles().filter(_.getName.endsWith(".parquet"))
+            require(part.length <= 1,
+              s"doc chunk $i staged ${part.length} part files, expected at most 1")
+            part.headOption.foreach { p =>
+              val chunkFile = new java.io.File(stage, f"chunk_$i%05d.parquet")
+              java.nio.file.Files.move(p.toPath, chunkFile.toPath)
+              require(chunkFile.setLastModified(mtimeBase + i * 60000L),
+                s"setLastModified failed on $chunkFile")
+            }
+            org.apache.commons.io.FileUtils.deleteDirectory(tmpOut)
+          }
+        }
+        stage.getAbsolutePath
+      })
+    s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("arrival_batch", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+  }
+
+  /** STREAMING ingest dedup — the incremental-dedup loop's probe step as
+    * a live stream: each micro-batch of newly-arriving documents is
+    * MinHash-signed, banded, probed against the PERSISTED corpus
+    * signature index (broadcast batch buckets, map-side index join — the
+    * corpus is never re-hashed), exact-Jaccard verified, and written to
+    * an idempotent batch_id-partitioned sink (the q_stream_foreach_batch
+    * exactly-once pattern). Because new-vs-corpus candidate pairs are
+    * per-document independent, the union over batches equals the batch
+    * probe of all new docs — which is what the generated verify-replay
+    * oracle checks, plus the batch attribution itself via the staged
+    * id-range arithmetic. At 100 TB this is the nightly ingest shape:
+    * the landing stream pays |batch| signatures per drop while the index
+    * accretes, keeping total dedup work linear in corpus size. */
+  def dedupIngest(s: SparkSession, dir: String, indexPath: String): DataFrame = {
+    import graft.ops.Dedup
+    val stream = newDocsStream(s, dir, modulus = 5, residue = 0)
+    val sink = graft.io.TempDirs.createDeletedOnExit("graft_stream_dedup_")
+      .getAbsolutePath
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            if (!batch.isEmpty) {
+              // key the sink on the staged ordinal, not the runtime batch
+              // id — stable under empty-chunk compaction and replay
+              val ab = batch.agg(min("arrival_batch")).head().getLong(0)
+              val cands = Dedup.incrementalCandidatePairs(
+                s, batch.drop("arrival_batch"), "doc_id", "text", indexPath)
+              val docs = s.read.parquet(s"$dir/documents.parquet")
+              Dedup.verifyCandidatesScoped(docs, "doc_id", "text",
+                  cands, "id_new", "id_corpus")
+                .withColumn("batch_id", lit(ab))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(sink)
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.schema(StructType(Seq(
+        StructField("id_new", LongType), StructField("id_corpus", LongType),
+        StructField("jac", DoubleType), StructField("batch_id", LongType))))
+      .parquet(sink)
+      .select("batch_id", "id_new", "id_corpus", "jac")
+  }
+
   /** Tumbling 6h windows: count + sum per (window, event_type). */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)

@@ -265,6 +265,41 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup runs real multi-batch probes that sum to the batch probe") {
+    // q_stream_dedup_ingest's contract: (1) the stream genuinely executes
+    // multiple micro-batches (distinct batch_id values in the sink — the
+    // staged arrival ordinals, not a single end-of-query batch); (2) the
+    // union over batches equals the one-shot batch probe + verify of all
+    // new docs (per-document independence of new-vs-corpus pairs); and
+    // (3) batch attribution follows the staged id-range arithmetic.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q_stream_dedup_ingest")(spark, dir)
+      .collect()
+    assert(streamed.map(_.getLong(0)).distinct.length >= 2,
+      s"expected multiple real micro-batches, got batch_ids " +
+        streamed.map(_.getLong(0)).distinct.mkString(","))
+    val batch = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .select("id_new", "id_corpus", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unioned = streamed
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(unioned == batch,
+      s"streamed union != batch probe:\n$unioned\nvs\n$batch")
+    // attribution: each pair's batch_id matches the staged range bucket
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).agg(min("doc_id"), max("doc_id"))
+      .head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = (hi - lo) / graft.streaming.StreamOps.DefaultChunks
+    streamed.foreach { r =>
+      val want = if (step <= 0) graft.streaming.StreamOps.DefaultChunks - 1L
+        else math.min(graft.streaming.StreamOps.DefaultChunks - 1L,
+          (r.getLong(1) - lo) / step)
+      assert(r.getLong(0) == want,
+        s"pair ${r.getLong(1)} attributed to batch ${r.getLong(0)}, want $want")
+    }
+  }
+
   test("chunked staging runs K real micro-batches, chronologically, exactly-once") {
     import graft.streaming.StreamOps
     val sfDir = "/root/testdata/sf0.001"
