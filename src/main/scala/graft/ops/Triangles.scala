@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected simple graph, plus the top-k
+  * co-occurrence *backbone* builder that makes the count meaningful (and
+  * tractable) on dense co-occurrence graphs.
+  *
+  * Why a backbone first: a raw "entities that ever co-occur" graph
+  * saturates — the sf0.1 co-supplier graph is 453k edges over 1000 nodes
+  * (91% of complete), where triangle counts carry no structure and the
+  * listing itself is Θ(n³). The standard fix (network backboning / k-NN
+  * graph construction) keeps each node's k strongest partners only:
+  * edges ≤ k·|V| by construction at ANY scale, and the triangles that
+  * survive are the genuinely clustered neighborhoods.
+  *
+  * Triangle algorithm — degree-ordered orientation (the MapReduce-classic
+  * of Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+  * Reducer", WWW'11): orient each undirected edge from its
+  * (degree, id)-smaller endpoint to its larger one; every triangle then
+  * has exactly one node with two out-edges, so wedges built from
+  * out-neighbor pairs enumerate each triangle once. Out-degrees are
+  * bounded by O(√m), so wedge fan-out is O(m^1.5) total and a hub node —
+  * the "last reducer" that kills the naive neighbor-pairs plan — never
+  * expands wedges at its hub end.
+  *
+  * Scale shape: degree table is |V|-sized (broadcastable in most graphs);
+  * the wedge build is a self-join of the oriented edge list on source
+  * (shuffle on u), closed by an equi-join on (v, w) against the same edge
+  * list. Everything is equi-join + aggregate — no driver state, fully
+  * ANSI-SQL-expressible, so the catalog query is DuckDB-oracled exactly.
+  */
+object Triangles {
+
+  /** Keep each node's `k` strongest partners from a weighted co-occurrence
+    * pair list `pairs` (src < dst, one row per unordered pair with its
+    * weight), then return the UNION backbone as a normalized undirected
+    * edge list (src < dst, distinct — an edge survives if EITHER endpoint
+    * ranks it top-k). Ranking is by (weight DESC, partner ASC) — a total
+    * order, so the backbone is deterministic on any partitioning.
+    * The per-node top-k runs on [[TopK.perGroup]]'s bounded heap: partial
+    * ranking happens map-side before the shuffle, so a node with millions
+    * of candidate partners ships k rows, not its whole adjacency. */
+  def backbone(pairs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val directed = pairs.select(col("src").as("v"), col("dst").as("p"), col("w"))
+      .union(pairs.select(col("dst").as("v"), col("src").as("p"), col("w")))
+    TopK.perGroup(directed, Seq("v"), Seq("w" -> false, "p" -> true), k, "rank")
+      .select(least(col("v"), col("p")).as("src"),
+        greatest(col("v"), col("p")).as("dst"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts over an undirected simple graph given as a
+    * normalized edge list (src < dst, distinct, no self-loops). Returns
+    * (node, n_triangles) for nodes in ≥1 triangle. */
+  def perNode(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (deg(u), u) < (deg(v), v); carry
+    // the head's (deg, id) so wedge construction can order out-neighbors
+    // without a third degree join
+    val oriented = edges
+      .join(deg.select(col("v").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
+      .select(
+        when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+          col("dst")).otherwise(col("src")).as("v"),
+        when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+          col("dd")).otherwise(col("ds")).as("dv"))
+    // wedges from out-neighbor pairs, ordered by the same total order so
+    // each unordered pair appears once; closing edge is necessarily
+    // oriented x -> y (orientation respects the order)
+    val a = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val b = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = a.join(b, Seq("u"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("x").as("node")))
+      .union(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -51,6 +51,42 @@ object Events {
           unix_micros(col("session_window.start")).as("sess_start"),
           col("n_events"))
         .orderBy("user_id", "sess_start")),
+    // Ordered conversion funnel per user: first 'view', then the earliest
+    // 'click' STRICTLY after it (within 72h), then the earliest 'purchase'
+    // strictly after that click (within 72h). Sequential stage dependency
+    // is expressed as three chained whole-partition window minimums over
+    // ONE hash exchange on user_id (each min's predicate references the
+    // previous stage's column, which nulls-out automatically when the
+    // prior stage was never reached), then the per-user row is reduced by
+    // a groupBy that REUSES the same partitioning — no second exchange.
+    // The naive formulation (per-stage aggregate + self-join per stage)
+    // costs 3 shuffles of the full event stream; this costs one.
+    "q_window_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val staged = tbl(s, dir, "events")
+        .select("user_id", "event_type", "ts")
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 72 HOURS"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"),
+            col("ts"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max("t1").as("v_ts"), max("t2").as("c_ts"), max("t3").as("p_ts"))
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull, 3)
+            .when(col("c_ts").isNotNull, 2)
+            .when(col("v_ts").isNotNull, 1)
+            .otherwise(0).as("funnel_stage"),
+          unix_micros(col("v_ts")).as("view_us"),
+          unix_micros(col("c_ts")).as("click_us"),
+          unix_micros(col("p_ts")).as("purchase_us"))
+        .orderBy("user_id")
+    }),
     "q_from_json" -> ((s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
       // Filtering on the from_json alias would push the (CodegenFallback)
@@ -124,6 +160,32 @@ object Events {
            FROM x)
          SELECT user_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_events
          FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+    // The funnel's sequential dependency as three chained aggregates; the
+    // stage predicates (strict >, 72h cap) mirror the window formulation.
+    "q_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS v_ts FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS c_ts
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.v_ts
+                  AND e.ts <= s1.v_ts + INTERVAL 72 HOURS
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.c_ts
+                  AND e.ts <= s2.c_ts + INTERVAL 72 HOURS
+                GROUP BY e.user_id)
+         SELECT u.user_id,
+           CASE WHEN p_ts IS NOT NULL THEN 3
+                WHEN c_ts IS NOT NULL THEN 2
+                WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+           epoch_us(v_ts) AS view_us,
+           epoch_us(c_ts) AS click_us,
+           epoch_us(p_ts) AS purchase_us
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     "q_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed, event_type
          FROM events

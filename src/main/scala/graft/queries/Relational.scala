@@ -406,6 +406,26 @@ object Relational {
       graft.ops.PageRank.fixedPoint(edges, iters = pagerankIters).orderBy("node")
     }),
 
+    // Triangle census over the co-supplier BACKBONE graph (ops.Triangles):
+    // suppliers sharing an order, weighted by distinct shared orders; each
+    // node keeps its 5 strongest partners (TopK's bounded heap — partial
+    // top-k map-side, k rows per node cross the shuffle), and triangles
+    // are counted on the surviving union backbone with degree-ordered
+    // orientation (wedge fan-out O(m^1.5), hub-safe). The backbone step is
+    // part of the operator because raw co-occurrence graphs saturate —
+    // sf0.1's is 453k edges over 1000 suppliers, 91% of complete, where a
+    // triangle listing is Θ(n³) and carries no structure.
+    "q_graph_triangles" -> ((s, dir) => {
+      val ls = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+      val a = ls.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = ls.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val pairs = a.join(b, "l_orderkey").filter(col("sa") < col("sb"))
+        .groupBy(col("sa").as("src"), col("sb").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Triangles.perNode(graft.ops.Triangles.backbone(pairs, k = 5))
+        .orderBy("node")
+    }),
+
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
     // one pathologically hot key spreads over SALT shuffle partitions.
@@ -424,6 +444,43 @@ object Relational {
         .groupBy("o_orderstatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n_items"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter):
+    // a selective dim-side predicate becomes a bloom filter built in a
+    // scalar subquery and applied to the FACT side as might_contain()
+    // BEFORE its shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~0.1% that can
+    // match. Spark only injects it when the fact side is large enough to
+    // matter (10 GB scan default), so the catalog query lowers the
+    // application-side threshold to demonstrate the plan at test scale —
+    // in a fresh newSession(): optimizer confs are read at ACTION time,
+    // long after this function returns, so a set-then-restore on the
+    // shared session would disable the filter before it ever ran (and
+    // polluting the shared session would change every other query's
+    // plan). Broadcast is disabled because a broadcast join IS already a
+    // build-side filter; the bloom path exists precisely for the
+    // dim-too-big-to-broadcast regime. Result set is plan-invariant, so
+    // the oracle is the plain join SQL; the might_contain injection is
+    // pinned in PlanContractSpec.
+    "q_join_runtime_filter" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = tbl(s2, dir, "orders")
+        .filter(col("o_totalprice") > 490000.0)
+        .select("o_orderkey")
+      val l = tbl(s2, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey")
     }),
 
     // Key-skew profile: the diagnostic an operator runs BEFORE picking a
@@ -844,6 +901,44 @@ object Relational {
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
       iters = pagerankIters),
+    "q_join_runtime_filter" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice), 2) AS rev,
+           count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 490000.0
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    // The backbone + orientation replayed relationally: row_number is the
+    // same (w DESC, p ASC) total order as TopK.perGroup; (deg, id) row
+    // comparisons mirror Spark's struct comparisons exactly.
+    "q_graph_triangles" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         pairs AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
+                   FROM ls a JOIN ls b USING (l_orderkey)
+                   WHERE a.l_suppkey < b.l_suppkey GROUP BY 1, 2),
+         dirx AS (SELECT src AS v, dst AS p, w FROM pairs
+                  UNION ALL SELECT dst, src, w FROM pairs),
+         topk AS (SELECT v, p FROM (
+                    SELECT v, p, row_number() OVER
+                      (PARTITION BY v ORDER BY w DESC, p ASC) AS rk FROM dirx)
+                  WHERE rk <= 5),
+         edges AS (SELECT DISTINCT least(v, p) AS src, greatest(v, p) AS dst
+                   FROM topk),
+         deg AS (SELECT v, count(*) AS d FROM
+                   (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+                 GROUP BY v),
+         o AS (SELECT
+                 CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.src ELSE e.dst END AS u,
+                 CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.dst ELSE e.src END AS v,
+                 CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN dd.d ELSE ds.d END AS dv
+               FROM edges e JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst),
+         tri AS (SELECT a.u, a.v AS x, b.v AS y
+                 FROM o a JOIN o b ON a.u = b.u AND (a.dv, a.v) < (b.dv, b.v)
+                 JOIN o c ON c.u = a.v AND c.v = b.v)
+         SELECT node, count(*) AS n_triangles FROM (
+           SELECT u AS node FROM tri
+           UNION ALL SELECT x FROM tri
+           UNION ALL SELECT y FROM tri)
+         GROUP BY node ORDER BY node""",
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05

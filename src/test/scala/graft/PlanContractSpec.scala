@@ -396,4 +396,45 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(prunes.nonEmpty,
       s"window input must descend from the bounded-heap prune:\n$p")
   }
+
+  test("q_join_runtime_filter injects a bloom filter on the fact side") {
+    // the whole point of the query: the dim side's selective predicate
+    // must reach the fact side as a might_contain(bloom) BEFORE the
+    // fact shuffle, and the join must stay a shuffle join (broadcast
+    // would make the bloom redundant — it exists for the
+    // dim-too-big-to-broadcast regime)
+    val df = SparkEntry.queries("q_join_runtime_filter")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+      s"InjectRuntimeFilter did not fire:\n$opt")
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.isEmpty, "join must not degrade the demo by broadcasting")
+    // and the filtered result still matches the plain join
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.functions.{col, round, sum, count, lit}
+    val o = queries.tbl(s2, sfDir, "orders")
+      .filter(col("o_totalprice") > 490000.0).select("o_orderkey")
+    val l = queries.tbl(s2, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("q_graph_triangles: top-k backbone is heap-pruned pre-shuffle") {
+    // the backbone must descend from TopK's bounded-heap mapPartitions —
+    // a node with millions of co-occurrence partners ships k rows, not
+    // its adjacency list
+    val p = plan("q_graph_triangles")
+    val prunes = collectWithSubqueries(p) {
+      case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+    }
+    assert(prunes.nonEmpty,
+      s"backbone top-k must run on the bounded heap:\n$p")
+  }
 }
