@@ -83,4 +83,52 @@ object Mixing {
       col("_n_copies"))
       .drop("_domain_units", "_total_units", "_n_copies")
   }
+
+  /** Temperature-scaled mixture (the multilingual sampling rule of
+    * XLM/mBERT/mC4, Conneau & Lample 2019): domain weights are DERIVED
+    * from the data as w_d ∝ units_d^α with α = 2^-sqrtIters (α = 0.5 for
+    * the default one sqrt), flattening the head without hand-picking a
+    * weight map — the standard knob between proportional (α=1) and
+    * uniform (α=0) sampling. Same emit contract as [[mixToWeights]]:
+    * floor(r_d) epochs + deterministic hash acceptance of the fraction.
+    *
+    * Oracle-exactness is why α is a power of ½ rather than a free double:
+    * IEEE-754 requires sqrt to be CORRECTLY ROUNDED (pow is not), so
+    * repeated sqrt is bit-identical on any engine, and the α-scaled
+    * masses are then floor-quantized to integer micro-units so the
+    * normalizing sum is exact long arithmetic — no summation-order
+    * hazard between Spark's window and DuckDB's aggregate.
+    *
+    * Scale shape: identical to mixToWeights — one domains-cardinality
+    * stats aggregate (+ two tiny window sums over it) broadcast back,
+    * map-side explode for the epochs. */
+  def mixToTemperature(df: DataFrame, domainCol: String, idCol: String,
+                       unitCol: String, sqrtIters: Int = 1,
+                       epochCap: Int = 16,
+                       salt: String = "graft-mix-temp"): DataFrame = {
+    require(sqrtIters >= 1 && sqrtIters <= 3,
+      s"alpha = 2^-sqrtIters supports 0.5/0.25/0.125 only: $sqrtIters")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val scaled = (1 to sqrtIters).foldLeft(col("_du").cast("double")) {
+      (c, _) => sqrt(c)
+    }
+    val stats = df.groupBy(domainCol).agg(sum(unitCol).as("_du"))
+      .withColumn("_sw", floor(scaled * lit(1000000.0)).cast("long"))
+      .withColumn("_sum_sw", sum("_sw").over(w))
+      .withColumn("_total", sum("_du").over(w))
+    // association mirrors the oracle exactly: ((sw/sum_sw) * total) / du
+    val r = when(col("_du") > 0,
+      least(
+        col("_sw").cast("double") / col("_sum_sw").cast("double")
+          * col("_total").cast("double") / col("_du").cast("double"),
+        lit(epochCap.toDouble))
+    ).otherwise(lit(0.0))
+    val extra = when(Sampling.hashUnit(col(idCol), salt) < (r - floor(r)), 1L)
+      .otherwise(0L)
+    replicate(
+      df.join(broadcast(stats), domainCol)
+        .withColumn("_n_copies", floor(r) + extra),
+      col("_n_copies"))
+      .drop("_du", "_sw", "_sum_sw", "_total", "_n_copies")
+  }
 }

@@ -416,6 +416,21 @@ object LlmOps {
           sum("n_chars").as("units_out"),
           max("copy_idx").as("max_epoch"))
         .orderBy("lang")),
+    // Temperature-scaled mixture (Mixing.mixToTemperature): weights
+    // DERIVED from the data as units^0.5 — no hand-picked map — the
+    // α-sampling rule multilingual corpora actually train with. sqrt is
+    // IEEE-correctly-rounded (pow is not) and the scaled masses are
+    // floor-quantized to integer micro-units before the normalizing sum,
+    // so the whole rule is exact on both engines.
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.ops.Mixing.mixToTemperature(
+          tbl(s, dir, "documents"), "lang", "doc_id", "n_chars")
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_rows_out"),
+          sum("n_chars").as("units_out"),
+          max("copy_idx").as("max_epoch"))
+        .orderBy("lang")),
     // END-TO-END curation: the full training-data pipeline as ONE lazy
     // plan — filter funnel → exact dedup → domain mixture → context-window
     // packing — emitting the pack manifest (what a curation run actually
@@ -766,6 +781,31 @@ object LlmOps {
                  CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix'), 1, 4) AS INT)
                    / 65536.0 AS h
                FROM documents d JOIN u USING (lang) JOIN w USING (lang) CROSS JOIN t),
+         n AS (SELECT lang, doc_id, n_chars,
+                 CAST(floor(rr) AS BIGINT)
+                   + CASE WHEN h < rr - floor(rr) THEN 1 ELSE 0 END AS n_copies
+               FROM r)
+         SELECT lang,
+           count(DISTINCT doc_id) FILTER (WHERE n_copies > 0) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(sum(n_copies * n_chars) AS BIGINT) AS units_out,
+           CAST(max(n_copies) AS INT) AS max_epoch
+         FROM n GROUP BY lang HAVING sum(n_copies) > 0 ORDER BY lang""",
+    // The temperature rule replayed: sqrt + micro-unit floor quantization,
+    // exact integer normalizing sums, association mirrored term by term.
+    "q_mix_temperature" ->
+      """WITH u AS (SELECT lang, sum(n_chars) AS du FROM documents GROUP BY lang),
+         s AS (SELECT lang, du,
+                 CAST(floor(sqrt(CAST(du AS DOUBLE)) * 1000000.0) AS BIGINT) AS sw
+               FROM u),
+         t AS (SELECT sum(sw) AS sum_sw, sum(du) AS total FROM s),
+         r AS (SELECT d.doc_id, d.lang, d.n_chars,
+                 least(CAST(s.sw AS DOUBLE) / CAST(t.sum_sw AS DOUBLE)
+                         * CAST(t.total AS DOUBLE) / CAST(s.du AS DOUBLE),
+                       16.0) AS rr,
+                 CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix-temp'), 1, 4) AS INT)
+                   / 65536.0 AS h
+               FROM documents d JOIN s USING (lang) CROSS JOIN t),
          n AS (SELECT lang, doc_id, n_chars,
                  CAST(floor(rr) AS BIGINT)
                    + CASE WHEN h < rr - floor(rr) THEN 1 ELSE 0 END AS n_copies

@@ -234,6 +234,34 @@ object TextQueries {
           .as("posting_sample"))
       counts.join(sample, "term").orderBy("term")
     }),
+    // Corpus-wide duplicated-text rate per document (the Gopher/MassiveText
+    // "duplicate n-gram fraction" quality signal, Rae et al. 2021): the
+    // share of each doc's distinct 8-gram shingles that also occur in at
+    // least one OTHER document. Same engine shape as q_contamination: the
+    // codegen'd TokenShingleHashes kernel emits per-doc-distinct 64-bit
+    // gram hashes (8-byte shuffle keys, never ~50-byte gram strings, and
+    // the narrow map recomputes per consumer instead of caching an
+    // exploded frame larger than the corpus), document frequency is one
+    // constant-buffer aggregate, and the mark-and-count join shuffles on
+    // the gram hash both sides. The DuckDB oracle computes over gram
+    // STRINGS — hash counts equal string counts except with p ≈ n²/2^65
+    // (the q_contamination equivalence argument). dup_pct uses integer
+    // `div`, not floor(double division): a true quotient just below an
+    // integer can round UP under IEEE division and flip floor().
+    "q_text_dup_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.TokenShingleHashes.token_shingle_hashes
+      val grams = tbl(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(token_shingle_hashes(col("text"), 8)).as("h"))
+      val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") >= 2, lit(1))).as("n_dup"))
+        .withColumn("dup_pct", expr("n_dup * 100 div n_grams"))
+        .orderBy("doc_id")
+    }),
     // Collocation mining via pointwise mutual information over adjacent
     // word pairs: PMI = ln(c_ab·N / (c_a·c_b)) with left/right marginals,
     // quantized to integer micro-nats (the q_text_perplexity move) so the
@@ -499,6 +527,25 @@ object TextQueries {
                FROM documents) t
          WHERE length(term) >= 1
          GROUP BY term ORDER BY term""",
+    // Gram strings stand in for the kernel's 64-bit hashes (equal counts
+    // absent collisions); position arithmetic mirrors the kernel's
+    // grams = max(n - 7, 1) floor — a short doc still yields one short
+    // gram — and list_slice clamps exactly like the kernel's tail slice.
+    "q_text_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT DISTINCT doc_id, gram FROM (
+                 SELECT doc_id,
+                   unnest(list_transform(
+                     range(1, greatest(len(t) - 6, 2)),
+                     i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gram
+                 FROM toks)),
+         dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         SELECT doc_id, count(*) AS n_grams,
+           count(*) FILTER (WHERE df >= 2) AS n_dup,
+           (count(*) FILTER (WHERE df >= 2)) * 100 // count(*) AS dup_pct
+         FROM g JOIN dfq USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pmi" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
          prs AS (SELECT unnest(list_transform(range(1, len(t)),

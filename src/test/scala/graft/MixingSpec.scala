@@ -77,6 +77,39 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixture flattens the head: r scales monotonically against size") {
+    // units: a 400, b 200, c 100 (total 700). alpha=0.5 masses are
+    // sqrt-proportional (20:14.1:10), so r_c > r_b > r_a and the scarce
+    // domain is up-weighted while the abundant one is down-weighted —
+    // bracketing r analytically: r_a = (20/44.1)*700/400 ~ 0.79,
+    // r_b ~ 1.12, r_c ~ 1.59
+    val out = Mixing.mixToTemperature(corpus, "dom", "id", "units")
+    val copies = out.groupBy("dom").agg(
+      count(lit(1)).cast("double").as("rows_out"),
+      countDistinct("id").cast("double").as("docs_in"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // realized copies per doc land on floor/ceil of r
+    val perDoc = out.groupBy("dom", "id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    perDoc.foreach {
+      case ("a", n) => assert(n == 1L, s"r_a~0.79: 0 or 1 copies, got $n")
+      case ("b", n) => assert(n == 1L || n == 2L, s"r_b~1.12: got $n")
+      case ("c", n) => assert(n == 1L || n == 2L, s"r_c~1.59: got $n")
+      case other => fail(s"unexpected domain row: $other")
+    }
+    assert(copies.contains("c"), "scarce domain must survive the mixture")
+  }
+
+  test("temperature mixture is deterministic across partitionings") {
+    val one = Mixing.mixToTemperature(corpus.repartition(1), "dom", "id", "units")
+      .select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val eight = Mixing.mixToTemperature(corpus.repartition(8), "dom", "id", "units")
+      .select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(one == eight && one.nonEmpty)
+  }
+
   test("plan shape: both side tables arrive broadcast, replication is map-side") {
     val out = Mixing.mixToWeights(corpus, "dom", "id", "units",
       Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
