@@ -91,7 +91,12 @@ object SemanticDedup {
     * reproducible across both engines rather than an opaque ML-model
     * verdict (`KMeansModel.transform` scores with a norm-precomputed
     * `fastSquaredDistance` whose FP rounding no SQL engine replays). */
-  def nearestCentroid(emb: Column, centroids: Seq[Array[Double]]): Column = {
+  def nearestCentroid(emb: Column, centroids: Seq[Array[Double]]): Column =
+    nearestCentroidDist(emb, centroids).getField("c")
+
+  /** [[nearestCentroid]] keeping the winning squared distance too:
+    * struct(d double, c int). Same fold, same tie rule. */
+  def nearestCentroidDist(emb: Column, centroids: Seq[Array[Double]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
     val cents = array(centroids.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     aggregate(
@@ -105,7 +110,7 @@ object SemanticDedup {
         when(d < acc.getField("d"),
           struct(d.as("d"), i.cast("int").as("c"))).otherwise(acc)
       },
-      acc => acc.getField("c"))
+      acc => acc)
   }
 
   /** GENERATE the DuckDB oracle for a [[dedupAssigned]] run whose blocking
@@ -118,10 +123,42 @@ object SemanticDedup {
     * correctly rounded), so both engines fold the same 64 doubles in the
     * same order. Ties in the argmin break to the smallest cluster id on
     * both sides. */
-  def oracleSql(centroids: Seq[Array[Double]], threshold: Double): String = {
-    val rows = centroids.zipWithIndex.map { case (c, i) =>
+  private def centroidRows(centroids: Seq[Array[Double]]): String =
+    centroids.zipWithIndex.map { case (c, i) =>
       s"($i, CAST([${c.map(java.lang.Double.toString).mkString(", ")}] AS DOUBLE[]))"
     }.mkString(", ")
+
+  /** GENERATE the DuckDB oracle for the per-cluster fit-stats query
+    * (`q_embed_kmeans`): assignment argmin replayed from centroid
+    * literals exactly as [[oracleSql]], then counts and inertia. The
+    * winning squared distance is floor-quantized to integer micro-units
+    * PER ROW before the cluster sum, so inertia is exact long arithmetic
+    * on both engines (a double Σd² would depend on summation order). */
+  def statsOracleSql(centroids: Seq[Array[Double]]): String = {
+    s"""WITH cents(cluster, cent) AS (VALUES ${centroidRows(centroids)}),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dist AS (
+         SELECT e.vec_id, c.cluster,
+           list_reduce(list_transform(range(1, len(c.cent) + 1),
+             i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])),
+             (acc, x) -> acc + x) AS d
+         FROM e CROSS JOIN cents c),
+       assigned AS (
+         SELECT vec_id, cluster, CAST(floor(d * 1000000.0) AS BIGINT) AS dm
+         FROM (
+           SELECT vec_id, cluster, d,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist) t
+         WHERE rn = 1)
+       SELECT cluster, count(*) AS n_vecs,
+         CAST(sum(dm) AS BIGINT) AS inertia_micro,
+         CAST(sum(dm) // count(*) AS BIGINT) AS avg_dist_micro
+       FROM assigned GROUP BY cluster ORDER BY cluster"""
+  }
+
+  def oracleSql(centroids: Seq[Array[Double]], threshold: Double): String = {
+    val rows = centroidRows(centroids)
     s"""WITH cents(cluster, cent) AS (VALUES $rows),
        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        dist AS (

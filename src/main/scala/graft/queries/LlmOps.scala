@@ -78,6 +78,11 @@ object LlmOps {
   private val semanticCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
 
+  /** Same lifecycle for `q_embed_kmeans`'s own fit (k differs from the
+    * semantic-dedup blocking fit, so the two memos stay independent). */
+  private val kmeansCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+
   /** Recorded LSH CANDIDATE pairs (pre-verification), keyed by corpus dir
     * — consumed by [[oracles]] to GENERATE verify-replay DuckDB oracles
     * for the three MinHash-based dedup queries (the q_dedup_semantic
@@ -570,6 +575,29 @@ object LlmOps {
           sim = (x, y) => cosine_sim(x, y))
         .orderBy("vec_id")
     }),
+    // K-means fit stats, FULLY ORACLED despite the ML fit (the
+    // q_dedup_semantic move, reported instead of consumed as blocking):
+    // seeded k-means|| centroids are recorded, assignment is the explicit
+    // nearestCentroidDist argmin fold, and the per-cluster report —
+    // count, inertia, mean distance — quantizes each row's winning d² to
+    // integer micro-units BEFORE the sum, so the emitted stats are exact
+    // long arithmetic on both engines. This is the embedding-space
+    // diagnostic a curation run reads before trusting any
+    // clustering-derived dedup/mixing decision.
+    "q_embed_kmeans" -> ((s, dir) => {
+      import graft.ops.SemanticDedup
+      val e = tbl(s, dir, "embeddings")
+      val cents = SemanticDedup.fitCentroids(e, "embedding", k = 10)
+      kmeansCentroids.put(dir, cents)
+      e.select(
+          SemanticDedup.nearestCentroidDist(col("embedding"), cents).as("a"))
+        .select(col("a.c").as("cluster"),
+          floor(col("a.d") * lit(1000000.0)).cast("long").as("dm"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum("dm").as("inertia_micro"))
+        .withColumn("avg_dist_micro", expr("inertia_micro div n_vecs"))
+        .orderBy("cluster")
+    }),
     // Product quantization (ops.ProductQuantizer): 64 floats -> 8 codes,
     // 32x compression for the corpus-scale similarity tiers. Fit on a
     // deterministic 1024-row sample (driver-side Lloyd's, the FAISS
@@ -599,9 +627,13 @@ object LlmOps {
   def oracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val fitted = semanticCentroids.asScala.values.toSeq
+    val kfitted = kmeansCentroids.asScala.values.toSeq
     staticOracles ++
       (if (fitted.size == 1) Map("q_dedup_semantic" ->
         graft.ops.SemanticDedup.oracleSql(fitted.head, SemanticThreshold))
+      else Map.empty) ++
+      (if (kfitted.size == 1) Map("q_embed_kmeans" ->
+        graft.ops.SemanticDedup.statsOracleSql(kfitted.head))
       else Map.empty) ++
       replayOracle(lshCandidates, "id_a", "id_b")
         .map("q_dedup_minhash_lsh" -> _) ++

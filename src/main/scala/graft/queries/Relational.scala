@@ -651,6 +651,29 @@ object Relational {
       graft.ops.Merge.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    // CDC by snapshot diff (ops.Cdc): recover the I/U/D changelog between
+    // two snapshot versions — the inverse of q_merge_upsert, and how an
+    // incremental pipeline is fed from a source that only ships full
+    // snapshots. v2 is derived deterministically from orders (delete every
+    // 13th key, update every 7th survivor, insert re-keyed every-97th), so
+    // the changelog the operator must recover is known to the oracle. One
+    // full-outer shuffle on the key; unchanged rows never leave the join.
+    "q_cdc_diff" -> ((s, dir) => {
+      val v1 = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val upd = col("o_orderkey") % 7 === 0
+      val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderstatus",
+          when(upd, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(upd, col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      graft.ops.Cdc.diff(v1, v2, Seq("o_orderkey"))
+        .orderBy("op", "o_orderkey")
+    }),
+
     // SCD Type 2: one batch of segment/balance changes applied onto a
     // versioned customer dimension (ops.Merge.scd2Apply). The update
     // snapshot exercises all four paths: changed attributes (key%10=0,
@@ -901,6 +924,31 @@ object Relational {
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
       iters = pagerankIters),
+    "q_cdc_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         v2 AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM v1 WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000000, 'N', o_totalprice
+           FROM v1 WHERE o_orderkey % 97 = 0),
+         d AS (
+           SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+                       WHEN v2.o_orderkey IS NULL THEN 'D'
+                       WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                         OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                         THEN 'U' END AS op,
+             COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             v1.o_orderstatus AS old_o_orderstatus,
+             v2.o_orderstatus AS new_o_orderstatus,
+             v1.o_totalprice AS old_o_totalprice,
+             v2.o_totalprice AS new_o_totalprice
+           FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+         SELECT * FROM d WHERE op IS NOT NULL ORDER BY op, o_orderkey""",
     "q_join_runtime_filter" ->
       """SELECT l_orderkey, round(sum(l_extendedprice), 2) AS rev,
            count(*) AS n_items

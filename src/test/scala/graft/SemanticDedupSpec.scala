@@ -118,4 +118,22 @@ class SemanticDedupSpec extends SparkSpec {
       assert(got(id) == want, s"vec $id: expr ${got(id)} vs argmin $want")
     }
   }
+
+  test("nearestCentroidDist carries the winning squared distance exactly") {
+    val cents = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val rows = Seq(10L -> Array(0.9f, 0.1f, 0f, 0f),
+      11L -> Array(0.1f, 0.9f, 0f, 0f))
+    val out = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        SemanticDedup.nearestCentroidDist(col("embedding"), cents).as("a"))
+      .select(col("vec_id"), col("a.d"), col("a.c"))
+      .orderBy("vec_id").as[(Long, Double, Int)].collect().toSeq
+    rows.zip(out).foreach { case ((id, emb), (gid, gd, gc)) =>
+      val dists = cents.map(c =>
+        emb.map(_.toDouble).zip(c).foldLeft(0.0) { case (s, (a, b)) =>
+          s + (a - b) * (a - b) })
+      assert(gid == id && gc == dists.indexOf(dists.min) && gd == dists.min,
+        s"vec $id: got ($gd, $gc), want (${dists.min}, ${dists.indexOf(dists.min)})")
+    }
+  }
 }
