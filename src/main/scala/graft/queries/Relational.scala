@@ -23,6 +23,28 @@ object Relational {
     * query keeps oracle and plan contract in lockstep. */
   private[graft] val pagerankIters = 5
 
+  /** The two snapshot versions q_cdc_diff recovers a changelog between and
+    * q_agg_incremental maintains an aggregate across — ONE derivation so
+    * the two queries (and both oracles, which embed the same rule) cannot
+    * drift: delete every 13th key, update every 7th survivor (status X,
+    * price + 10.0 exactly), insert every 97th re-keyed past the key
+    * space. */
+  private def cdcSnapshots(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val v1 = tbl(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val upd = col("o_orderkey") % 7 === 0
+    val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderstatus",
+        when(upd, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(upd, col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
+      .unionByName(v1.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    (v1, v2)
+  }
+
   /** Inputs + join/agg body of `q_join_bucketed`, shared with
     * `BucketProbe` so the probe's measured shuffle numbers stay the
     * numbers of THIS plan — a drifted manual copy would silently measure
@@ -659,19 +681,37 @@ object Relational {
     // the changelog the operator must recover is known to the oracle. One
     // full-outer shuffle on the key; unchanged rows never leave the join.
     "q_cdc_diff" -> ((s, dir) => {
-      val v1 = tbl(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val upd = col("o_orderkey") % 7 === 0
-      val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
-        .withColumn("o_orderstatus",
-          when(upd, lit("X")).otherwise(col("o_orderstatus")))
-        .withColumn("o_totalprice",
-          when(upd, col("o_totalprice") + 10.0).otherwise(col("o_totalprice")))
-        .unionByName(v1.filter(col("o_orderkey") % 97 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 100000000000L)
-          .withColumn("o_orderstatus", lit("N")))
+      val (v1, v2) = cdcSnapshots(s, dir)
       graft.ops.Cdc.diff(v1, v2, Seq("o_orderkey"))
         .orderBy("op", "o_orderkey")
+    }),
+
+    // Incremental aggregate-view maintenance (ops.IncrementalAgg): refresh
+    // the per-status count/sum WITHOUT rescanning the snapshot — base
+    // aggregate + the q_cdc_diff changelog only; a U row retracts from its
+    // old group and inserts into its new one, so group migrations (F→X)
+    // stay exact. Prices are quantized to cents (long) BEFORE any sum, so
+    // "incremental ≡ direct re-aggregation" is an exact identity — which
+    // is precisely what the oracle checks: its SQL is the DIRECT
+    // aggregation of v2, while Spark only ever touches v1's aggregate and
+    // the delta.
+    "q_agg_incremental" -> ((s, dir) => {
+      import graft.ops.{Cdc, IncrementalAgg}
+      val cents = (c: org.apache.spark.sql.Column) =>
+        floor(c * 100.0 + 0.5).cast("long")
+      val (v1, v2) = cdcSnapshots(s, dir)
+      def withCents(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("cents", cents(col("o_totalprice"))).drop("o_totalprice")
+      val (v1c, v2c) = (withCents(v1), withCents(v2))
+      val base = v1c.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      val delta = IncrementalAgg.deltaContributions(
+        Cdc.diff(v1c, v2c, Seq("o_orderkey")),
+        oldGroup = col("old_o_orderstatus"), newGroup = col("new_o_orderstatus"),
+        oldVal = col("old_cents"), newVal = col("new_cents"))
+      IncrementalAgg.refresh(base, delta, "o_orderstatus",
+          "n_orders", "sum_cents")
+        .orderBy("o_orderstatus")
     }),
 
     // SCD Type 2: one batch of segment/balance changes applied onto a
@@ -949,6 +989,25 @@ object Relational {
              v2.o_totalprice AS new_o_totalprice
            FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
          SELECT * FROM d WHERE op IS NOT NULL ORDER BY op, o_orderkey""",
+    // The strongest possible check of the incremental path: the oracle is
+    // the DIRECT aggregation of v2 — Spark only ever reads v1's aggregate
+    // plus the changelog, and must land on the identical longs.
+    "q_agg_incremental" ->
+      """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         v2 AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM v1 WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000000, 'N', o_totalprice
+           FROM v1 WHERE o_orderkey % 97 = 0)
+         SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM v2 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_join_runtime_filter" ->
       """SELECT l_orderkey, round(sum(l_extendedprice), 2) AS rev,
            count(*) AS n_items
