@@ -740,6 +740,42 @@ object Relational {
           batchTs = 1000L)
         .orderBy("c_custkey", "valid_from")
     }),
+    // Point-in-time (temporal) join against an SCD2-versioned dimension:
+    // each fact joins the dimension VERSION valid at the fact's own
+    // timestamp — the feature-store staple that keeps training data free
+    // of label leakage (joining today's customer balance onto a 1996
+    // order would leak the future into the features). The versioned dim
+    // is derived deterministically (every 10th customer gets three
+    // balance epochs split at 1997-01-01 / 1997-07-01; validity bounds
+    // are epoch-second longs, the q_merge_scd2 layout). Plan shape: an
+    // ordinary equi-join on the key with the validity range as a
+    // post-filter — versions per key are bounded (≤3 here, small in any
+    // real SCD2 dim), so the fanout is linear and no interval machinery
+    // is needed; the validity windows partition [0, EOT) exactly, so
+    // every fact matches exactly one version (asserted in
+    // CatalogContractSpec).
+    "q_join_temporal" -> ((s, dir) => {
+      val eot = 253402300799L
+      val (t1, t2) = (852076800L, 867715200L) // 1997-01-01, 1997-07-01 UTC
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+      val multi = col("c_custkey") % 10 === 0
+      val dim = c.select(col("c_custkey"), col("bal"), lit(0L).as("vf"),
+          when(multi, lit(t1)).otherwise(lit(eot)).as("vt"))
+        .unionByName(c.filter(multi).select(col("c_custkey"),
+          round(col("bal") + 100.0, 2).as("bal"), lit(t1).as("vf"), lit(t2).as("vt")))
+        .unionByName(c.filter(multi).select(col("c_custkey"),
+          round(col("bal") + 200.0, 2).as("bal"), lit(t2).as("vf"), lit(eot).as("vt")))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("ou"))
+      o.join(dim, col("o_custkey") === col("c_custkey") &&
+          col("vf") <= col("ou") && col("ou") < col("vt"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("bal").as("bal_at_order"), col("vf").as("version_from"))
+        .orderBy("o_orderkey")
+    }),
+
     // Point-in-interval range join via binning (ops.RangeJoin): ship dates
     // falling inside sampled 7-day order windows. A naive inequality join
     // plans as a nested loop; the binned plan is an ordinary equi-join.
@@ -1136,6 +1172,27 @@ object Relational {
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
            FROM orders) t
          WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+    "q_join_temporal" ->
+      """WITH c AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer),
+         dim AS (
+           SELECT c_custkey, bal, CAST(0 AS BIGINT) AS vf,
+             CAST(CASE WHEN c_custkey % 10 = 0 THEN 852076800
+                       ELSE 253402300799 END AS BIGINT) AS vt
+           FROM c
+           UNION ALL
+           SELECT c_custkey, round(bal + 100.0, 2),
+             CAST(852076800 AS BIGINT), CAST(867715200 AS BIGINT)
+           FROM c WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey, round(bal + 200.0, 2),
+             CAST(867715200 AS BIGINT), CAST(253402300799 AS BIGINT)
+           FROM c WHERE c_custkey % 10 = 0)
+         SELECT o_orderkey, o_custkey, bal AS bal_at_order,
+           vf AS version_from
+         FROM orders JOIN dim ON o_custkey = c_custkey
+           AND vf <= CAST(floor(epoch(o_orderdate)) AS BIGINT)
+           AND CAST(floor(epoch(o_orderdate)) AS BIGINT) < vt
+         ORDER BY o_orderkey""",
     "q_merge_scd2" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
                     FROM customer)

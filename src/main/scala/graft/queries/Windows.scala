@@ -69,6 +69,37 @@ object Windows {
         .withColumn("cume", round6(cume_dist().over(byBal)))
         .orderBy("c_nationkey", "c_custkey")
     }),
+    // Windowed anomaly detection: z-score of each hourly event count
+    // against its type's trailing 24 OBSERVED buckets (rows frame, not a
+    // time frame — identical semantics on both engines and no gap-filling
+    // dependency). The moment stats ride as EXACT integer window sums
+    // (Σn, Σn², k) — never stddev_samp(), whose Welford-vs-sum-of-squares
+    // float path differs between engines — and the z-score is one fixed
+    // association of double ops over those exact longs, micro-quantized.
+    // One window shuffle on event_type after a bucket-cardinality
+    // pre-aggregation: the corpus-scale event stream collapses to
+    // types×hours rows BEFORE the window.
+    "q_window_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("s", sum("n").over(w))
+        .withColumn("k", count("n").over(w))
+        .withColumn("q", sum(col("n") * col("n")).over(w))
+        .filter(col("k") === 24)
+        .withColumn("mean", col("s").cast("double") / col("k").cast("double"))
+        .withColumn("vr",
+          col("q").cast("double") / col("k").cast("double")
+            - col("mean") * col("mean"))
+        .filter(col("vr") > 0)
+        .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+          col("n"),
+          floor((col("n").cast("double") - col("mean")) / sqrt(col("vr"))
+            * 1000000.0).cast("long").as("z_micro"))
+        .orderBy("event_type", "hour_us")
+    }),
     "q_window_ntile_share" -> ((s, dir) => {
       val byPrice = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -83,6 +114,26 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                           count(*) AS n
+                         FROM events GROUP BY 1, 2),
+         win AS (SELECT event_type, h, n,
+                   sum(n) OVER w AS s, count(n) OVER w AS k,
+                   sum(n * n) OVER w AS q
+                 FROM hourly
+                 WINDOW w AS (PARTITION BY event_type ORDER BY h
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         st AS (SELECT event_type, h, n,
+                  CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+                  CAST(q AS DOUBLE) / CAST(k AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) AS vr
+                FROM win WHERE k = 24)
+         SELECT event_type, epoch_us(h) AS hour_us, n,
+           CAST(floor((CAST(n AS DOUBLE) - mean) / sqrt(vr) * 1000000.0)
+             AS BIGINT) AS z_micro
+         FROM st WHERE vr > 0 ORDER BY event_type, hour_us""",
     "q_window_rank" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn, rnk, drnk FROM (
            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -32,6 +32,16 @@ class CatalogContractSpec extends SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.001"
 
+  test("q_join_temporal: validity windows partition time — every order matches exactly once") {
+    // the point-in-time join's correctness contract: no order is dropped
+    // (a validity gap) or duplicated (overlapping versions)
+    val out = SparkEntry.queries("q_join_temporal")(spark, sf001)
+    val orders = queries.tbl(spark, sf001, "orders")
+    assert(out.count() == orders.count(), "one dim version per fact, always")
+    assert(out.groupBy("o_orderkey").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
+  }
+
   test("rows-only invariant: HLL approx distinct within 3x rsd of exact") {
     val exact = SparkEntry.queries("q_agg_distinct")(spark, sf001)
       .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
