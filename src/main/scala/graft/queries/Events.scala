@@ -87,6 +87,36 @@ object Events {
           unix_micros(col("p_ts")).as("purchase_us"))
         .orderBy("user_id")
     }),
+    // Cohort retention matrix: users grouped by their signup week, each
+    // cohort's active-user count per week offset, plus retention ppm
+    // against cohort size (integer: n*1e6 div size — no float share).
+    // Scale shape: the only corpus-wide stages are one user_id join
+    // (cohort table is user-dim-sized, broadcastable for most corpora)
+    // and one distinct over (user, cohort, week) — the matrix itself is
+    // cohorts×offsets, trivially small. Weeks are date_trunc('week'),
+    // Monday-start in both engines; the offset is exact integer division
+    // of epoch seconds (aligned truncation makes it divide evenly).
+    "q_events_retention" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cw"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+        .join(broadcast(cohort), "user_id")
+        .filter(col("aw") >= col("cw"))
+        .select("user_id", "cw", "aw").distinct()
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+      active
+        .withColumn("week_offset",
+          expr("(unix_timestamp(aw) - unix_timestamp(cw)) div 604800"))
+        .groupBy("cw", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cw")
+        .select(unix_micros(col("cw")).as("cohort_us"), col("week_offset"),
+          col("n_active"),
+          expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+        .orderBy("cohort_us", "week_offset")
+    }),
     "q_from_json" -> ((s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
       // Filtering on the from_json alias would push the (CodegenFallback)
@@ -160,6 +190,25 @@ object Events {
            FROM x)
          SELECT user_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_events
          FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+    "q_events_retention" ->
+      """WITH cohort AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         active AS (
+           SELECT DISTINCT e.user_id, c.cw, date_trunc('week', e.ts) AS aw
+           FROM events e JOIN cohort c USING (user_id)
+           WHERE date_trunc('week', e.ts) >= c.cw),
+         sizes AS (SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY cw),
+         m AS (
+           SELECT cw,
+             (CAST(floor(epoch(aw)) AS BIGINT)
+               - CAST(floor(epoch(cw)) AS BIGINT)) // 604800 AS week_offset,
+             count(*) AS n_active
+           FROM active GROUP BY 1, 2)
+         SELECT epoch_us(m.cw) AS cohort_us, week_offset, n_active,
+           n_active * 1000000 // cohort_size AS retention_ppm
+         FROM m JOIN sizes ON m.cw = sizes.cw
+         ORDER BY cohort_us, week_offset""",
     // The funnel's sequential dependency as three chained aggregates; the
     // stage predicates (strict >, 72h cap) mirror the window formulation.
     "q_window_funnel" ->

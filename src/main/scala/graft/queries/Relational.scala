@@ -740,6 +740,35 @@ object Relational {
           batchTs = 1000L)
         .orderBy("c_custkey", "valid_from")
     }),
+    // Dynamic partition pruning (ops.Dpp): the fact table lives
+    // hive-partitioned by ship month; a dim side filtered to one quarter
+    // joins on the partition column, and Catalyst turns the dim's
+    // broadcast join keys into a RUNTIME partition filter on the fact
+    // scan — 3 month-directories read out of ~80, the rest never opened.
+    // This is the directory-level complement to q_join_runtime_filter's
+    // row-level bloom: at 100 TB, partition pruning is the first and
+    // biggest scan-reduction lever. Result is layout-invariant, so the
+    // oracle is the plain derived-month join SQL; the dynamicpruning
+    // scan filter is pinned in PlanContractSpec.
+    "q_join_dpp" -> ((s, dir) => {
+      val monthOf = (c: org.apache.spark.sql.Column) =>
+        (year(c) * 100 + month(c)).cast("int")
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("ship_month", monthOf(col("l_shipdate")))
+      val fact = s.read.parquet(
+        graft.ops.Dpp.ensurePartitioned(dir, li, "ship_month"))
+      val dim = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(monthOf(col("o_orderdate")).as("ship_month"))
+        .distinct()
+      fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("ship_month")
+    }),
+
     // Point-in-time (temporal) join against an SCD2-versioned dimension:
     // each fact joins the dimension VERSION valid at the fact's own
     // timestamp — the feature-store staple that keeps training data free
@@ -1172,6 +1201,19 @@ object Relational {
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
            FROM orders) t
          WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+    "q_join_dpp" ->
+      """WITH m AS (SELECT DISTINCT
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS ship_month
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1997-04-01')
+         SELECT ship_month, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM (SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+                 AS ship_month, l_quantity FROM lineitem) l
+         JOIN m USING (ship_month)
+         GROUP BY ship_month ORDER BY ship_month""",
     "q_join_temporal" ->
       """WITH c AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer),
          dim AS (

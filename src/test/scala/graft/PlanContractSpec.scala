@@ -426,6 +426,21 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("q_join_dpp: fact scan carries a dynamic partition-pruning filter") {
+    // the point of the layout: the dim's broadcast join keys must reach
+    // the fact scan as a runtime PartitionFilter — without it the query
+    // silently reads all ~80 month directories instead of 3
+    val p = plan("q_join_dpp")
+    val scans = collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+    val fact = scans.filter(_.relation.location.rootPaths.exists(
+      _.toString.contains("graft_dpp_")))
+    assert(fact.nonEmpty, s"expected a scan over the partitioned layout:\n$p")
+    assert(fact.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamicpruning partition filter on the fact scan:\n" +
+        fact.map(_.partitionFilters).mkString("\n"))
+  }
+
   test("q_graph_triangles: top-k backbone is heap-pruned pre-shuffle") {
     // the backbone must descend from TopK's bounded-heap mapPartitions —
     // a node with millions of co-occurrence partners ships k rows, not
