@@ -136,6 +136,40 @@ object Events {
     // same way, not reversible without the salt), and every digit run in
     // the free-form props blob is masked. Map-only, codegen'd, zero
     // shuffle: scrubbing 100 TB is exactly one pass over the bytes.
+    // Spark 4 Variant: the SCHEMALESS semi-structured path — parse the
+    // JSON once into the binary Variant encoding, then typed path
+    // extraction (variant_get), no StructType declared anywhere. The
+    // complement to q_from_json's schema-full parse: at 100 TB you parse
+    // heterogeneous event payloads once at ingest, store the variant
+    // column, and every downstream query does cheap typed gets instead of
+    // re-parsing text. try_variant_get returns NULL (not an error) on a
+    // type/path miss — the tolerant read production payloads need.
+    "q_json_variant" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("v"))
+        .select(col("event_id"), col("event_type"),
+          try_variant_get(col("v"), "$.k", "int").as("k_typed"),
+          try_variant_get(col("v"), "$.missing", "string").as("absent"))
+        .filter(col("k_typed") % 10 === 0)
+        .orderBy("event_id")),
+    // HLL sketch TILES — the mergeable pre-aggregation pattern: distinct
+    // users sketched once per (day, type) tile, then any rollup (here:
+    // per type across all days) MERGES tiles instead of rescanning raw
+    // events. This is how distinct counts stay re-aggregatable in a
+    // 100 TB cube: the raw stream is touched once; every slice of the
+    // cube is a union of kilobyte sketches. Rows-only (sketch estimates
+    // aren't SQL-expressible); the estimate-vs-exact error bound is
+    // pinned in CatalogContractSpec.
+    "q_agg_sketch_tiles" -> ((s, dir) => {
+      val tiles = tbl(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      tiles.groupBy("event_type")
+        .agg(count(lit(1)).as("n_tiles"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy("event_type")
+    }),
     "q_pii_pseudonymize" -> ((s, dir) =>
       tbl(s, dir, "events")
         .select(col("event_id"),
@@ -239,6 +273,15 @@ object Events {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed, event_type
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+         ORDER BY event_id""",
+    // The variant path replayed as plain JSON extraction: typed get of an
+    // int key, NULL for the missing path.
+    "q_json_variant" ->
+      """SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+           CAST(NULL AS VARCHAR) AS absent
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
          ORDER BY event_id""",
     "q_pii_pseudonymize" ->
       """SELECT event_id,

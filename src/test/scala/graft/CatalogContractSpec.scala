@@ -42,6 +42,22 @@ class CatalogContractSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
   }
 
+  test("rows-only invariant: merged sketch tiles estimate within 5% of exact distinct") {
+    // tile-union must estimate the same cardinality a raw-stream count
+    // gets: lgConfigK=14 => rsd ~0.8%, assert a loose 5%
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_agg_sketch_tiles")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = queries.tbl(spark, sf001, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (t, est) =>
+      assert(math.abs(est - exact(t)) <= math.max(1L, exact(t) / 20),
+        s"$t: est $est vs exact ${exact(t)}")
+    }
+  }
+
   test("rows-only invariant: HLL approx distinct within 3x rsd of exact") {
     val exact = SparkEntry.queries("q_agg_distinct")(spark, sf001)
       .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
