@@ -1081,10 +1081,17 @@ object Relational {
          GROUP BY l_orderkey ORDER BY l_orderkey""",
     // The backbone + orientation replayed relationally: row_number is the
     // same (w DESC, p ASC) total order as TopK.perGroup; (deg, id) row
-    // comparisons mirror Spark's struct comparisons exactly.
+    // comparisons mirror Spark's struct comparisons exactly. The staged
+    // CTEs are MATERIALIZED to pin the wedge-first join order: left to
+    // its own devices at sf1, DuckDB inlined `o` three times and picked a
+    // join order whose intermediate (a.v = c.u with no other condition —
+    // hub in-degree × hub out-degree) spilled past the disk; wedges are
+    // O(m^1.5)-bounded and tiny, so forcing wedges-then-close is both
+    // the algorithm's intent and the safe plan.
     "q_graph_triangles" ->
       """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-         pairs AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
+         pairs AS MATERIALIZED (
+                   SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
                    FROM ls a JOIN ls b USING (l_orderkey)
                    WHERE a.l_suppkey < b.l_suppkey GROUP BY 1, 2),
          dirx AS (SELECT src AS v, dst AS p, w FROM pairs
@@ -1093,19 +1100,26 @@ object Relational {
                     SELECT v, p, row_number() OVER
                       (PARTITION BY v ORDER BY w DESC, p ASC) AS rk FROM dirx)
                   WHERE rk <= 5),
-         edges AS (SELECT DISTINCT least(v, p) AS src, greatest(v, p) AS dst
+         edges AS MATERIALIZED (
+                   SELECT DISTINCT least(v, p) AS src, greatest(v, p) AS dst
                    FROM topk),
-         deg AS (SELECT v, count(*) AS d FROM
+         deg AS MATERIALIZED (
+                 SELECT v, count(*) AS d FROM
                    (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
                  GROUP BY v),
-         o AS (SELECT
+         o AS MATERIALIZED (
+               SELECT
                  CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.src ELSE e.dst END AS u,
                  CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.dst ELSE e.src END AS v,
                  CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN dd.d ELSE ds.d END AS dv
                FROM edges e JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst),
-         tri AS (SELECT a.u, a.v AS x, b.v AS y
-                 FROM o a JOIN o b ON a.u = b.u AND (a.dv, a.v) < (b.dv, b.v)
-                 JOIN o c ON c.u = a.v AND c.v = b.v)
+         wedges AS MATERIALIZED (
+                   SELECT a.u, a.v AS x, a.dv AS dx, b.v AS y, b.dv AS dy
+                   FROM o a JOIN o b ON a.u = b.u
+                   WHERE (a.dv, a.v) < (b.dv, b.v)),
+         tri AS MATERIALIZED (
+                 SELECT w.u, w.x, w.y
+                 FROM wedges w JOIN o c ON c.u = w.x AND c.v = w.y)
          SELECT node, count(*) AS n_triangles FROM (
            SELECT u AS node FROM tri
            UNION ALL SELECT x FROM tri
