@@ -352,8 +352,29 @@ object TextQueries {
           floor(sum(col("c") * col("q")).cast("double") / max("n") + 0.5d)
             .cast("long").as("entropy_micro"))
         .orderBy("doc_id")
+    }),
+    // Exact corpus heavy hitters (stopword/boilerplate token discovery):
+    // Misra-Gries candidate pass (bounded k counters per partition, one
+    // narrow scan) + broadcast verify pass with exact counts — the
+    // vocabulary never becomes the shuffle key set, so the plan holds
+    // when the token stream is 10^12 rows with 10^8 distinct tokens.
+    // Output = every token strictly above a 1/(k+1) frequency fraction,
+    // exact and k-independent, so the oracle is the naive GROUP BY /
+    // HAVING SQL the sketch replaces. graft.ops.HeavyHitters.
+    "q_text_heavy_hitters" -> ((s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      graft.ops.HeavyHitters.exact(words, "word", HeavyHitterK)
+        .select(col("item").as("word"), col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
     })
   )
+
+  /** q_text_heavy_hitters' counter budget — threshold φ = 1/(k+1) of all
+    * running tokens. Interpolated into the oracle SQL so the threshold
+    * cannot drift between engines. */
+  private[queries] val HeavyHitterK = 48
 
   /** q_bpe_train's round count — interpolated into the oracle generator
     * (Bpe.oracleSql) so the query and its replay stay in lockstep. */
@@ -631,6 +652,17 @@ object TextQueries {
            count(*) AS n_distinct_chars,
            CAST(floor(CAST(sum(c * q) AS DOUBLE) / max(n) + 0.5) AS BIGINT)
              AS entropy_micro
-         FROM q GROUP BY doc_id ORDER BY doc_id"""
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
+    // The sketch's output is exact, so the oracle is the naive plan the
+    // sketch replaces at scale: full GROUP BY then the 1/(k+1) HAVING.
+    "q_text_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+             FROM documents),
+         w2 AS (SELECT word FROM w WHERE length(word) >= 1),
+         t AS (SELECT count(*) AS n FROM w2),
+         c AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word)
+         SELECT word, cnt FROM c, t
+         WHERE cnt * ${HeavyHitterK + 1} > n
+         ORDER BY cnt DESC, word"""
   )
 }
