@@ -40,4 +40,37 @@ object Sampling {
     }
     df.filter(hashUnit(col(idCol), salt) < f)
   }
+
+  /** Exact-size-k weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row gets priority -ln(u)/w for a uniform
+    * u, and the k smallest priorities win — inclusion probability
+    * proportional to weight, in one pass. The Bernoulli samplers above
+    * cannot hit a fixed budget ("exactly k docs / this many tokens");
+    * this is the fixed-budget primitive.
+    *
+    * Derandomized u: the 16-bit md5 prefix mapped to (0,1] as
+    * (h+1)/65537 — never 0, so -ln(u) is finite — making the sample a
+    * pure function of (id, salt): stable across runs, engines, and
+    * partitionings, and therefore DuckDB-oracleable (same md5/ln/floor
+    * pipeline in SQL) where an RNG reservoir is not. -ln(u) is quantized
+    * to integer micro-nats BEFORE the weight division (the catalog's
+    * standard ln idiom); the priority compared across engines is then
+    * micro-nats/w — one IEEE division of exact integers, bit-identical
+    * everywhere. Ties (same 16-bit hash and weight) break on id.
+    *
+    * Scale shape: `orderBy(priority).limit(k)` plans as
+    * TakeOrderedAndProject — a bounded k-row heap per partition and one
+    * k·partitions merge, NO shuffle and no full sort (plan-pinned in
+    * ReservoirSampleSpec). The corpus is read once, map-side. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int, salt: String = "graft-es"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 4), 16, 10).cast("int")
+    val qMicro = floor(-log((h + 1) / 65537.0) * 1e6 + 0.5d).cast("long")
+    df.withColumn("priority",
+        qMicro.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

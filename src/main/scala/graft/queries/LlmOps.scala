@@ -373,6 +373,21 @@ object LlmOps {
           fractions = Map(0 -> 0.75, 1 -> 0.25), defaultFraction = 0.5)
         .groupBy("label").agg(count(lit(1)).as("n_sampled"))
         .orderBy("label")),
+    // Exact-size-k weighted sample without replacement (Efraimidis-
+    // Spirakis priorities over a derandomized uniform) — the FIXED-BUDGET
+    // sampler the Bernoulli family above cannot express ("exactly 200
+    // docs, longer docs proportionally likelier"). Selection runs on the
+    // RAW priority (micro-nat(-ln u) / weight, exact-integer IEEE
+    // division) and plans as TakeOrderedAndProject: bounded k-row heap
+    // per partition, no shuffle, corpus read once (plan-pinned in
+    // ReservoirSampleSpec); the output column is round6-stabilized.
+    "q_sample_reservoir" -> ((s, dir) =>
+      graft.ops.Sampling.weightedReservoir(
+          tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", k = 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round6(col("priority")).as("priority"))
+        .orderBy("priority", "doc_id")),
     // Benchmark-contamination sweep: which training docs share token
     // 5-grams with an eval doc? Codegen'd shingle hashes + a broadcast
     // benchmark-shingle index — linear in shingle volume, never doc-pairs,
@@ -908,6 +923,21 @@ object LlmOps {
          SELECT e.label, count(*) AS n_kept, max(q.cnt) AS label_size
          FROM embeddings e JOIN q USING (label)
          WHERE (e.vec_id * 2654435761) % 1000000 < q.ppm
-         GROUP BY e.label ORDER BY e.label"""
+         GROUP BY e.label ORDER BY e.label""",
+    // Replays the A-ES selection exactly: same md5-prefix uniform,
+    // micro-nat ln quantization, exact-integer division, and (raw
+    // priority, id) order before the LIMIT; rounding happens after.
+    "q_sample_reservoir" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+             CAST(floor(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                 || ':graft-es'), 1, 4) AS INT) + 1) / 65537.0) * 1e6 + 0.5)
+               AS BIGINT) AS q
+           FROM documents),
+         p AS (SELECT doc_id, lang, n_chars,
+             CAST(q AS DOUBLE) / n_chars AS pr FROM s),
+         sel AS (SELECT * FROM p ORDER BY pr, doc_id LIMIT 200)
+         SELECT doc_id, lang, n_chars,
+           floor(pr * 1000000 + 0.5) / 1000000 AS priority
+         FROM sel ORDER BY priority, doc_id"""
   )
 }
