@@ -388,6 +388,17 @@ object LlmOps {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round6(col("priority")).as("priority"))
         .orderBy("priority", "doc_id")),
+    // Contiguous 0-based example ids + round-robin shard assignment —
+    // the training-shard numbering primitive. NOT row_number over an
+    // unpartitioned window (single-task at scale): ops.GlobalIndex runs
+    // the two-job zipWithIndex contract (range shuffle once, bounded
+    // per-partition counts, narrow offset map); GlobalIndexSpec pins
+    // the no-global-window plan and partitioning-independence.
+    "q_global_index" -> ((s, dir) =>
+      graft.ops.GlobalIndex.withGlobalIndex(
+          tbl(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .withColumn("shard", col("global_idx") % 16)
+        .orderBy("doc_id")),
     // Benchmark-contamination sweep: which training docs share token
     // 5-grams with an eval doc? Codegen'd shingle hashes + a broadcast
     // benchmark-shingle index — linear in shingle volume, never doc-pairs,
@@ -938,6 +949,11 @@ object LlmOps {
          sel AS (SELECT * FROM p ORDER BY pr, doc_id LIMIT 200)
          SELECT doc_id, lang, n_chars,
            floor(pr * 1000000 + 0.5) / 1000000 AS priority
-         FROM sel ORDER BY priority, doc_id"""
+         FROM sel ORDER BY priority, doc_id""",
+    "q_global_index" ->
+      """SELECT doc_id, lang,
+           row_number() OVER (ORDER BY doc_id) - 1 AS global_idx,
+           (row_number() OVER (ORDER BY doc_id) - 1) % 16 AS shard
+         FROM documents ORDER BY doc_id"""
   )
 }
