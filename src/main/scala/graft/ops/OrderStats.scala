@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed order statistics (median / arbitrary quantiles) over
+  * an integral column WITHOUT a global sort — iterative histogram
+  * bisection (the classic distributed selection algorithm; see e.g.
+  * Blum et al. selection lower bounds and the BigQuery/Hive
+  * `APPROX_QUANTILES`-vs-exact tradeoff this op removes).
+  *
+  * Why this exists: the naive exact plan (`ORDER BY` + offset, or
+  * `row_number` over an unpartitioned window) is a full shuffle of the
+  * corpus onto a single total order — the one plan shape that cannot
+  * survive 100 TB (`GlobalIndex`'s scaladoc makes the same argument).
+  * `percentile_approx` survives but is approximate. Histogram bisection
+  * is both: each round is ONE map-side-combined aggregation of at most
+  * `brackets x bins` counter cells (never a row-bearing shuffle), the
+  * driver keeps `O(stats x bins)` counters, and the value bracket per
+  * statistic shrinks by ~`bins` per round — so a 64-bit value domain
+  * resolves in <=6 rounds of plain scans, and a cents-quantized price
+  * domain (~1e7) in 2. The scan itself is narrow: no sort, no exchange,
+  * no per-key state; AQE has nothing to fix.
+  *
+  * Exactness contract: ranks are 0-based positions in the sorted multiset
+  * (`rank = (n-1)*num/den` in integer math for quantile q = num/den — the
+  * discrete lower quantile, which the DuckDB oracle replays as
+  * `row_number() - 1 = (cnt-1)*num//den`). All arithmetic is long-integer;
+  * bin indexing uses integral `div`, so engines cannot diverge on
+  * floating-point bin edges.
+  *
+  * Driver state is bounded by construction: the per-round collect is the
+  * aggregated histogram (<= brackets*bins rows, brackets <= #stats), the
+  * same bounded-collect class as `Bpe.train`'s 1-row argmax and
+  * `ProductQuantizer`'s 1024-row sample — control flow, never data flow.
+  */
+object OrderStats {
+
+  /** One requested statistic: output label + quantile as an exact
+    * rational num/den (0 <= num/den <= 1). */
+  final case class Quantile(stat: String, num: Long, den: Long) {
+    require(den > 0 && num >= 0 && num <= den, s"quantile $num/$den not in [0,1]")
+  }
+
+  /** Exact discrete quantiles of `valueCol` (cast to long; nulls ignored).
+    * Returns (stat STRING, value BIGINT), one row per requested quantile.
+    *
+    * Per round the open brackets are pairwise DISJOINT — each is one bin
+    * of the previous round's partition of disjoint brackets (round 0 has
+    * the single bracket [min, max]) — so a row belongs to at most one
+    * bracket and the histogram is a single `groupBy(bracket, bin)` with a
+    * when-chain bracket test, map-side combined down to counter cells. */
+  def quantilesDisc(df: DataFrame, valueCol: String, qs: Seq[Quantile],
+                    bins: Int = 4096, maxRounds: Int = 16): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    require(qs.nonEmpty && qs.map(_.stat).distinct.size == qs.size,
+      "quantile labels must be non-empty and distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val b0 = v.agg(min("v"), max("v"), count(lit(1))).head()
+    val n = b0.getLong(2)
+    require(n > 0, s"quantilesDisc: no non-null rows in $valueCol")
+    // 0-based target rank in the sorted multiset, exact integer math
+    def rankOf(q: Quantile): Long = (n - 1) * q.num / q.den
+
+    // open bracket per stat: value in [lo, hi] (inclusive), `rank`-th
+    // smallest within the bracket still to find
+    final case class Br(lo: Long, hi: Long, rank: Long)
+    var open: Map[String, Br] =
+      qs.map(q => q.stat -> Br(b0.getLong(0), b0.getLong(1), rankOf(q))).toMap
+    var resolved = Map.empty[String, Long]
+    var round = 0
+    while (open.nonEmpty) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"quantilesDisc did not converge in $maxRounds rounds: $open")
+      val (done, rest) = open.partition { case (_, br) => br.lo == br.hi }
+      resolved ++= done.map { case (s2, br) => s2 -> br.lo }
+      open = rest
+      if (open.nonEmpty) {
+        // distinct open brackets (disjoint by the induction above), each
+        // with its ceil-div bin width so bins exactly cover the span
+        val brackets = open.values.map(br => (br.lo, br.hi)).toSeq.distinct
+        val spans = brackets.map { case (lo, hi) =>
+          // ceil((hi-lo+1)/bins) as span/bins + 1 — overflow-free given a
+          // representable span; a full-64-bit mixed-sign domain is refused
+          // loudly (shift/scale such domains before selecting)
+          val span =
+            try Math.subtractExact(hi, lo)
+            catch { case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"value span [$lo, $hi] exceeds 2^63-1; rescale the domain")
+            }
+          (lo, hi, span / bins + 1)
+        }
+        val coarseLo = spans.map(_._1).min
+        val coarseHi = spans.map(_._2).max
+        // bracket id + integral bin in one when-chain (<= #stats branches)
+        val init: (Column, Column) = (lit(-1), lit(-1L))
+        val (bidCol, binCol) = spans.zipWithIndex.foldLeft(init) {
+          case ((bidAcc, binAcc), ((lo, hi, w), i)) =>
+            val in = col("v") >= lo && col("v") <= hi
+            (when(in, lit(i)).otherwise(bidAcc),
+             when(in, expr(s"(v - (${lo}L)) div ${w}L")).otherwise(binAcc))
+        }
+        // parquet-pushable coarse range filter, then counter-cell agg
+        val hist = v.where(col("v") >= coarseLo && col("v") <= coarseHi)
+          .select(bidCol.as("bid"), binCol.as("bin"))
+          .where(col("bid") >= 0)
+          .groupBy("bid", "bin").agg(count(lit(1)).as("c"))
+          .collect() // <= brackets*bins counter rows — bounded driver state
+          .groupBy(_.getInt(0))
+          .map { case (bid, rows) =>
+            bid -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1).toSeq
+          }
+        open = open.map { case (s2, br) =>
+          val bi = spans.indexWhere(sp => sp._1 == br.lo && sp._2 == br.hi)
+          val (lo, hi, w) = spans(bi)
+          var remaining = br.rank
+          var found: Br = null
+          for ((bin, c) <- hist.getOrElse(bi, Seq.empty) if found == null) {
+            if (remaining < c)
+              found = Br(lo + bin * w, math.min(hi, lo + (bin + 1) * w - 1),
+                remaining)
+            else remaining -= c
+          }
+          require(found != null,
+            s"rank ${br.rank} exceeds bracket population for $s2 — " +
+              "bracket bookkeeping bug")
+          s2 -> found
+        }
+      }
+    }
+    resolved.toSeq.toDF("stat", "value").orderBy("stat")
+  }
+}

@@ -187,6 +187,28 @@ object Relational {
           round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
         .orderBy("o_orderpriority")
     }),
+    // EXACT corpus-wide order statistics WITHOUT a global sort
+    // (ops.OrderStats): iterative histogram bisection over the
+    // cents-quantized price domain. q_agg_percentiles above computes
+    // per-group percentiles by sorting WITHIN bounded groups; this is the
+    // complementary regime — ONE statistic over ALL rows, where the naive
+    // exact plans (global ORDER BY + offset, or row_number over an
+    // unpartitioned window) funnel the corpus through one total order and
+    // percentile_approx gives up exactness. Each round is one
+    // map-side-combined counter aggregation (never a row-bearing
+    // shuffle); a ~1e7-wide cents domain resolves in 2 rounds. The ranks
+    // are the discrete lower quantiles rank = (n-1)*num/den in integer
+    // math; the oracle replays them positionally via row_number()-1.
+    "q_agg_exact_quantiles" -> ((s, dir) => {
+      import graft.ops.OrderStats.{Quantile, quantilesDisc}
+      val cents = tbl(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+          .as("cents"))
+      quantilesDisc(cents, "cents",
+        Seq(Quantile("p25", 1, 4), Quantile("p50", 1, 2),
+          Quantile("p75", 3, 4), Quantile("p99", 99, 100)))
+        .withColumnRenamed("value", "value_cents")
+    }),
     // Pivot: one output column per l_linestatus value (conditional agg).
     "q_agg_pivot" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -448,6 +470,101 @@ object Relational {
         .orderBy("node")
     }),
 
+    // Market-basket association rules (Agrawal-Srikant Apriori, VLDB'94,
+    // restricted to the 2-itemset tier a relational engine expresses
+    // natively): brand pairs co-ordered in >= 2% of baskets, with
+    // confidence and lift. The scale shape: marginals are a
+    // domain-bounded aggregate (25 brands — broadcast everywhere), and
+    // the pair stream explodes map-side from per-basket brand-set arrays
+    // (k items/basket -> k^2/2 bounded combinations, never a row-bearing
+    // self-join). Support anti-monotonicity (supp_ab <= min(supp_a,
+    // supp_b)) means the frequent-member conditions prune nothing beyond
+    // pair-minsup — they are kept as documentation, and as the hook
+    // where the Apriori prefilter attaches for unbounded item domains.
+    // Thresholds are exact integer cross-multiplications
+    // (supp*100 >= n*2); confidence/lift are ppm-quantized with
+    // floor-composed integer division, replayed step-for-step by the
+    // oracle so neither engine touches a float.
+    "q_basket_rules" -> ((s, dir) => {
+      // ONE corpus-scale shuffle: collapse each basket to its sorted
+      // brand SET (collect_set dedupes, so no distinct() pre-shuffle;
+      // per-key state is domain-bounded — 25 brands). Everything
+      // downstream — basket count, marginals, and the pair table — is
+      // derived from this one exchange (ReuseExchange; the lineitem scan
+      // runs once): pairs explode MAP-SIDE from the sorted array (the
+      // basket array IS the self-join, k^2/2 bounded combinations per
+      // basket, no row-bearing join), and marginals re-aggregate the
+      // exploded sets at vocab size. For unbounded item domains the
+      // Apriori prefilter returns as an array_intersect against the
+      // broadcast frequent-item set before the pair explode; with a
+      // bounded brand domain the vocab^2 pair table already is the
+      // pruned size, so the filter runs there.
+      val baskets = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      // ONE vocab-sized aggregation carries the marginals AND the basket
+      // count: each basket emits a sentinel "" alongside its brands, so
+      // the sentinel's support IS n_baskets (brands are never empty
+      // strings). A separate baskets.count() branch would let Catalyst
+      // prune collect_set out of it and re-scan the fact table
+      // column-pruned — the sentinel keeps every tier on the one basket
+      // exchange.
+      val tallies = baskets
+        .select(explode(concat(array(lit("")), col("brands"))).as("p_brand"))
+        .groupBy("p_brand").agg(count(lit(1)).as("supp"))
+      val nb = tallies.filter(col("p_brand") === "")
+        .select(col("supp").as("n_baskets"))
+      val freq = tallies.filter(col("p_brand") =!= "")
+        .crossJoin(broadcast(nb))
+        .filter(col("supp") * 100 >= col("n_baskets") * 2)
+        .select("p_brand", "supp")
+      val pairs = baskets
+        .select(explode(flatten(transform(col("brands"), (x, i) =>
+          transform(slice(col("brands"), i + 2, size(col("brands"))),
+            y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
+        .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+        .agg(count(lit(1)).as("supp_ab"))
+      pairs.crossJoin(broadcast(nb))
+        .filter(col("supp_ab") * 100 >= col("n_baskets") * 2)
+        .join(broadcast(freq.select(col("p_brand").as("brand_a"),
+          col("supp").as("supp_a"))), "brand_a")
+        .join(broadcast(freq.select(col("p_brand").as("brand_b"),
+          col("supp").as("supp_b"))), "brand_b")
+        .select(col("brand_a"), col("brand_b"), col("supp_a"), col("supp_b"),
+          col("supp_ab"),
+          expr("supp_ab * 1000000 div supp_a").as("conf_ab_ppm"),
+          expr("supp_ab * 1000000 div supp_b").as("conf_ba_ppm"),
+          expr("(supp_ab * 1000000 div supp_a) * n_baskets div supp_b")
+            .as("lift_ppm"))
+        .orderBy("brand_a", "brand_b")
+    }),
+    // Connected components over the part co-purchase graph
+    // (ops.Components — the same pointer-jumping RDD loop the dedup
+    // cluster step uses, here surfaced as a first-class graph query):
+    // parts are linked when >= 2 distinct orders contain both, and each
+    // node gets the minimum part id reachable from it. The edge build is
+    // the bounded per-basket pair explode (q_basket_rules' shape); the
+    // loop shuffles only vertex-sized label tables per round against a
+    // once-partitioned edge list, converging in O(log diameter) rounds.
+    // Fully oracled: DuckDB replays min-label reachability as a recursive
+    // CTE (UNION-deduped label propagation to the fixed point) — feasible
+    // at verification scale, which is exactly the regime where the
+    // quadratic reach table still fits; the Spark side is the shape that
+    // survives when it does not.
+    "q_graph_components" -> ((s, dir) => {
+      val ds = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = ds.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = ds.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+        .groupBy(col("pa").as("src"), col("pb").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      graft.ops.Components.connectedComponents(edges, "src", "dst")
+        .orderBy("id")
+    }),
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
     // one pathologically hot key spreads over SALT shuffle partitions.
@@ -963,6 +1080,19 @@ object Relational {
          round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
          round(quantile_cont(o_totalprice, 0.75), 4) AS p75
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Positional replay of the discrete-lower-quantile rank formula:
+    // rank = (n-1)*num//den, 0-based over the sorted cents multiset.
+    "q_agg_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+                    FROM lineitem),
+         n AS (SELECT count(*) AS cnt FROM v),
+         o AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS rn FROM v)
+         SELECT s.stat, o.c AS value_cents
+         FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+                      ('p99', 99, 100)) s(stat, num, den)
+         CROSS JOIN n
+         JOIN o ON o.rn = (n.cnt - 1) * s.num // s.den
+         ORDER BY stat""",
     "q_agg_pivot" ->
       """SELECT l_returnflag,
          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
@@ -1020,6 +1150,50 @@ object Relational {
            AND EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // The frequent-item prefilter is omitted (anti-monotone no-op — see
+    // the query comment); thresholds and the ppm quantizations replay the
+    // Spark integer arithmetic exactly (// = div, floor-composed lift).
+    "q_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, p_brand
+                        FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+         freq AS (SELECT p_brand, count(*) AS supp FROM items GROUP BY p_brand),
+         pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                          count(*) AS supp_ab
+                   FROM items a JOIN items b
+                     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+                   GROUP BY 1, 2)
+         SELECT brand_a, brand_b, fa.supp AS supp_a, fb.supp AS supp_b,
+           supp_ab,
+           supp_ab * 1000000 // fa.supp AS conf_ab_ppm,
+           supp_ab * 1000000 // fb.supp AS conf_ba_ppm,
+           (supp_ab * 1000000 // fa.supp) * n_baskets // fb.supp AS lift_ppm
+         FROM pairs
+         CROSS JOIN nb
+         JOIN freq fa ON fa.p_brand = pairs.brand_a
+         JOIN freq fb ON fb.p_brand = pairs.brand_b
+         WHERE supp_ab * 100 >= n_baskets * 2
+           AND fa.supp * 100 >= n_baskets * 2
+           AND fb.supp * 100 >= n_baskets * 2
+         ORDER BY brand_a, brand_b""",
+    // Min-label reachability to the fixed point: UNION-deduped recursive
+    // label propagation over the symmetric edge list — component(v) =
+    // min(reachable ids) = Components' pointer-jumping invariant.
+    "q_graph_components" ->
+      """WITH RECURSIVE
+         ds AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT src, dst FROM pr
+                   UNION ALL SELECT dst AS src, src AS dst FROM pr),
+         reach(node, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+         SELECT node AS id, min(r) AS component FROM reach
+         GROUP BY node ORDER BY id""",
     "q_graph_pagerank" -> graft.ops.PageRank.oracleSql(
       """SELECT src, dst FROM (
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -44,6 +44,11 @@ object StreamingQueries {
     // watermark arithmetic in SQL.
     "q_stream_outer_join" -> ((s, dir) =>
       StreamOps.streamStreamOuterJoin(s, dir).orderBy("click_id", "purchase_id")),
+    // Two stateful window aggregations CHAINED in one streaming query
+    // (hour -> day roll-up; StreamOps.chainedAgg) — the multi-stateful-
+    // operator path, append-mode emission rule replayed by the oracle.
+    "q_stream_chained_agg" -> ((s, dir) =>
+      StreamOps.chainedAgg(s, dir).orderBy("day_start", "event_type")),
     // Exactly-once sink without native transactionality: foreachBatch
     // writes each micro-batch into its OWN batch_id= partition with
     // idempotent dynamic overwrite, so a replayed batch (at-least-once
@@ -167,6 +172,24 @@ object StreamingQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // Chained-agg replay: hourly counts -> day roll-up, emitting only the
+    // days the final watermark (max event ms - 1h) finalized. A day's
+    // hours all end at-or-before the day's end, so the single
+    // day_end <= watermark condition covers both operators' emission.
+    "q_stream_chained_agg" ->
+      """WITH m AS (SELECT max(epoch_ms(ts)) AS max_ms FROM events),
+         h AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h_start,
+                 event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+         d AS (SELECT time_bucket(INTERVAL 1 DAY, h_start) AS d_start,
+                 event_type, CAST(sum(n) AS BIGINT) AS n_events,
+                 max(n) AS peak_hour_n, count(*) AS n_active_hours
+               FROM h GROUP BY 1, 2)
+         SELECT epoch_us(d_start) AS day_start, event_type, n_events,
+           peak_hour_n, n_active_hours
+         FROM d CROSS JOIN m
+         WHERE epoch_ms(d_start + INTERVAL 1 DAY) <= max_ms - 3600000
+         ORDER BY day_start, event_type""",
     "q_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY user_id ORDER BY user_id""",

@@ -370,6 +370,33 @@ object StreamOps {
     runToTable(s, agg, "stream_sliding", "complete")
   }
 
+  /** CHAINED stateful aggregation — two windowed aggregations in ONE
+    * streaming query (Spark 3.4+ multiple-stateful-operator support,
+    * SPARK-40925): hourly tumbling counts per event_type feed a second
+    * window aggregation rolling them up to days (total, peak hour,
+    * active-hour count). Append mode is what makes the chain legal: the
+    * hourly operator emits a window downstream exactly when the watermark
+    * finalizes it, and a day emits when the watermark passes ITS end —
+    * since a day's last hour ends with the day, every emitted day has all
+    * its hours finalized, so the emission rule the oracle replays is just
+    * `day_end_ms <= final watermark ms`. At 100 TB this is the metric
+    * roll-up cascade (minute -> hour -> day) run as one query with
+    * hour-grained state instead of three jobs re-reading each tier. */
+  def chainedAgg(s: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum("n").as("n_events"), max("n").as("peak_hour_n"),
+        count(lit(1)).as("n_active_hours"))
+      .select(unix_micros(col("window.start")).as("day_start"),
+        col("event_type"), col("n_events"), col("peak_hour_n"),
+        col("n_active_hours"))
+    runToTable(s, daily, "stream_chained_agg", "append")
+  }
+
   /** Session windows (30 min gap) per user. */
   def sessions(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)

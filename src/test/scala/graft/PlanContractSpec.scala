@@ -452,4 +452,43 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(prunes.nonEmpty,
       s"backbone top-k must run on the bounded heap:\n$p")
   }
+
+  test("q_basket_rules scans lineitem once: all tiers reuse the basket exchange") {
+    // nb/freq/pairs all derive from the one basket-array aggregation —
+    // the pair tier explodes map-side from the sorted brand set (no
+    // row-bearing self-join), so the corpus-scale fact is scanned and
+    // shuffled exactly once and the other references reuse that exchange.
+    // A regression to per-tier derivation re-scans lineitem 3-4x — the
+    // q_text_pmi weakness shape. Reuse is an AQE runtime decision, so
+    // materialize first and inspect the final plan.
+    val df = SparkEntry.queries("q_basket_rules")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val factScans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("lineitem") => s
+    }
+    assert(factScans.distinct.size == 1,
+      s"expected exactly 1 distinct lineitem scan, got ${factScans.distinct.size}:\n$p")
+    val smj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty,
+      s"pair formation must be the map-side array explode, not a self-join:\n$p")
+  }
+
+  test("q_agg_exact_quantiles resolves with driver-local result and exact ranks") {
+    // the bisection rounds are counter-cell aggregations executed inside
+    // the op (no sort, no window — OrderStatsSpec covers exactness); the
+    // catalog-visible frame must be a driver-local relation, proving no
+    // corpus-scale plan hides behind the 4-row result.
+    val df = SparkEntry.queries("q_agg_exact_quantiles")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 4 && rows.map(_.getString(0)).toSeq ==
+      Seq("p25", "p50", "p75", "p99"))
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, "result frame must be driver-local")
+  }
 }
