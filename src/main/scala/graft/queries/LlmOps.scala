@@ -164,6 +164,60 @@ object LlmOps {
       Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
         .select("keep_id", "n_copies", "content_hash")
         .orderBy("keep_id")),
+    // URL-canonicalization dedup — the CommonCrawl-pipeline staple that
+    // precedes any content dedup: the same resource hides behind case
+    // differences, default ports, trailing slashes, parameter order, and
+    // utm_* tracking junk. Raw URLs are SYNTHESIZED deterministically
+    // from (doc_id, source) with exactly those noise axes (the corpus
+    // has no URL column; the operator — the canonicalization chain — is
+    // the point), then normalized with NATIVE codegen'd functions only:
+    // lowercase scheme/host, strip the scheme's default port, trim
+    // trailing path slashes, drop utm_* params, sort the survivors.
+    // Everything up to the final group-by is map-side; the shuffle key is
+    // the canonical URL (one vocab-of-resources-sized aggregation, the
+    // exact-dedup shape). The oracle replays every normalization step
+    // with the literal-split/list_filter/list_sort equivalents.
+    "q_dedup_url" -> ((s, dir) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), expr("doc_id div 40").cast("string"),
+        when(col("doc_id") % 13 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&utm_sid="), (col("doc_id") % 4).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("&a=1&b=2")).otherwise(lit("&b=2&a=1")),
+        when(col("doc_id") % 11 === 0, lit("&utm_campaign=x")).otherwise(lit("")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .withColumn("scheme", lower(element_at(split(col("raw"), "://"), 1)))
+        .withColumn("rest", element_at(split(col("raw"), "://"), 2))
+        .withColumn("hostport", element_at(split(col("rest"), "/"), 1))
+        .withColumn("host", lower(
+          when(col("scheme") === "http",
+            regexp_replace(col("hostport"), ":80$", ""))
+          .when(col("scheme") === "https",
+            regexp_replace(col("hostport"), ":443$", ""))
+          .otherwise(col("hostport"))))
+        .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
+        .withColumn("path0", element_at(split(col("pathq"), "\\?"), 1))
+        .withColumn("query",
+          when(size(split(col("pathq"), "\\?")) >= 2,
+            element_at(split(col("pathq"), "\\?"), 2)).otherwise(lit("")))
+        .withColumn("path",
+          when(regexp_replace(col("path0"), "/+$", "") === "", lit("/"))
+            .otherwise(regexp_replace(col("path0"), "/+$", "")))
+        .withColumn("params", filter(split(col("query"), "&"),
+          p => !p.startsWith("utm_") && p =!= ""))
+        .select(col("doc_id"),
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(size(col("params")) > 0,
+              concat(lit("?"), array_join(array_sort(col("params")), "&")))
+              .otherwise(lit(""))).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+        .orderBy("canonical_url")
+    }),
     // Exact character-3-gram Jaccard between consecutive doc ids — the
     // verification kernel of near-dup detection, oracled exactly.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
@@ -674,6 +728,53 @@ object LlmOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // Step-for-step replay of the synthesis + canonicalization chain
+    // (literal splits where Spark splits on trivially-literal regexes).
+    "q_dedup_url" ->
+      """WITH r AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+           '.example.com' ||
+           (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+           '/p/' || CAST(doc_id // 40 AS VARCHAR) ||
+           (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) ||
+           '?utm_source=feed&utm_sid=' || CAST(doc_id % 4 AS VARCHAR) ||
+           (CASE WHEN doc_id % 2 = 0 THEN '&a=1&b=2' ELSE '&b=2&a=1' END) ||
+           (CASE WHEN doc_id % 11 = 0 THEN '&utm_campaign=x' ELSE '' END)
+             AS raw
+         FROM documents),
+         c1 AS (SELECT doc_id,
+           lower(string_split(raw, '://')[1]) AS scheme,
+           string_split(raw, '://')[2] AS rest FROM r),
+         c2 AS (SELECT doc_id, scheme, rest,
+           string_split(rest, '/')[1] AS hostport FROM c1),
+         c3 AS (SELECT doc_id, scheme,
+           lower(CASE WHEN scheme = 'http'
+                        THEN regexp_replace(hostport, ':80$', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(hostport, ':443$', '')
+                      ELSE hostport END) AS host,
+           substring(rest, length(hostport) + 1) AS pathq FROM c2),
+         c4 AS (SELECT doc_id, scheme, host,
+           string_split(pathq, '?')[1] AS path0,
+           CASE WHEN len(string_split(pathq, '?')) >= 2
+                THEN string_split(pathq, '?')[2] ELSE '' END AS query
+         FROM c3),
+         c5 AS (SELECT doc_id, scheme, host,
+           CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path0, '/+$', '') END AS path,
+           list_filter(string_split(query, '&'),
+             p -> p NOT LIKE 'utm_%' AND p <> '') AS params
+         FROM c4),
+         c6 AS (SELECT doc_id,
+           scheme || '://' || host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(list_sort(params), '&')
+                ELSE '' END AS canonical_url
+         FROM c5)
+         SELECT canonical_url, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_docs
+         FROM c6 GROUP BY canonical_url ORDER BY canonical_url""",
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

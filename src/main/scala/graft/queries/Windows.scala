@@ -56,6 +56,28 @@ object Windows {
         .drop("o_orderdate")
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // TIME-based RANGE frame — the physical-time complement of the
+    // ROWS-counted moving average above: each event sees the trailing
+    // REAL hour of its user's activity, however many rows that is
+    // (bursts widen the frame, quiet periods shrink it — a row-count
+    // frame cannot express either). Ordered on integer micros with
+    // inclusive [-1h, now] bounds = DuckDB's RANGE INTERVAL 1 HOUR
+    // PRECEDING; values are cents-quantized before summing so both
+    // engines do exact long arithmetic. One user_id shuffle + in-frame
+    // running state bounded by the hour's event count — the same
+    // bounded-window contract streaming sliding windows make.
+    "q_window_range_frame" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val lastHour = Window.partitionBy("user_id").orderBy(col("t_us"))
+        .rangeBetween(-hourUs, Window.currentRow)
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(lastHour).as("n_last_hour"),
+          sum("cents").over(lastHour).as("cents_last_hour"))
+        .orderBy("event_id")
+    }),
     // Distribution functions: relative rank and cumulative share of the
     // partition — one window shuffle for both.
     "q_window_distribution" -> ((s, dir) => {
@@ -166,6 +188,18 @@ object Windows {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY o_custkey, o_orderkey""",
+    // RANGE frame on the raw timestamp order — DuckDB's interval frame
+    // bound is the same inclusive [ts - 1h, ts] window as Spark's
+    // [-3600000000, 0] micros range.
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+         count(*) OVER w AS n_last_hour,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+              AS BIGINT) AS cents_last_hour
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_window_distribution" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
          floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
