@@ -78,6 +78,34 @@ object Windows {
           sum("cents").over(lastHour).as("cents_last_hour"))
         .orderBy("event_id")
     }),
+    // Marketing-attribution metrics per conversion: each purchase sees
+    // its user's click activity over the trailing REAL 7 days —
+    // first/last touch timestamps, click count, and recency — as
+    // CONDITIONAL aggregates over one range frame (min/max/count of
+    // `when(type = click)` ignore the other event types' nulls), with
+    // the purchase filter applied AFTER the window so click rows shape
+    // frames without surviving into the result. One user_id shuffle;
+    // frame state bounded by a week of per-user events. No-click
+    // purchases keep NULL touches (div propagates), exactly as the
+    // oracle's CASE/QUALIFY replay does.
+    "q_events_attribution" -> ((s, dir) => {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      val w7 = Window.partitionBy("user_id").orderBy(col("t_us"))
+        .rangeBetween(-weekUs, Window.currentRow)
+      val isClick = col("event_type") === "click"
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("t_us"),
+          count(when(isClick, lit(1))).over(w7).as("n_clicks_7d"),
+          min(when(isClick, col("t_us"))).over(w7).as("first_click_us"),
+          max(when(isClick, col("t_us"))).over(w7).as("last_click_us"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("n_clicks_7d"),
+          col("first_click_us"), col("last_click_us"),
+          expr("(t_us - last_click_us) div 1000000").as("secs_since_click"))
+        .orderBy("event_id")
+    }),
     // Distribution functions: relative rank and cumulative share of the
     // partition — one window shuffle for both.
     "q_window_distribution" -> ((s, dir) => {
@@ -199,6 +227,24 @@ object Windows {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // QUALIFY applies the purchase filter after the window, mirroring
+    // Spark's filter-after-window; count/min/max of CASE ignore nulls
+    // on both engines.
+    "q_events_attribution" ->
+      """SELECT event_id, user_id,
+         count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_clicks_7d,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w
+           AS first_click_us,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w
+           AS last_click_us,
+         (epoch_us(ts) -
+          max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w)
+           // 1000000 AS secs_since_click
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+         QUALIFY event_type = 'purchase'
          ORDER BY event_id""",
     "q_window_distribution" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,
