@@ -209,6 +209,27 @@ object Relational {
           Quantile("p75", 3, 4), Quantile("p99", 99, 100)))
         .withColumnRenamed("value", "value_cents")
     }),
+    // Quantile-threshold curation — the "keep the top decile" filter
+    // pattern (data pruning by quality score percentile): the exact p90
+    // of documents.n_chars comes from the same histogram-bisection
+    // selection as q_agg_exact_quantiles (two counter-cell scans, no
+    // sort), and the filter + per-lang census is then one
+    // predicate-pushable scan. The composition matters at 100 TB: the
+    // naive "percentile() in a scalar subquery" plan sorts the corpus to
+    // find one number; here the threshold costs two histogram passes and
+    // arrives as a LITERAL, so the main scan prunes on it like any
+    // static predicate.
+    "q_filter_quantile" -> ((s, dir) => {
+      import graft.ops.OrderStats.{Quantile, quantilesDisc}
+      val docs = tbl(s, dir, "documents")
+      val p90 = quantilesDisc(docs.select(col("n_chars")), "n_chars",
+        Seq(Quantile("p90", 9, 10))).head().getLong(1)
+      docs.filter(col("n_chars") >= p90)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
     // Pivot: one output column per l_linestatus value (conditional agg).
     "q_agg_pivot" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -1093,6 +1114,20 @@ object Relational {
          CROSS JOIN n
          JOIN o ON o.rn = (n.cnt - 1) * s.num // s.den
          ORDER BY stat""",
+    // Threshold replay: the discrete-lower p90 rank (n-1)*9//10 found
+    // positionally, then the same filter + census. sum over BIGINT is
+    // HUGEINT in DuckDB — cast back.
+    "q_filter_quantile" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM documents),
+         o AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) - 1 AS rn
+               FROM documents),
+         th AS (SELECT n_chars AS p90 FROM o, n
+                WHERE rn = (cnt - 1) * 9 // 10)
+         SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents, th
+         WHERE n_chars >= p90
+         GROUP BY lang ORDER BY lang""",
     "q_agg_pivot" ->
       """SELECT l_returnflag,
          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
