@@ -356,6 +356,39 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(run(8) == single)
   }
 
+  test("chained stateful aggregations are chunk-invariant and emit only finalized days") {
+    import graft.streaming.StreamOps
+    val sfDir = "/root/testdata/sf0.001"
+    // two stateful operators in one query: the hour->day cascade must
+    // produce the same appended set under incremental execution at any
+    // chronological chunking (state handoff between the operators is
+    // watermark-driven, and chronological arrival means no late drops),
+    // and every emitted day must be FINALIZED — day end at or below the
+    // final watermark (max event ms - 1h), the rule the oracle replays.
+    def run(chunks: Int): Seq[Seq[Any]] = StreamOps.runToTable(spark,
+      StreamOps.eventsStream(spark, sfDir, chunks)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(col("window"), "1 day"), col("event_type"))
+        .agg(sum("n").as("n_events"))
+        .select(unix_micros(col("window.start")).as("day_start"),
+          col("event_type"), col("n_events")),
+      s"chained_c$chunks", "append").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val multi = run(4)
+    assert(multi.nonEmpty)
+    assert(run(1) == multi)
+    assert(run(8) == multi)
+    val evs = graft.queries.tbl(spark, sfDir, "events")
+    val wmMs = evs.select(max(unix_millis(col("ts")))).head().getLong(0) - 3600000L
+    val dayUs = 24L * 3600 * 1000000L
+    multi.foreach { row =>
+      val dayEndMs = (row.head.asInstanceOf[Long] + dayUs) / 1000L
+      assert(dayEndMs <= wmMs,
+        s"day starting ${row.head} emitted past the final watermark")
+    }
+  }
+
   test("chunked staging tolerates a degenerate single-timestamp dataset") {
     import graft.streaming.StreamOps
     // all events on ONE instant: every middle chunk's time range is empty.
