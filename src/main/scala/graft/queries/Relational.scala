@@ -481,11 +481,16 @@ object Relational {
     // sf0.1's is 453k edges over 1000 suppliers, 91% of complete, where a
     // triangle listing is Θ(n³) and carries no structure.
     "q_graph_triangles" -> ((s, dir) => {
-      val ls = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-      val a = ls.select(col("l_orderkey"), col("l_suppkey").as("sa"))
-      val b = ls.select(col("l_orderkey"), col("l_suppkey").as("sb"))
-      val pairs = a.join(b, "l_orderkey").filter(col("sa") < col("sb"))
-        .groupBy(col("sa").as("src"), col("sb").as("dst"))
+      // co-supplier weights via per-order supplier-set arrays + map-side
+      // pair explode (the q_basket_rules shape) — one corpus shuffle
+      // instead of a distinct + row-bearing self-join on l_orderkey
+      val pairs = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
+        .select(explode(flatten(transform(col("supps"), (x, i) =>
+          transform(slice(col("supps"), i + 2, size(col("supps"))),
+            y => struct(x.as("src"), y.as("dst")))))).as("p"))
+        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
         .agg(count(lit(1)).as("w"))
       graft.ops.Triangles.perNode(graft.ops.Triangles.backbone(pairs, k = 5))
         .orderBy("node")
@@ -575,12 +580,16 @@ object Relational {
     // quadratic reach table still fits; the Spark side is the shape that
     // survives when it does not.
     "q_graph_components" -> ((s, dir) => {
-      val ds = tbl(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = ds.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = ds.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      val edges = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
-        .groupBy(col("pa").as("src"), col("pb").as("dst"))
+      // per-order part-set arrays + map-side pair explode (collect_set
+      // dedupes, sorted array gives a<b) — one corpus shuffle, no
+      // row-bearing self-join; per-key state bounded by basket size
+      val edges = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(slice(col("parts"), i + 2, size(col("parts"))),
+            y => struct(x.as("src"), y.as("dst")))))).as("p"))
+        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       graft.ops.Components.connectedComponents(edges, "src", "dst")
