@@ -197,6 +197,39 @@ object Events {
         .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
           coalesce(col("n"), lit(0L)).as("n_events"))
         .orderBy("user_id", "hour_us")
+    }),
+    // Activity streaks (gaps-and-islands) per user: longest run of
+    // CONSECUTIVE active days, total active days, and number of distinct
+    // streaks — the engagement metric behind every "N-day streak" product
+    // surface, and a classic window-SQL shape. The catalog plan is the
+    // ONE-SHUFFLE array formulation instead of the window one: collect
+    // each user's distinct epoch-day set (map-side-combined partials —
+    // the per-key buffer is bounded by the CALENDAR, ≤ 36,525 ints per
+    // user-decade, never by event volume, which is what makes the
+    // collect_set safe where an unbounded one would OOM), sort it, and
+    // fold the streak machine over the array map-side. The window
+    // formulation (day − dense_rank island ids) costs a second exchange
+    // of the distinct-day table for the same answer — the DuckDB oracle
+    // uses exactly that independent formulation, so the two derivations
+    // check each other.
+    "q_events_streak" -> ((s, dir) => {
+      val days = sort_array(collect_set(unix_date(to_date(col("ts")))))
+      // accumulator: (prev day, current run length, max run, run count)
+      val z = struct(lit(Int.MinValue).as("prev"), lit(0).as("cur"),
+        lit(0).as("mx"), lit(0).as("ns"))
+      val fold = aggregate(col("days"), z, (acc, d) => {
+        val cur = when(d === acc("prev") + 1, acc("cur") + 1).otherwise(lit(1))
+        struct(d.as("prev"), cur.as("cur"),
+          greatest(acc("mx"), cur).as("mx"),
+          (acc("ns") + when(d === acc("prev") + 1, lit(0)).otherwise(lit(1)))
+            .as("ns"))
+      })
+      tbl(s, dir, "events")
+        .groupBy("user_id").agg(days.as("days"))
+        .select(col("user_id"), size(col("days")).as("n_active_days"),
+          fold.getField("mx").as("longest_streak"),
+          fold.getField("ns").as("n_streaks"))
+        .orderBy("user_id")
     })
   )
 
@@ -301,6 +334,21 @@ object Events {
            coalesce(c.n, 0) AS n_events
          FROM spine s LEFT JOIN counts c
            ON s.user_id = c.user_id AND s.h = c.h
-         ORDER BY s.user_id, hour_us"""
+         ORDER BY s.user_id, hour_us""",
+    // Independent derivation on purpose: the classic day − dense_rank
+    // islands formulation, not the Spark side's sorted-array fold.
+    "q_events_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events),
+         i AS (SELECT user_id, day,
+                 day - CAST(dense_rank() OVER (PARTITION BY user_id
+                   ORDER BY day) AS INT) AS grp
+               FROM d),
+         g AS (SELECT user_id, grp, count(*) AS len
+               FROM i GROUP BY user_id, grp)
+         SELECT user_id, CAST(sum(len) AS INT) AS n_active_days,
+           CAST(max(len) AS INT) AS longest_streak,
+           CAST(count(*) AS INT) AS n_streaks
+         FROM g GROUP BY user_id ORDER BY user_id"""
   )
 }

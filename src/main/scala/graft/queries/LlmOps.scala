@@ -218,6 +218,40 @@ object LlmOps {
         .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
         .orderBy("canonical_url")
     }),
+    // Paragraph-level exact dedup — the C4/CCNet step BETWEEN doc-level
+    // exact dedup and fuzzy dedup: boilerplate repeats at sub-document
+    // granularity (nav bars, license blocks, templated intros), so the
+    // corpus is deduped on PARAGRAPHS, keeping each one's first
+    // occurrence in (doc_id, block_idx) order and re-counting what each
+    // document retains. The synthetic corpus has no newlines, so the
+    // paragraph unit is the deterministic 16-token block (chunkDocs with
+    // window = stride — the q_text_chunks kernel, zero overlap).
+    // Scale shape: blocks explode map-side; the first-occurrence table is
+    // ONE aggregation keyed on the block's 64-bit xxhash (8-byte shuffle
+    // keys instead of ~100-byte block strings — the q_text_dup_ngrams
+    // move — with min(struct) per key, constant per-key state); the
+    // mark join shuffles hash-keyed rows and the per-doc re-count is a
+    // counts-only aggregate. Nothing holds unbounded per-key state. The
+    // oracle works over block STRINGS (hash = string counts modulo
+    // ~n²/2⁶⁵ collisions, the established equivalence) via the
+    // independent row_number-over-partition formulation.
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val blocks = graft.ops.TextAnalysis.chunkDocs(
+          tbl(s, dir, "documents"), "doc_id", "text", window = 16, stride = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+          xxhash64(col("chunk_text")).as("h"))
+      val first = blocks.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+      blocks.join(first, "h")
+        .withColumn("kept", col("doc_id") === col("f.doc_id") &&
+          col("chunk_idx") === col("f.chunk_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(!col("kept"), lit(1))).as("n_dup_blocks"),
+          sum(when(col("kept"), col("n_tok")).otherwise(lit(0)))
+            .as("kept_tokens"))
+        .orderBy("doc_id")
+    }),
     // Exact character-3-gram Jaccard between consecutive doc ids — the
     // verification kernel of near-dup detection, oracled exactly.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
@@ -728,6 +762,29 @@ object LlmOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // Independent formulation on purpose: first-occurrence via
+    // row_number over block STRINGS (the Spark side keys on xxhash64 —
+    // hash = string counts modulo ~n²/2⁶⁵ collisions).
+    "q_dedup_paragraph" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           CAST(unnest(generate_series(0, CAST(floor((n - 1) / 16.0) AS BIGINT))) AS INT)
+             AS chunk_idx
+         FROM d),
+         x AS (SELECT doc_id, chunk_idx, least(16, n - chunk_idx * 16) AS n_tok,
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ')
+             AS chunk_text
+         FROM c),
+         y AS (SELECT doc_id, chunk_idx, n_tok,
+           row_number() OVER (PARTITION BY chunk_text
+             ORDER BY doc_id, chunk_idx) AS rn
+         FROM x)
+         SELECT doc_id, count(*) AS n_blocks,
+           count(CASE WHEN rn > 1 THEN 1 END) AS n_dup_blocks,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+         FROM y GROUP BY doc_id ORDER BY doc_id""",
     // Step-for-step replay of the synthesis + canonicalization chain
     // (literal splits where Spark splits on trivially-literal regexes).
     "q_dedup_url" ->

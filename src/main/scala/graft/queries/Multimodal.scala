@@ -75,6 +75,61 @@ object Multimodal {
         out.toByteArray
       }
 
+    /** PNG bytes → 64-bit perceptual difference hash (dHash, the
+      * industry-standard image near-dup fingerprint): area-downsample the
+      * gray band to a 9×8 grid of block means, emit one bit per
+      * horizontally-adjacent cell pair (mean(i) > mean(i+1)), 8 bits × 8
+      * rows. All arithmetic is EXACT — integer pixel sums with
+      * cross-multiplied mean comparisons (sumA·cntB > sumB·cntA), no
+      * float rounding — so the hash is bit-reproducible across
+      * partitionings and JVMs. Cell boundaries are floor(i·w/9): for
+      * w ≥ 9 / h ≥ 8 the cells tile the image exactly; degenerate tiny
+      * images clamp each cell to ≥ 1 pixel (cells may share pixels —
+      * still deterministic). */
+    def dhash(bytes: Array[Byte]): java.lang.Long =
+      if (bytes == null) null
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "media is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val sums = Array.ofDim[Long](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 9) {
+            val x0 = i * w / 9
+            val x1 = math.max(math.min((i + 1) * w / 9, w), x0 + 1)
+            val y0 = j * h / 8
+            val y1 = math.max(math.min((j + 1) * h / 8, h), y0 + 1)
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            sums(j)(i) = s
+            cnts(j)(i) = (x1 - x0).toLong * (y1 - y0)
+            i += 1
+          }
+          j += 1
+        }
+        var bits = 0L
+        j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            if (sums(j)(i) * cnts(j)(i + 1) > sums(j)(i + 1) * cnts(j)(i))
+              bits |= 1L << (j * 8 + i)
+            i += 1
+          }
+          j += 1
+        }
+        java.lang.Long.valueOf(bits)
+      }
+
     /** PNG bytes → (width, height, pixel sum over the single gray band).
       * Null media stays null (tuple of nulls downstream); non-image bytes
       * fail loudly — silently emitting zeros would corrupt corpus stats. */
@@ -146,6 +201,19 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Real perceptual-hash kernel via mapPartitions: appends `dhash`
+    * (64-bit dHash of the binary `media` PNG column), codec constructed
+    * once per partition. */
+  def dhashBatch(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("dhash", org.apache.spark.sql.types.LongType)
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      val codec = new PngCodec // once per partition, NOT per row
+      rows.map(r =>
+        Row.fromSeq(r.toSeq :+ codec.dhash(r.getAs[Array[Byte]](mediaIdx))))
+    }(Encoders.row(outSchema))
+  }
+
   val defs: Map[String, Q] = Map(
     // Metadata path: binary payload + typed metadata struct (oracled).
     "q_multimodal_meta" -> ((s, dir) =>
@@ -211,6 +279,53 @@ object Multimodal {
             / size(col("features")), 6)
             .as("feature_mean"))
         .orderBy("file_name")),
+    // Image near-dup detection — the multimodal tier of the dedup
+    // family: every document's bytes become a REAL grayscale PNG, the
+    // codec computes a 64-bit perceptual dHash per image (exact integer
+    // arithmetic — bit-reproducible), and near-duplicates are found by
+    // LSH-style BANDING on the hash, never all-pairs: the 64 bits split
+    // into 8 byte-bands, images join on (band_idx, band_value) — by
+    // pigeonhole ANY pair within Hamming distance ≤ 7 shares at least
+    // one intact band, so recall at the ≤6 threshold is exactly 1 (a
+    // GUARANTEE, not an LSH probability — pinned in MultimodalPhashSpec
+    // against brute force) — and survivors verify with one codegen'd
+    // bit_count(xor). The same banded-join shape as MinHash-LSH text
+    // dedup: candidate count scales with real near-dup density plus a
+    // 2⁻⁸-per-band random-collision floor, not with n². Output is the
+    // per-image digest (hash + candidate/near-dup partner counts); a
+    // production run would emit the pair list to a sink instead.
+    // Rows-only: DuckDB has no image codec (the tier's point); hash
+    // determinism, the recall guarantee, and planted-duplicate behavior
+    // are pinned in MultimodalPhashSpec.
+    "q_multimodal_phash" -> ((s, dir) => {
+      val hashed = dhashBatch(
+        encodePngBatch(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+          .select(col("doc_id"), col("media")))
+      val bands = hashed.select(col("doc_id"), col("dhash"),
+          posexplode(expr("transform(sequence(0, 7), b -> (dhash >> (b * 8)) & 255)")))
+        .toDF("doc_id", "dhash", "band", "bv")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      val perDoc = cand.select(explode(array(
+          struct(col("da").as("doc_id"), col("hamming")),
+          struct(col("db").as("doc_id"), col("hamming")))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.hamming").as("hamming"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("hamming") <= 6, lit(1))).as("n_near_dups"))
+      hashed.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dhash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy("doc_id")
+    }),
     // Decode path — REAL codec: every document's UTF-8 bytes become a
     // genuine grayscale PNG (javax.imageio encode: DEFLATE, CRCs, magic),
     // then the decode kernel reads it back and emits true image stats.

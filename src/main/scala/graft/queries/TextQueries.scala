@@ -308,6 +308,56 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"))
         .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))
     }),
+    // Interpolated BIGRAM-LM pseudo-perplexity — the upgrade tier over
+    // q_text_perplexity's unigram score (a bigram LM separates fluent
+    // word ORDER from mere in-vocabulary word choice, which is what
+    // separates templated spam from prose):
+    //   p(w2|w1) = 3/4·c(w1,w2)/c(w1·) + 1/4·c(·w2)/N
+    // with every count defined over the corpus's adjacent-pair stream, so
+    // ALL model tables derive from ONE pair aggregation (`cab`) exactly
+    // as q_text_pmi's marginals do — the left marginal is c(w1·), the
+    // right c(·w2), the grand total N; self-trained, every scored pair
+    // has c(w1,w2) ≥ 1 so p > 0 without extra smoothing mass. Scoring
+    // joins the corpus pair stream against BROADCAST model tables
+    // (bigram table is vocab²-bounded — at open-web scale cap it with a
+    // min-count threshold and let pruned pairs back off to the unigram
+    // term, the standard interpolation story; the isNotNull filter keeps
+    // every cab reference canonically equal so the fit side stays one
+    // documents scan). Numeric determinism: p is a FIXED IEEE op
+    // sequence (two exact int→double casts per ratio, each division and
+    // the 3/4 + 1/4 combination correctly rounded, identical order in
+    // both engines), then per-pair NLL quantizes to integer micro-nats
+    // before the exact long per-doc sum — only ln's ≤1 ulp remains, the
+    // same validated class as tf-idf/perplexity.
+    "q_text_bigram_lm" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val prs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("w1"),
+                element_at(toks, i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
+      val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      val ca = cab.groupBy("w1").agg(sum("n_ab").as("n_a"))
+      val cb = cab.groupBy("w2").agg(sum("n_ab").as("n_b"))
+      val tot = cab.agg(sum("n_ab").as("n_tot"))
+      val p = lit(0.75) * (col("n_ab").cast("double") / col("n_a")) +
+        lit(0.25) * (col("n_b").cast("double") / col("n_tot"))
+      prs.join(broadcast(cab), Seq("w1", "w2"))
+        .join(broadcast(ca), "w1").join(broadcast(cb), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("__q", floor(-log(p) * 1000000d + 0.5d).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum("__q").as("__sq"))
+        .select(col("doc_id"), col("n_pairs"),
+          (floor(col("__sq").cast("double") / col("n_pairs") + 0.5d) / 1000000d)
+            .as("nll2"))
+        .orderBy("doc_id")
+    }),
     // Multinomial Naive Bayes language classifier (ops.TextModels) —
     // the classifier tier of corpus curation (CCNet-style domain/quality
     // filtering is a linear scorer of exactly this shape), trained and
@@ -584,6 +634,30 @@ object TextQueries {
          FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
          WHERE n_pair >= 5
          ORDER BY pmi_micro DESC, w1, w2""",
+    // The marginals count the raw pair stream directly (count(*) per w1 /
+    // per w2) — equal by construction to the Spark side's sums over the
+    // pair-count table; the interpolation arithmetic mirrors the Spark
+    // op sequence exactly (two casts, two divisions, 3/4 + 1/4 combine).
+    "q_text_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         prs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+                 FROM toks WHERE len(t) >= 2),
+         pr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM prs),
+         cab AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
+         ca AS (SELECT w1, count(*) AS n_a FROM pr GROUP BY w1),
+         cb AS (SELECT w2, count(*) AS n_b FROM pr GROUP BY w2),
+         tot AS (SELECT count(*) AS n_tot FROM pr),
+         q AS (SELECT doc_id,
+             CAST(floor(-ln(0.75 * (CAST(n_ab AS DOUBLE) / n_a)
+               + 0.25 * (CAST(n_b AS DOUBLE) / n_tot)) * 1000000 + 0.5)
+               AS BIGINT) AS q
+           FROM pr JOIN cab USING (w1, w2) JOIN ca USING (w1)
+             JOIN cb USING (w2) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_pairs,
+           floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) / 1000000 AS nll2
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
     // Independently re-derives the whole NB model: dense vocab x class
     // grid with Laplace smoothing, micro-nat quantization at each ln,
     // exact BIGINT sums, class-asc tie-break — any Spark drift in

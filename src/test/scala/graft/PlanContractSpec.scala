@@ -342,6 +342,33 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"marginal branches must reuse cab's exchange:\n$p")
   }
 
+  test("q_text_bigram_lm: model branches share one fit-side scan; scoring adds one") {
+    // All three model tables (cab/ca/cb/tot marginals) derive from ONE
+    // pair aggregation, so the fit side must resolve to a single
+    // documents scan whose exchange the marginal branches reuse; the
+    // scoring pass inherently re-reads the corpus (map-side explode into
+    // broadcast joins — the unigramNll shape). Total distinct scans = 2;
+    // a regression to per-marginal pair-stream derivation shows up as 3+.
+    val df = SparkEntry.queries("q_text_bigram_lm")(spark, sfDir)
+    df.collect() // stage reuse is an AQE runtime decision
+    val p = df.queryExecution.executedPlan
+    val docScans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("documents") => s
+    }
+    assert(docScans.distinct.size <= 2,
+      s"expected <= 2 distinct documents scans (fit + score), got " +
+        s"${docScans.distinct.size}:\n$p")
+    val reused = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
+        if q.plan.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ReusedExchangeExec] => q
+    }
+    assert(reused.nonEmpty,
+      s"marginal branches must reuse the pair-count exchange:\n$p")
+  }
+
   test("q_text_inverted_index bounds the posting sample before aggregating") {
     // The posting sample must descend from the bounded-heap prune
     // (TopK.perGroup) — a regression to collect_set-then-slice buffers

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-11 additions that complement the DuckDB
+  * oracles: the streak fold agrees with the independent window
+  * formulation IN SPARK too (three derivations total), paragraph dedup
+  * conserves token mass, and the bigram LM matches a hand-computed
+  * fixture.
+  */
+class Round11QueriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_events_streak: array fold agrees with the window islands formulation") {
+    val byFold = SparkEntry.queries("q_events_streak")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val d = graft.queries.tbl(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val byWindow = d
+      .withColumn("grp", unix_date(col("day")) - dense_rank().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), max("len").as("longest"),
+        count(lit(1)).as("n_streaks"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt))).toMap
+    assert(byFold.nonEmpty && byFold == byWindow)
+  }
+
+  test("q_dedup_paragraph conserves blocks and finds planted cross-doc boilerplate") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"nav$i").mkString(" ") // one full block
+    val docs = Seq(
+      (10L, boiler + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (20L, boiler + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (30L, (1 to 35).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_stub")
+    val dir = java.nio.file.Files.createTempDirectory("pdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_paragraph")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 10: blocks = ceil(36/16) = 3, none dropped (first occurrence)
+    assert(out(10L) == ((3L, 0L, 36L)), s"doc10: ${out(10L)}")
+    // doc 20 shares ONLY the boilerplate block with doc 10 -> 1 dropped,
+    // token mass keeps 36 - 16
+    assert(out(20L) == ((3L, 1L, 20L)), s"doc20: ${out(20L)}")
+    // doc 30: no overlap, 35 tokens in 3 blocks
+    assert(out(30L) == ((3L, 0L, 35L)), s"doc30: ${out(30L)}")
+  }
+
+  test("q_dedup_paragraph token-mass conservation on the corpus") {
+    val out = SparkEntry.queries("q_dedup_paragraph")(spark, sfDir)
+    val agg = out.agg(sum("n_blocks"), sum("n_dup_blocks"), sum("kept_tokens"))
+      .collect().head
+    val totalBlocks = agg.getLong(0)
+    val dupBlocks = agg.getLong(1)
+    assert(totalBlocks > 0 && dupBlocks >= 0 && dupBlocks < totalBlocks)
+    // kept tokens can never exceed the corpus token mass, and must cover
+    // it exactly when nothing was dropped per doc
+    val tokMass = graft.queries.tbl(spark, sfDir, "documents")
+      .agg(sum(size(split(col("text"), " ")))).collect().head.getLong(0)
+    assert(agg.getLong(2) <= tokMass)
+  }
+
+  test("q_text_bigram_lm matches a hand-computed fixture") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a b" -> pairs: (a,b)x3, (b,a)x1 ; N=4
+    // c(a,b)=3, c(b,a)=1; left: a->3, b->1; right: b->3, a->1
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_bigram_lm")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    def qn(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val pAB = 0.75 * (3.0 / 3.0) + 0.25 * (3.0 / 4.0) // = 0.9375
+    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * (1.0 / 4.0) // = 0.8125
+    val doc1 = math.floor((qn(pAB) * 2 + qn(pBA)).toDouble / 3 + 0.5) / 1e6
+    val doc2 = math.floor(qn(pAB).toDouble / 1 + 0.5) / 1e6
+    assert(out(1L) == ((3L, doc1)), s"doc1: ${out(1L)} vs $doc1")
+    assert(out(2L) == ((1L, doc2)), s"doc2: ${out(2L)} vs $doc2")
+  }
+}
