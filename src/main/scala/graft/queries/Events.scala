@@ -212,6 +212,79 @@ object Events {
     // of the distinct-day table for the same answer — the DuckDB oracle
     // uses exactly that independent formulation, so the two derivations
     // check each other.
+    // Time-weighted average value per user (TWAP — the right mean for
+    // irregularly-sampled series, where a plain avg over-weights bursts):
+    // each event's value holds until the user's next event, so the mean
+    // weights by holding duration. ONE shuffle on user_id: a lead()
+    // window gives each segment its end, and the per-user aggregate
+    // REUSES the window's partitioning (no second exchange). All
+    // arithmetic is integer — cents-quantized values × truncated-second
+    // durations, integer division at the end — so both engines replay it
+    // exactly; the duration denominator is the sum of per-segment
+    // truncated seconds (not the raw span), keeping weights and
+    // denominator consistent.
+    "q_events_twa" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val seg = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .withColumn("dt", expr("(next_us - us) div 1000000"))
+      seg.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("dt").as("dur_s"),
+          sum(col("cents") * col("dt")).as("__segsum"))
+        .filter(col("dur_s") > 0)
+        .select(col("user_id"), col("n_events"), col("dur_s"),
+          expr("__segsum div dur_s").as("twa_cents"))
+        .orderBy("user_id")
+    }),
+    // RFM (recency / frequency / monetary) customer segmentation with
+    // quintile scores — the marketing-analytics classic. The catalog
+    // point is HOW the quintiles are computed at scale: never ntile()
+    // over an unpartitioned window (a single-task global sort of the
+    // user dimension — the plan shape GlobalIndex exists to avoid), but
+    // exact quantile THRESHOLDS from OrderStats' histogram bisection
+    // (bounded driver state, map-side-combined scans), arriving as
+    // LITERALS in a when-chain scoring pass. Metrics are one shuffle on
+    // user_id; the metric table is persisted across the three threshold
+    // fits and released before the result plan. Scores: value strictly
+    // above k thresholds scores k+1 (recency inverted — recent = 5);
+    // ties at a threshold fall to the lower bucket in both engines. The
+    // oracle replays the thresholds positionally (row_number()-1 =
+    // (n-1)*k//5 — the same discrete lower quantile) and every score.
+    "q_events_rfm" -> ((s, dir) => {
+      import graft.ops.OrderStats.{Quantile, quantilesDisc}
+      val ev = tbl(s, dir, "events")
+      val maxts = ev.agg(max(unix_micros(col("ts"))).as("mt"))
+      val u = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("ut"),
+          count(lit(1)).as("frequency"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long"))), lit(0L))
+            .as("monetary_cents"))
+        .crossJoin(broadcast(maxts))
+        .select(col("user_id"), expr("(mt - ut) div 1000000").as("recency_s"),
+          col("frequency"), col("monetary_cents"))
+      val qs = (1 to 4).map(k => Quantile(s"q$k", k, 5))
+      val uC = u.persist()
+      val (rT, fT, mT) =
+        try {
+          def th(c: String): Seq[Long] = quantilesDisc(uC.select(c), c, qs)
+            .collect().sortBy(_.getString(0)).map(_.getLong(1)).toSeq
+          (th("recency_s"), th("frequency"), th("monetary_cents"))
+        } finally { uC.unpersist(); () }
+      def scoreUp(c: org.apache.spark.sql.Column, ts: Seq[Long]) =
+        ts.map(t => when(c > t, 1).otherwise(0)).reduce(_ + _) + lit(1)
+      u.select(col("user_id"), col("recency_s"), col("frequency"),
+          col("monetary_cents"),
+          (lit(6) - scoreUp(col("recency_s"), rT)).as("r_score"),
+          scoreUp(col("frequency"), fT).as("f_score"),
+          scoreUp(col("monetary_cents"), mT).as("m_score"))
+        .orderBy("user_id")
+    }),
     "q_events_streak" -> ((s, dir) => {
       val days = sort_array(collect_set(unix_date(to_date(col("ts")))))
       // accumulator: (prev day, current run length, max run, run count)
@@ -335,6 +408,63 @@ object Events {
          FROM spine s LEFT JOIN counts c
            ON s.user_id = c.user_id AND s.h = c.h
          ORDER BY s.user_id, hour_us""",
+    "q_events_twa" ->
+      """WITH x AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_us
+           FROM events),
+         t AS (
+           SELECT user_id, count(*) AS n_events,
+             CAST(sum((next_us - us) // 1000000) AS BIGINT) AS dur_s,
+             CAST(sum(cents * ((next_us - us) // 1000000)) AS BIGINT)
+               AS segsum
+           FROM x GROUP BY user_id)
+         SELECT user_id, n_events, dur_s, segsum // dur_s AS twa_cents
+         FROM t WHERE dur_s > 0 ORDER BY user_id""",
+    // Thresholds replayed positionally: the value at 0-based rank
+    // (n-1)*k//5 of each sorted metric — identical to OrderStats'
+    // discrete lower quantile; scores re-derived with the same
+    // strictly-above rule.
+    "q_events_rfm" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS mt FROM events),
+         u AS (SELECT user_id,
+             ((SELECT mt FROM mx) - max(epoch_us(ts))) // 1000000
+               AS recency_s,
+             count(*) AS frequency,
+             coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+               AS BIGINT), 0) AS monetary_cents
+           FROM events GROUP BY user_id),
+         n AS (SELECT count(*) AS n FROM u),
+         ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         rt AS (SELECT v FROM (SELECT row_number() OVER (ORDER BY recency_s)
+                  - 1 AS r, recency_s AS v FROM u) s
+                CROSS JOIN ks CROSS JOIN n WHERE s.r = (n.n - 1) * k // 5),
+         ft AS (SELECT v FROM (SELECT row_number() OVER (ORDER BY frequency)
+                  - 1 AS r, frequency AS v FROM u) s
+                CROSS JOIN ks CROSS JOIN n WHERE s.r = (n.n - 1) * k // 5),
+         mt2 AS (SELECT v FROM (SELECT row_number() OVER
+                   (ORDER BY monetary_cents) - 1 AS r, monetary_cents AS v
+                   FROM u) s
+                 CROSS JOIN ks CROSS JOIN n WHERE s.r = (n.n - 1) * k // 5),
+         rs AS (SELECT u.user_id, CAST(5 - count(CASE WHEN u.recency_s > rt.v
+                  THEN 1 END) AS INT) AS r_score
+                FROM u CROSS JOIN rt GROUP BY u.user_id),
+         fs AS (SELECT u.user_id, CAST(1 + count(CASE WHEN u.frequency > ft.v
+                  THEN 1 END) AS INT) AS f_score
+                FROM u CROSS JOIN ft GROUP BY u.user_id),
+         ms AS (SELECT u.user_id, CAST(1 + count(CASE
+                  WHEN u.monetary_cents > mt2.v THEN 1 END) AS INT)
+                  AS m_score
+                FROM u CROSS JOIN mt2 GROUP BY u.user_id)
+         SELECT u.user_id, u.recency_s, u.frequency, u.monetary_cents,
+           r_score, f_score, m_score
+         FROM u JOIN rs USING (user_id) JOIN fs USING (user_id)
+           JOIN ms USING (user_id)
+         ORDER BY user_id""",
     // Independent derivation on purpose: the classic day − dense_rank
     // islands formulation, not the Spark side's sorted-array fold.
     "q_events_streak" ->

@@ -496,6 +496,30 @@ object Relational {
         .orderBy("node")
     }),
 
+    // Link prediction over the co-supplier backbone (ops.Triangles
+    // .linkPredict): common-neighbor counts + ppm-quantized Jaccard for
+    // non-adjacent supplier pairs — "who should be trading partners" from
+    // neighborhood overlap alone (Liben-Nowell & Kleinberg). Same pair
+    // derivation + top-5 backbone as q_graph_triangles; candidates
+    // explode map-side from per-node adjacency arrays (bounded by the
+    // backbone's construction), one wedge aggregation, broadcast
+    // degree/edge joins. Fully DuckDB-oracled: the oracle replays the
+    // backbone via row_number and counts wedges with a relational
+    // self-join.
+    "q_graph_linkpred" -> ((s, dir) => {
+      val pairs = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
+        .select(explode(flatten(transform(col("supps"), (x, i) =>
+          transform(slice(col("supps"), i + 2, size(col("supps"))),
+            y => struct(x.as("src"), y.as("dst")))))).as("p"))
+        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Triangles
+        .linkPredict(graft.ops.Triangles.backbone(pairs, k = 5))
+        .orderBy(desc("jaccard_ppm"), asc("x"), asc("y"))
+    }),
+
     // Market-basket association rules (Agrawal-Srikant Apriori, VLDB'94,
     // restricted to the 2-itemset tier a relational engine expresses
     // natively): brand pairs co-ordered in >= 2% of baskets, with
@@ -1343,6 +1367,38 @@ object Relational {
            UNION ALL SELECT x FROM tri
            UNION ALL SELECT y FROM tri)
          GROUP BY node ORDER BY node""",
+    // Backbone replay identical to q_graph_triangles; wedges via a
+    // relational self-join of the neighbor list (the Spark side explodes
+    // per-node arrays — same pair set), then anti-join existing edges.
+    "q_graph_linkpred" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         pairs AS MATERIALIZED (
+                   SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
+                   FROM ls a JOIN ls b USING (l_orderkey)
+                   WHERE a.l_suppkey < b.l_suppkey GROUP BY 1, 2),
+         dirx AS (SELECT src AS v, dst AS p, w FROM pairs
+                  UNION ALL SELECT dst, src, w FROM pairs),
+         topk AS (SELECT v, p FROM (
+                    SELECT v, p, row_number() OVER
+                      (PARTITION BY v ORDER BY w DESC, p ASC) AS rk FROM dirx)
+                  WHERE rk <= 5),
+         edges AS MATERIALIZED (
+                   SELECT DISTINCT least(v, p) AS src, greatest(v, p) AS dst
+                   FROM topk),
+         nbr AS (SELECT src AS u, dst AS v FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+         deg AS MATERIALIZED (SELECT u AS v, count(*) AS d FROM nbr GROUP BY u),
+         wed AS MATERIALIZED (
+                 SELECT a.v AS x, b.v AS y, count(*) AS cn
+                 FROM nbr a JOIN nbr b ON a.u = b.u AND a.v < b.v
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+         ne AS (SELECT w.x, w.y, w.cn
+                FROM wed w LEFT JOIN edges e ON e.src = w.x AND e.dst = w.y
+                WHERE e.src IS NULL)
+         SELECT ne.x, ne.y, ne.cn,
+           ne.cn * 1000000 // (dx.d + dy.d - ne.cn) AS jaccard_ppm
+         FROM ne JOIN deg dx ON dx.v = ne.x JOIN deg dy ON dy.v = ne.y
+         ORDER BY jaccard_ppm DESC, ne.x, ne.y""",
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05

@@ -638,17 +638,22 @@ object TextQueries {
     // per w2) — equal by construction to the Spark side's sums over the
     // pair-count table; the interpolation arithmetic mirrors the Spark
     // op sequence exactly (two casts, two divisions, 3/4 + 1/4 combine).
+    // pr/model CTEs are AS MATERIALIZED: the pair stream is referenced 5
+    // times (cab/ca/cb/tot + scoring), and DuckDB's default inlining
+    // re-expands the unnest under each — the Bpe-oracle blowup shape,
+    // which at 10x scale ran minutes and tens of GB before the hint.
     "q_text_bigram_lm" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),
          prs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
                  FROM toks WHERE len(t) >= 2),
-         pr AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM prs),
-         cab AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
-         ca AS (SELECT w1, count(*) AS n_a FROM pr GROUP BY w1),
-         cb AS (SELECT w2, count(*) AS n_b FROM pr GROUP BY w2),
-         tot AS (SELECT count(*) AS n_tot FROM pr),
+         pr AS MATERIALIZED (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM prs),
+         cab AS MATERIALIZED (
+           SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
+         ca AS MATERIALIZED (SELECT w1, count(*) AS n_a FROM pr GROUP BY w1),
+         cb AS MATERIALIZED (SELECT w2, count(*) AS n_b FROM pr GROUP BY w2),
+         tot AS MATERIALIZED (SELECT count(*) AS n_tot FROM pr),
          q AS (SELECT doc_id,
              CAST(floor(-ln(0.75 * (CAST(n_ab AS DOUBLE) / n_a)
                + 0.25 * (CAST(n_b AS DOUBLE) / n_tot)) * 1000000 + 0.5)

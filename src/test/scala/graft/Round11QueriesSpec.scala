@@ -67,6 +67,36 @@ class Round11QueriesSpec extends SparkSpec {
     assert(agg.getLong(2) <= tokMass)
   }
 
+  test("linkPredict scores a planted 4-cycle exactly") {
+    import spark.implicits._
+    // C4: 1-2-3-4-1. Non-adjacent pairs (1,3) and (2,4) share BOTH
+    // neighbors: cn=2, deg=2 each -> jaccard = 2/(2+2-2) = 1.0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val out = graft.ops.Triangles.linkPredict(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+  }
+
+  test("q_events_twa matches a hand-computed fixture") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // one user: 1.00 held 10s, 2.00 held 20s, 3.00 unterminated
+    // -> twa = (100*10 + 200*20) div 30 = 166 cents
+    val dir = java.nio.file.Files.createTempDirectory("twa").toString
+    Seq((1L, ts(0), 7L, "view", 1.0, "{}"),
+        (2L, ts(10), 7L, "view", 2.0, "{}"),
+        (3L, ts(30), 7L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_events_twa")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 3L, 30L, 166L)), r.toString)
+  }
+
   test("q_text_bigram_lm matches a hand-computed fixture") {
     import spark.implicits._
     // corpus: "a b a b" and "a b" -> pairs: (a,b)x3, (b,a)x1 ; N=4
