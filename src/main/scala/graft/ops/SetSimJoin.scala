@@ -76,6 +76,59 @@ object SetSimJoin {
       den.longValueExact)
   }
 
+  /** Directed exact CONTAINMENT join: every (probe, corpus-doc) pair with
+    * |probe ∩ doc| / |probe| >= tauNum/tauDen — "how much of this text is
+    * inside that one", the quote/clone/contamination detection primitive.
+    * Asymmetric on purpose: Jaccard punishes a short probe quoted inside
+    * a long document (union-normalized), containment does not — which is
+    * why benchmark-leak sweeps are containment sweeps. Unlike
+    * [[graft.ops.Contamination]]'s broadcast-index sweep, BOTH sides here
+    * may be corpus-scale: no broadcast anywhere.
+    *
+    * Same lossless prefix-filter theorem as [[similarPairsRational]],
+    * asymmetric form: if |A∩B| >= ceil(tau·|A|), then any fixed
+    * |A| − ceil(tau·|A|) + 1 elements of A must intersect B — so
+    * candidates are pairs where B contains ANY element of A's prefix,
+    * with the prefix chosen rarest-first by CORPUS document frequency
+    * (elements the corpus has never seen rank rarest of all and prune
+    * hardest). The probe side prefixes; the corpus side indexes all its
+    * elements — per-element join fan-out is prefixDf(t) · df(t), bounded
+    * by rare-first prefixes exactly as in the symmetric join.
+    * Acceptance is pure integer arithmetic (inter·tauDen >= tauNum·|A|);
+    * the reported ppm is integer too. */
+  def containedPairsRational(probes: DataFrame, probeId: String,
+      probeElems: Column, corpus: DataFrame, corpusId: String,
+      corpusElems: Column, tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauDen > 0 && tauNum > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
+    val pa = probes.select(col(probeId).as("probe_id"),
+        array_distinct(probeElems).as("pa"))
+      .filter(col("pa").isNotNull)
+      .withColumn("n_probe", size(col("pa")))
+    val cb = corpus.select(col(corpusId).as("doc_id"),
+        array_distinct(corpusElems).as("cb"))
+      .filter(col("cb").isNotNull)
+    val corpTok = cb.select(col("doc_id"), explode(col("cb")).as("tok"))
+    val tokDf = corpTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val probePrefix = pa
+      .select(col("probe_id"), col("n_probe"), explode(col("pa")).as("tok"))
+      .join(tokDf, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= col("n_probe") -
+        expr(s"(${tauNum}L * n_probe + ${tauDen - 1}L) div ${tauDen}L") + 1)
+      .select("probe_id", "tok")
+    val cands = probePrefix.join(corpTok, "tok")
+      .select("probe_id", "doc_id").distinct()
+    cands
+      .join(pa, "probe_id").join(cb, "doc_id")
+      .withColumn("inter", size(array_intersect(col("pa"), col("cb"))))
+      .filter(col("inter") * lit(tauDen) >= lit(tauNum) * col("n_probe"))
+      .select(col("probe_id"), col("doc_id"), col("n_probe"), col("inter"),
+        expr("inter * 1000000L div n_probe").as("cont_ppm"))
+  }
+
   /** [[similarPairs]] with the threshold as an exact rational
     * tauNum/tauDen — every comparison against it is integer arithmetic:
     *

@@ -667,6 +667,31 @@ object LlmOps {
         org.apache.spark.sql.graft.TokenShingleHashes
           .token_shingle_hashes(col("text"), 3),
         tau = 0.75)),
+    // Directed CONTAINMENT join (SetSimJoin.containedPairsRational) —
+    // the quote/clone/benchmark-leak primitive Jaccard can't express: a
+    // 20-token excerpt quoted inside a 90-token document is ~20%
+    // union-similar but 100% contained. Probes are derived excerpts
+    // (first 20 tokens of every 10th doc — each must rediscover its
+    // source at cont = 1, the planted ground truth), searched against
+    // the WHOLE corpus with the asymmetric lossless prefix filter:
+    // probe prefixes rank rarest-first by corpus df, candidates only
+    // from prefix collisions, exact integer acceptance. Both sides are
+    // corpus-scale joins — no broadcast index, which is what separates
+    // this from q_contamination's small-benchmark sweep. The oracle is
+    // the brute blocking replay over gram STRINGS (any qualifying pair
+    // shares a gram), independent of the prefix logic it checks.
+    "q_sim_containment_join" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val probes = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("pid"),
+          array_join(slice(split(col("text"), " "), 1, 20), " ").as("ptext"))
+      graft.ops.SetSimJoin.containedPairsRational(
+          probes, "pid", Dedup.tokenShingles(col("ptext"), 3),
+          d, "doc_id", Dedup.tokenShingles(col("text"), 3),
+          tauNum = 1, tauDen = 2)
+        .withColumnRenamed("probe_id", "probe_doc")
+        .orderBy("probe_doc", "doc_id")
+    }),
     // SemDeDup (ops.SemanticDedup): k-means blocking instead of the
     // metadata label — the dedup that works when no label exists. FULLY
     // ORACLED despite the ML fit: the seeded k-means|| produces
@@ -932,6 +957,38 @@ object LlmOps {
          WHERE CAST(len(list_intersect(ta.g, tb.g)) AS DOUBLE)
              / (len(ta.g) + len(tb.g) - len(list_intersect(ta.g, tb.g))) >= 0.75
          ORDER BY id_a, id_b""",
+    // Brute blocking replay over gram strings: any pair with inter >= 1
+    // shares a gram, so the shared-gram join is a complete candidate set
+    // — independent of the Spark side's prefix filter.
+    "q_sim_containment_join" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL),
+         p AS (SELECT doc_id AS pid,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 20),
+                   ' ') AS ptext
+               FROM d WHERE doc_id % 10 = 0),
+         pg AS MATERIALIZED (
+           SELECT pid, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+           FROM (SELECT pid, string_split(ptext, ' ') AS t FROM p) q),
+         cg AS MATERIALIZED (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d) q),
+         ptok AS (SELECT pid, unnest(g) AS tok FROM pg),
+         ctok AS (SELECT doc_id, unnest(g) AS tok FROM cg),
+         cand AS (SELECT DISTINCT pid, doc_id FROM ptok JOIN ctok USING (tok)),
+         v AS (SELECT c.pid, c.doc_id,
+                 CAST(len(list_intersect(pg.g, cg.g)) AS INT) AS inter,
+                 CAST(len(pg.g) AS INT) AS n_probe
+               FROM cand c JOIN pg USING (pid) JOIN cg USING (doc_id))
+         SELECT pid AS probe_doc, doc_id, n_probe, inter,
+           CAST(CAST(inter AS BIGINT) * 1000000 // n_probe AS BIGINT)
+             AS cont_ppm
+         FROM v WHERE inter * 2 >= n_probe
+         ORDER BY probe_doc, doc_id""",
     "q_sim_threshold_pairs" ->
       """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b

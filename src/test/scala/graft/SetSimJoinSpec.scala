@@ -23,6 +23,29 @@ class SetSimJoinSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 0.6), (1L, 3L, 1.0), (2L, 3L, 0.6)))
   }
 
+  test("containment join finds a planted quote and is lossless vs brute force") {
+    // probe 10 = doc 1's elements exactly (cont=1 against doc 1); probe
+    // 11 half-overlaps docs 1 and 2; the brute-force ground truth at
+    // tau=1/2 must match the prefix-filtered result exactly.
+    val corpus = Seq(
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("c", "d", "e", "f"),
+      3L -> Seq("x", "y", "z"))
+    val probes = Seq(
+      10L -> Seq("a", "b", "c", "d"),
+      11L -> Seq("c", "d", "q", "r"))
+    val got = SetSimJoin.containedPairsRational(
+        probes.toDF("pid", "elems"), "pid", col("elems"),
+        corpus.toDF("doc_id", "elems"), "doc_id", col("elems"), 1, 2)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val want = (for {
+      (pid, pa) <- probes; (did, cb) <- corpus
+      inter = pa.toSet.intersect(cb.toSet).size
+      if inter * 2 >= pa.size
+    } yield (pid, did, pa.size, inter, inter * 1000000L / pa.size)).toSet
+    assert(got == want && want.contains((10L, 1L, 4, 4, 1000000L)), s"$got")
+  }
+
   test("prefix filter is lossless: matches brute force on random-ish sets") {
     // 40 docs over a 12-element universe (deterministic construction) —
     // small universe forces heavy prefix collisions AND near-threshold
