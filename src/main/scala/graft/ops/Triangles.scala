@@ -33,6 +33,47 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Weighted co-occurrence pair list from per-basket item sets — the
+    * shared front-end of the co-occurrence graph family (triangles,
+    * link prediction, connected components): collapse each basket to its
+    * sorted distinct item array in ONE corpus shuffle, explode unordered
+    * pairs MAP-SIDE from the array (the array IS the self-join — k items
+    * yield k²/2 in-task combinations, no row-bearing join), and count
+    * per (src < dst) pair.
+    *
+    * `maxBasket` is the HOT-BASKET guard, and it is load-bearing: the
+    * zipf skew rung measured one hot basket key (25% of a 6M-row corpus
+    * rerouted onto 4 baskets) turning the per-basket explode quadratic —
+    * ~C(10⁴,2)·4 ≈ 2×10⁸ pairs from four rows, 31× wall on the pair
+    * stage (9 s → 282 s) while every downstream stage stayed flat. The
+    * cap keeps each basket's contribution to its first `maxBasket`
+    * sorted items (deterministic, engine-replayable as
+    * `row_number() OVER (PARTITION BY basket ORDER BY item) <= cap`), so
+    * a pathological basket contributes ≤ cap²/2 pairs. Semantically: a
+    * basket with 10⁴ distinct items is a crawl artifact, not a signal —
+    * capping it is the co-occurrence analogue of q_basket_rules' bounded
+    * item domain, and ordinary corpora (max basket ≈ 7 here) never hit
+    * the cap, so their results are bit-identical with or without it.
+    *
+    * The collect_set buffer itself remains bounded by DISTINCT ITEMS PER
+    * BASKET — the item dimension (10⁴–10⁵ keys here), not the corpus —
+    * which is the safe contract for dimension-bounded item spaces; for a
+    * genuinely unbounded item domain, pre-prune with TopK.perGroup per
+    * basket before collecting (the q_text_inverted_index move) at the
+    * price of one extra exchange. */
+  def coPairs(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    rows.groupBy(basketCol)
+      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxBasket)
+        .as("items"))
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Keep each node's `k` strongest partners from a weighted co-occurrence
     * pair list `pairs` (src < dst, one row per unordered pair with its
     * weight), then return the UNION backbone as a normalized undirected

@@ -23,6 +23,15 @@ object Relational {
     * query keeps oracle and plan contract in lockstep. */
   private[graft] val pagerankIters = 5
 
+  /** Hot-basket cap for the co-occurrence pair derivations
+    * (`Triangles.coPairs`) — ONE definition interpolated into both the
+    * Spark queries and their DuckDB oracle SQL so a tune cannot drift
+    * between them. 64 never engages on ordinary order sizes (max ≈ 7 at
+    * every SF), so uniform-corpus results are identical with or without
+    * it; on a hot-basket corpus it bounds each basket's pair explode at
+    * cap²/2 (the zipf rung measured the uncapped explode at 31× wall). */
+  private[graft] val CoPairsBasketCap = 64
+
   /** The two snapshot versions q_cdc_diff recovers a changelog between and
     * q_agg_incremental maintains an aggregate across — ONE derivation so
     * the two queries (and both oracles, which embed the same rule) cannot
@@ -481,17 +490,14 @@ object Relational {
     // sf0.1's is 453k edges over 1000 suppliers, 91% of complete, where a
     // triangle listing is Θ(n³) and carries no structure.
     "q_graph_triangles" -> ((s, dir) => {
-      // co-supplier weights via per-order supplier-set arrays + map-side
-      // pair explode (the q_basket_rules shape) — one corpus shuffle
-      // instead of a distinct + row-bearing self-join on l_orderkey
-      val pairs = tbl(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
-        .select(explode(flatten(transform(col("supps"), (x, i) =>
-          transform(slice(col("supps"), i + 2, size(col("supps"))),
-            y => struct(x.as("src"), y.as("dst")))))).as("p"))
-        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // co-supplier weights via Triangles.coPairs (per-order supplier-set
+      // arrays + map-side pair explode, hot-basket cap 64 — one corpus
+      // shuffle instead of a distinct + row-bearing self-join; the cap
+      // is the zipf-measured quadratic guard and never engages on
+      // ordinary order sizes)
+      val pairs = graft.ops.Triangles.coPairs(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey", "l_suppkey", maxBasket = CoPairsBasketCap)
       graft.ops.Triangles.perNode(graft.ops.Triangles.backbone(pairs, k = 5))
         .orderBy("node")
     }),
@@ -507,14 +513,9 @@ object Relational {
     // backbone via row_number and counts wedges with a relational
     // self-join.
     "q_graph_linkpred" -> ((s, dir) => {
-      val pairs = tbl(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
-        .select(explode(flatten(transform(col("supps"), (x, i) =>
-          transform(slice(col("supps"), i + 2, size(col("supps"))),
-            y => struct(x.as("src"), y.as("dst")))))).as("p"))
-        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val pairs = graft.ops.Triangles.coPairs(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey", "l_suppkey", maxBasket = CoPairsBasketCap)
       graft.ops.Triangles
         .linkPredict(graft.ops.Triangles.backbone(pairs, k = 5))
         .orderBy(desc("jaccard_ppm"), asc("x"), asc("y"))
@@ -604,17 +605,12 @@ object Relational {
     // quadratic reach table still fits; the Spark side is the shape that
     // survives when it does not.
     "q_graph_components" -> ((s, dir) => {
-      // per-order part-set arrays + map-side pair explode (collect_set
-      // dedupes, sorted array gives a<b) — one corpus shuffle, no
-      // row-bearing self-join; per-key state bounded by basket size
-      val edges = tbl(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(slice(col("parts"), i + 2, size(col("parts"))),
-            y => struct(x.as("src"), y.as("dst")))))).as("p"))
-        .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // per-order part-set arrays + map-side pair explode via
+      // Triangles.coPairs (one corpus shuffle, no row-bearing self-join,
+      // hot-basket cap 64 — the zipf-measured quadratic guard)
+      val edges = graft.ops.Triangles.coPairs(
+          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
         .filter(col("w") >= 2)
       graft.ops.Components.connectedComponents(edges, "src", "dst")
         .orderBy("id")
@@ -1248,8 +1244,13 @@ object Relational {
     // label propagation over the symmetric edge list — component(v) =
     // min(reachable ids) = Components' pointer-jumping invariant.
     "q_graph_components" ->
-      """WITH RECURSIVE
-         ds AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH RECURSIVE
+         ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ds AS (SELECT l_orderkey, l_partkey FROM (
+                  SELECT l_orderkey, l_partkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+                  FROM ds0) z
+                WHERE rn <= $CoPairsBasketCap),
          pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
                 FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
                                    AND a.l_partkey < b.l_partkey
@@ -1331,7 +1332,12 @@ object Relational {
     // O(m^1.5)-bounded and tiny, so forcing wedges-then-close is both
     // the algorithm's intent and the safe plan.
     "q_graph_triangles" ->
-      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      s"""WITH ls0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         ls AS (SELECT l_orderkey, l_suppkey FROM (
+                  SELECT l_orderkey, l_suppkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_suppkey) AS rn
+                  FROM ls0) z
+                WHERE rn <= $CoPairsBasketCap),
          pairs AS MATERIALIZED (
                    SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
                    FROM ls a JOIN ls b USING (l_orderkey)
@@ -1371,7 +1377,12 @@ object Relational {
     // relational self-join of the neighbor list (the Spark side explodes
     // per-node arrays — same pair set), then anti-join existing edges.
     "q_graph_linkpred" ->
-      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      s"""WITH ls0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         ls AS (SELECT l_orderkey, l_suppkey FROM (
+                  SELECT l_orderkey, l_suppkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_suppkey) AS rn
+                  FROM ls0) z
+                WHERE rn <= $CoPairsBasketCap),
          pairs AS MATERIALIZED (
                    SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS w
                    FROM ls a JOIN ls b USING (l_orderkey)

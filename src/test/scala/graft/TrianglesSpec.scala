@@ -21,6 +21,26 @@ class TrianglesSpec extends SparkSpec {
     assert(Triangles.perNode(star).count() == 0)
   }
 
+  test("coPairs: hot-basket cap bounds the explode; small baskets unaffected") {
+    // basket 1 is a planted hot basket (200 distinct items); baskets 2/3
+    // are ordinary. With maxBasket=64 the hot basket contributes exactly
+    // C(64,2) pairs over its 64 SMALLEST items — items 65..200 vanish —
+    // while small-basket pairs survive verbatim and weights merge.
+    val rows = ((1 to 200).map(i => (1L, i.toLong)) ++
+      Seq((2L, 7L), (2L, 9L), (3L, 7L), (3L, 9L), (3L, 11L)))
+      .toDF("basket", "item")
+    val got = Triangles.coPairs(rows, "basket", "item", maxBasket = 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, d, w) => (s, d) -> w }.toMap
+    val expected = (for { a <- 1L to 64L; b <- (a + 1) to 64L } yield {
+      val extra = Seq((7L, 9L) -> 2L, (7L, 11L) -> 1L, (9L, 11L) -> 1L)
+        .toMap.getOrElse((a, b), 0L)
+      (a, b) -> (1L + extra)
+    }).toMap
+    assert(got == expected,
+      s"${got.size} pairs vs expected ${expected.size}")
+  }
+
   test("backbone keeps an edge if EITHER endpoint ranks it top-k") {
     // node 1's top-1 partner is 2 (w=9); node 3 ranks 1 as ITS top-1, so
     // (1,3) survives via 3's vote even though 1 prefers 2
