@@ -285,6 +285,60 @@ object Events {
           scoreUp(col("monetary_cents"), mT).as("m_score"))
         .orderBy("user_id")
     }),
+    // First-order Markov transition matrix over event types: how users
+    // move between view/click/purchase/... — the behavioural model behind
+    // next-action prediction and anomaly scoring. The ONLY corpus-scale
+    // stage is one lead() window over user_id (the event stream shuffled
+    // once, same exchange every per-user query here reuses); transitions
+    // then collapse to a |types|² matrix, so the probability window and
+    // the final sort run on ≤25 rows no matter the corpus size.
+    // Probabilities are integer ppm (cnt·1e6 div row-total) — exact in
+    // both engines, no float normalization to drift.
+    "q_events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val wf = Window.partitionBy("from_type")
+      tr.withColumn("row_total", sum(col("n_trans")).over(wf))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          expr("n_trans * 1000000 div row_total").as("p_ppm"))
+        .orderBy("from_type", "to_type")
+    }),
+    // Per-user OLS trend (is this user's spend rising or falling?): the
+    // closed-form slope over (hours-since-first-event, cents) in EXACT
+    // integer arithmetic — num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², both
+    // engines replay them bit-for-bit, slope published as milli-cents/hour
+    // via truncating division (Spark `div` ≡ DuckDB `//` toward zero,
+    // verified for negative numerators). Centering x on the user's first
+    // event bounds every term by the OBSERVATION SPAN, not the epoch:
+    // with x ≤ span-hours and y in cents, n·Σxy stays within long for
+    // n·span·cents ≲ 9e18 — ~1e7 events/user at a 720 h window, far past
+    // any real per-user history. One shuffle on user_id: the min() window
+    // and the groupBy reuse the same exchange.
+    "q_events_trend" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val xy = tbl(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("us0", min(col("us")).over(w))
+        .withColumn("x", expr("(us - us0) div 3600000000"))
+      xy.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("x").as("sx"), sum("cents").as("sy"),
+          sum(col("x") * col("cents")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("num", col("n_events") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n_events") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("den") > 0)
+        .select(col("user_id"), col("n_events"), col("num"), col("den"),
+          expr("num * 1000 div den").as("slope_milli_cph"))
+        .orderBy("user_id")
+    }),
     "q_events_streak" -> ((s, dir) => {
       val days = sort_array(collect_set(unix_date(to_date(col("ts")))))
       // accumulator: (prev day, current run length, max run, run count)
@@ -464,6 +518,42 @@ object Events {
            r_score, f_score, m_score
          FROM u JOIN rs USING (user_id) JOIN fs USING (user_id)
            JOIN ms USING (user_id)
+         ORDER BY user_id""",
+    "q_events_markov" ->
+      """WITH t AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n_trans
+               FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_trans,
+           n_trans * 1000000
+             // CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+             AS p_ppm
+         FROM c ORDER BY from_type, to_type""",
+    "q_events_trend" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         x AS (
+           SELECT user_id, cents,
+             (us - min(us) OVER (PARTITION BY user_id)) // 3600000000 AS x
+           FROM e),
+         a AS (
+           SELECT user_id, count(*) AS n_events,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(x * cents) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM x GROUP BY user_id)
+         SELECT user_id, n_events,
+           n_events * sxy - sx * sy AS num,
+           n_events * sxx - sx * sx AS den,
+           (n_events * sxy - sx * sy) * 1000
+             // (n_events * sxx - sx * sx) AS slope_milli_cph
+         FROM a WHERE n_events * sxx - sx * sx > 0
          ORDER BY user_id""",
     // Independent derivation on purpose: the classic day − dense_rank
     // islands formulation, not the Spark side's sorted-array fold.

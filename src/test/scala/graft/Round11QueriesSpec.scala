@@ -97,6 +97,56 @@ class Round11QueriesSpec extends SparkSpec {
       ((7L, 3L, 30L, 166L)), r.toString)
   }
 
+  test("q_events_markov matches a hand-computed transition matrix") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    // one user: view,click,view,click,purchase ->
+    // view->click x2 (p=1.0), click->view x1, click->purchase x1 (p=0.5)
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    Seq((1L, ts(0), 7L, "view", 0.0, "{}"),
+        (2L, ts(1), 7L, "click", 0.0, "{}"),
+        (3L, ts(2), 7L, "view", 0.0, "{}"),
+        (4L, ts(3), 7L, "click", 0.0, "{}"),
+        (5L, ts(4), 7L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_events_markov")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 1000000L)),
+      ("click", "view") -> ((1L, 500000L)),
+      ("click", "purchase") -> ((1L, 500000L))), out.toString)
+  }
+
+  test("q_events_trend: exact signed slopes, degenerate users filtered") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 7 falls 1 cent/36s: hours 0,1,2 at 3.00/2.00/1.00 ->
+    //   num = 3*400-3*600 = -600, den = 3*5-9 = 6, slope = -100000 (trunc
+    //   toward zero on a NEGATIVE numerator — the DuckDB `//` parity case)
+    // user 8 rises: hours 0,2 at 1.00/2.00 -> num 200, den 4, slope 50000
+    // user 9: both events inside one hour -> den = 0, row filtered
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    Seq((1L, ts(0), 7L, "view", 3.0, "{}"),
+        (2L, ts(60), 7L, "view", 2.0, "{}"),
+        (3L, ts(120), 7L, "view", 1.0, "{}"),
+        (4L, ts(0), 8L, "view", 1.0, "{}"),
+        (5L, ts(120), 8L, "view", 2.0, "{}"),
+        (6L, ts(0), 9L, "view", 5.0, "{}"),
+        (7L, ts(30), 9L, "view", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_events_trend")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      7L -> ((3L, -600L, 6L, -100000L)),
+      8L -> ((2L, 200L, 4L, 50000L))), out.toString)
+  }
+
   test("q_text_bigram_lm matches a hand-computed fixture") {
     import spark.implicits._
     // corpus: "a b a b" and "a b" -> pairs: (a,b)x3, (b,a)x1 ; N=4
