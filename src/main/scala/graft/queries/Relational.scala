@@ -615,6 +615,23 @@ object Relational {
       graft.ops.Components.connectedComponents(edges, "src", "dst")
         .orderBy("id")
     }),
+    // Label-propagation community detection over the same co-purchase
+    // graph (ops.Lpa — deterministic synchronous LPA, min-label
+    // tie-break): communities REFINE the components q_graph_components
+    // finds — a component splits where co-purchase density does. Per
+    // round: one vertex-sized label join against the once-partitioned
+    // edge list + two combiner-backed aggregations; never an edge-sized
+    // shuffle after round 0. Fully oracled — determinism makes the
+    // 3-round vote/argmax recurrence replayable as DuckDB CTEs.
+    "q_graph_lpa" -> ((s, dir) => {
+      val pairs = graft.ops.Triangles.coPairs(
+          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+        .filter(col("w") >= 2).select("src", "dst")
+      val sym = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Lpa.propagate(sym, rounds = 3).orderBy("id")
+    }),
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
     // one pathologically hot key spreads over SALT shuffle partitions.
@@ -1263,6 +1280,20 @@ object Relational {
            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          SELECT node AS id, min(r) AS component FROM reach
          GROUP BY node ORDER BY id""",
+    "q_graph_lpa" -> graft.ops.Lpa.oracleSql(
+      s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ds AS (SELECT l_orderkey, l_partkey FROM (
+                  SELECT l_orderkey, l_partkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+                  FROM ds0) z
+                WHERE rn <= $CoPairsBasketCap),
+         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT src, dst FROM pr
+         UNION ALL SELECT dst AS src, src AS dst FROM pr""",
+      rounds = 3),
     "q_graph_pagerank" -> graft.ops.PageRank.oracleSql(
       """SELECT src, dst FROM (
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

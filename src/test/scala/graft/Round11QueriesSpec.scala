@@ -97,6 +97,21 @@ class Round11QueriesSpec extends SparkSpec {
       ((7L, 3L, 30L, 166L)), r.toString)
   }
 
+  test("Lpa.propagate splits two bridged cliques into their own communities") {
+    import spark.implicits._
+    // K4 on {1..4} + K4 on {10..13} + bridge (4,10): 3 synchronous
+    // min-tie-break rounds converge each clique onto its smallest id
+    // (hand-traced: round 1 seeds 1 and 4/10-vs-10, rounds 2-3 flood).
+    val cliqueA = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- 10L to 13L if a != b) yield (a, b)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 10L), (10L, 4L)))
+      .toDF("src", "dst")
+    val out = graft.ops.Lpa.propagate(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), out.toString)
+  }
+
   test("q_events_markov matches a hand-computed transition matrix") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
