@@ -90,19 +90,25 @@ object Events {
     // Cohort retention matrix: users grouped by their signup week, each
     // cohort's active-user count per week offset, plus retention ppm
     // against cohort size (integer: n*1e6 div size — no float share).
-    // Scale shape: the only corpus-wide stages are one user_id join
-    // (cohort table is user-dim-sized, broadcastable for most corpora)
-    // and one distinct over (user, cohort, week) — the matrix itself is
-    // cohorts×offsets, trivially small. Weeks are date_trunc('week'),
-    // Monday-start in both engines; the offset is exact integer division
-    // of epoch seconds (aligned truncation makes it divide evenly).
+    // Scale shape: the only corpus-wide stages are one user_id join and
+    // one distinct over (user, cohort, week) — the matrix itself is
+    // cohorts×offsets, trivially small. The cohort table is
+    // user-DIMENSION-sized (one row per signed-up user), so it carries NO
+    // broadcast hint: a forced broadcast OOMs exactly when the user base
+    // grows past executor memory, while unhinted AQE promotes it to a
+    // broadcast automatically whenever its measured size fits and
+    // gracefully shuffles when it does not. The sizes table stays
+    // broadcast — it is calendar-bounded (one row per signup WEEK).
+    // Weeks are date_trunc('week'), Monday-start in both engines; the
+    // offset is exact integer division of epoch seconds (aligned
+    // truncation makes it divide evenly).
     "q_events_retention" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       val cohort = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min("ts").as("first_ts"))
         .select(col("user_id"), date_trunc("week", col("first_ts")).as("cw"))
       val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
-        .join(broadcast(cohort), "user_id")
+        .join(cohort, "user_id")
         .filter(col("aw") >= col("cw"))
         .select("user_id", "cw", "aw").distinct()
       val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))

@@ -33,6 +33,18 @@ object TextQueries {
   private[queries] val PerplexityHeadMax = 3.40
   private[queries] val PerplexityMiddleMax = 3.41
 
+  /** q_text_bigram_lm's model cap: bigrams seen fewer than this many
+    * times are PRUNED from the broadcast model table and their pairs back
+    * off to the unigram term alone. ONE definition interpolated into both
+    * the Spark query and the DuckDB oracle so a tune cannot drift. The
+    * cap is what makes the scoring join's build side bounded — the capped
+    * table has at most Σ pair-occurrences / cap rows regardless of how
+    * many distinct bigrams the corpus grows (billions on the open web);
+    * in production the cap scales with corpus size to hold a fixed model
+    * budget. 3 keeps the sf0.01 catalog corpus exercising BOTH branches
+    * (most repeated bigrams survive; the singleton tail backs off). */
+  private[graft] val BigramMinCount = 3
+
   val defs: Map[String, Q] = Map(
     "q_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -312,23 +324,30 @@ object TextQueries {
     // q_text_perplexity's unigram score (a bigram LM separates fluent
     // word ORDER from mere in-vocabulary word choice, which is what
     // separates templated spam from prose):
-    //   p(w2|w1) = 3/4·c(w1,w2)/c(w1·) + 1/4·c(·w2)/N
+    //   p(w2|w1) = 3/4·c(w1,w2)/c(w1·) + 1/4·c(·w2)/N   if c(w1,w2) ≥ cap
+    //   p(w2|w1) =                       1/4·c(·w2)/N   otherwise (backoff)
     // with every count defined over the corpus's adjacent-pair stream, so
     // ALL model tables derive from ONE pair aggregation (`cab`) exactly
     // as q_text_pmi's marginals do — the left marginal is c(w1·), the
-    // right c(·w2), the grand total N; self-trained, every scored pair
-    // has c(w1,w2) ≥ 1 so p > 0 without extra smoothing mass. Scoring
-    // joins the corpus pair stream against BROADCAST model tables
-    // (bigram table is vocab²-bounded — at open-web scale cap it with a
-    // min-count threshold and let pruned pairs back off to the unigram
-    // term, the standard interpolation story; the isNotNull filter keeps
-    // every cab reference canonically equal so the fit side stays one
-    // documents scan). Numeric determinism: p is a FIXED IEEE op
-    // sequence (two exact int→double casts per ratio, each division and
-    // the 3/4 + 1/4 combination correctly rounded, identical order in
-    // both engines), then per-pair NLL quantizes to integer micro-nats
-    // before the exact long per-doc sum — only ln's ≤1 ulp remains, the
-    // same validated class as tf-idf/perplexity.
+    // right c(·w2), the grand total N. The SCORING join broadcasts only
+    // the MIN-COUNT-CAPPED bigram table: distinct bigrams grow with the
+    // corpus (open web: billions) and an uncapped broadcast is a
+    // driver/executor OOM at scale, while the capped table is bounded by
+    // Σc/cap rows (each surviving row accounts for ≥ cap pair
+    // occurrences) and in a zipf corpus is far smaller — the standard
+    // interpolated-LM pruning. Pairs pruned from the model back off to
+    // the always-positive unigram term (c(·w2) ≥ 1), so p > 0 without
+    // extra smoothing mass; the backoff arrives via LEFT join + isNull
+    // test, keeping every cab reference canonically equal so the fit
+    // side stays one documents scan. The vocab-sized marginals (ca/cb)
+    // stay broadcast — vocabulary grows with the log of the corpus, the
+    // LM contract all unigram scorers here share. Numeric determinism: p
+    // is a FIXED IEEE op sequence (two exact int→double casts per ratio,
+    // each division and the 3/4 + 1/4 combination correctly rounded,
+    // identical order in both engines; the pruned branch adds an exact
+    // +0.0), then per-pair NLL quantizes to integer micro-nats before
+    // the exact long per-doc sum — only ln's ≤1 ulp remains, the same
+    // validated class as tf-idf/perplexity.
     "q_text_bigram_lm" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val prs = tbl(s, dir, "documents")
@@ -345,9 +364,12 @@ object TextQueries {
       val ca = cab.groupBy("w1").agg(sum("n_ab").as("n_a"))
       val cb = cab.groupBy("w2").agg(sum("n_ab").as("n_b"))
       val tot = cab.agg(sum("n_ab").as("n_tot"))
-      val p = lit(0.75) * (col("n_ab").cast("double") / col("n_a")) +
+      val capped = cab.filter(col("n_ab") >= BigramMinCount)
+      val p = when(col("n_ab").isNotNull,
+          lit(0.75) * (col("n_ab").cast("double") / col("n_a")))
+          .otherwise(lit(0d)) +
         lit(0.25) * (col("n_b").cast("double") / col("n_tot"))
-      prs.join(broadcast(cab), Seq("w1", "w2"))
+      prs.join(broadcast(capped), Seq("w1", "w2"), "left")
         .join(broadcast(ca), "w1").join(broadcast(cb), "w2")
         .crossJoin(broadcast(tot))
         .withColumn("__q", floor(-log(p) * 1000000d + 0.5d).cast("long"))
@@ -637,13 +659,17 @@ object TextQueries {
     // The marginals count the raw pair stream directly (count(*) per w1 /
     // per w2) — equal by construction to the Spark side's sums over the
     // pair-count table; the interpolation arithmetic mirrors the Spark
-    // op sequence exactly (two casts, two divisions, 3/4 + 1/4 combine).
-    // pr/model CTEs are AS MATERIALIZED: the pair stream is referenced 5
-    // times (cab/ca/cb/tot + scoring), and DuckDB's default inlining
-    // re-expands the unnest under each — the Bpe-oracle blowup shape,
-    // which at 10x scale ran minutes and tens of GB before the hint.
+    // op sequence exactly (two casts, two divisions, 3/4 + 1/4 combine;
+    // the pruned branch contributes an exact 0.0 to the same final add).
+    // The min-count model cap is replayed as a LEFT JOIN against the
+    // capped table — a Spark pair wrongly kept or wrongly pruned flips
+    // its branch and hash-mismatches. pr/model CTEs are AS MATERIALIZED:
+    // the pair stream is referenced 5 times (cab/ca/cb/tot + scoring),
+    // and DuckDB's default inlining re-expands the unnest under each —
+    // the Bpe-oracle blowup shape, which at 10x scale ran minutes and
+    // tens of GB before the hint.
     "q_text_bigram_lm" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),
          prs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
@@ -651,14 +677,19 @@ object TextQueries {
          pr AS MATERIALIZED (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM prs),
          cab AS MATERIALIZED (
            SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
+         capped AS MATERIALIZED (
+           SELECT * FROM cab WHERE n_ab >= $BigramMinCount),
          ca AS MATERIALIZED (SELECT w1, count(*) AS n_a FROM pr GROUP BY w1),
          cb AS MATERIALIZED (SELECT w2, count(*) AS n_b FROM pr GROUP BY w2),
          tot AS MATERIALIZED (SELECT count(*) AS n_tot FROM pr),
          q AS (SELECT doc_id,
-             CAST(floor(-ln(0.75 * (CAST(n_ab AS DOUBLE) / n_a)
+             CAST(floor(-ln(
+               (CASE WHEN n_ab IS NOT NULL
+                     THEN 0.75 * (CAST(n_ab AS DOUBLE) / n_a)
+                     ELSE 0.0 END)
                + 0.25 * (CAST(n_b AS DOUBLE) / n_tot)) * 1000000 + 0.5)
                AS BIGINT) AS q
-           FROM pr JOIN cab USING (w1, w2) JOIN ca USING (w1)
+           FROM pr LEFT JOIN capped USING (w1, w2) JOIN ca USING (w1)
              JOIN cb USING (w2) CROSS JOIN tot)
          SELECT doc_id, count(*) AS n_pairs,
            floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) / 1000000 AS nll2

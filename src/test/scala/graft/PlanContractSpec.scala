@@ -369,6 +369,31 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"marginal branches must reuse the pair-count exchange:\n$p")
   }
 
+  test("q_text_bigram_lm: the scoring join's broadcast build side is the CAPPED table") {
+    // The scale contract of the model cap: the per-pair scoring join (the
+    // LEFT join on (w1, w2) — the only 2-key join in the plan) must build
+    // from the min-count-FILTERED bigram table, never the raw vocab²
+    // aggregation. A regression that broadcasts the uncapped table is the
+    // open-web OOM the cap exists to prevent and would pass every
+    // correctness check (at catalog scale both fit in memory).
+    val df = SparkEntry.queries("q_text_bigram_lm")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val scoring = collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec if j.leftKeys.size == 2 => j
+    }
+    assert(scoring.nonEmpty, s"no 2-key broadcast scoring join found:\n$p")
+    val minCount = graft.queries.TextQueries.BigramMinCount
+    scoring.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      assert(build.toString.contains(s">= $minCount"),
+        s"scoring join builds from the UNCAPPED bigram table:\n$build")
+    }
+  }
+
   test("q_text_inverted_index bounds the posting sample before aggregating") {
     // The posting sample must descend from the bounded-heap prune
     // (TopK.perGroup) — a regression to collect_set-then-slice buffers

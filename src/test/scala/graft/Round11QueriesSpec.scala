@@ -139,9 +139,14 @@ class Round11QueriesSpec extends SparkSpec {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // user 6 pins the TRUNCATION DIRECTION on a negative numerator with a
+    //   nonzero remainder (the DuckDB `//` parity case user 7 cannot
+    //   exercise — its division is exact): hours 0,1,3 at 3.00/2.00/1.00
+    //   -> num = 3*500-4*600 = -900, den = 3*10-16 = 14,
+    //   -900000 div 14 = -64285 toward zero (a floor-division engine
+    //   would produce -64286 and fail here)
     // user 7 falls 1 cent/36s: hours 0,1,2 at 3.00/2.00/1.00 ->
-    //   num = 3*400-3*600 = -600, den = 3*5-9 = 6, slope = -100000 (trunc
-    //   toward zero on a NEGATIVE numerator — the DuckDB `//` parity case)
+    //   num = 3*400-3*600 = -600, den = 3*5-9 = 6, slope = -100000
     // user 8 rises: hours 0,2 at 1.00/2.00 -> num 200, den 4, slope 50000
     // user 9: both events inside one hour -> den = 0, row filtered
     val dir = java.nio.file.Files.createTempDirectory("trend").toString
@@ -151,29 +156,36 @@ class Round11QueriesSpec extends SparkSpec {
         (4L, ts(0), 8L, "view", 1.0, "{}"),
         (5L, ts(120), 8L, "view", 2.0, "{}"),
         (6L, ts(0), 9L, "view", 5.0, "{}"),
-        (7L, ts(30), 9L, "view", 9.0, "{}"))
+        (7L, ts(30), 9L, "view", 9.0, "{}"),
+        (8L, ts(0), 6L, "view", 3.0, "{}"),
+        (9L, ts(60), 6L, "view", 2.0, "{}"),
+        (10L, ts(180), 6L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = SparkEntry.queries("q_events_trend")(spark, dir).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out == Map(
+      6L -> ((3L, -900L, 14L, -64285L)),
       7L -> ((3L, -600L, 6L, -100000L)),
       8L -> ((2L, 200L, 4L, 50000L))), out.toString)
   }
 
-  test("q_text_bigram_lm matches a hand-computed fixture") {
+  test("q_text_bigram_lm matches a hand-computed fixture (cap + backoff)") {
     import spark.implicits._
     // corpus: "a b a b" and "a b" -> pairs: (a,b)x3, (b,a)x1 ; N=4
     // c(a,b)=3, c(b,a)=1; left: a->3, b->1; right: b->3, a->1
+    // Model cap = 3: (a,b) SURVIVES the capped table (interpolated path),
+    // (b,a) is PRUNED and backs off to the unigram term alone — the
+    // fixture exercises both scoring branches.
     val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("bigram").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q_text_bigram_lm")(spark, dir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
     def qn(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
-    val pAB = 0.75 * (3.0 / 3.0) + 0.25 * (3.0 / 4.0) // = 0.9375
-    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * (1.0 / 4.0) // = 0.8125
+    val pAB = 0.75 * (3.0 / 3.0) + 0.25 * (3.0 / 4.0) // = 0.9375 (kept)
+    val pBA = 0.0 + 0.25 * (1.0 / 4.0)                // = 0.0625 (backoff)
     val doc1 = math.floor((qn(pAB) * 2 + qn(pBA)).toDouble / 3 + 0.5) / 1e6
     val doc2 = math.floor(qn(pAB).toDouble / 1 + 0.5) / 1e6
     assert(out(1L) == ((3L, doc1)), s"doc1: ${out(1L)} vs $doc1")
