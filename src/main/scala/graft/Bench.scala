@@ -60,7 +60,39 @@ object Bench {
       (1 to 3).foreach(_ => once()) // codegen + JIT + shuffle warmup, untimed
       List.fill(7)(once()).min
     }
-    val calib = calibrate()
+    // Contention self-guard (round 12): the r11 committed artifact was
+    // measured under 4.4x ambient contention (probe 1.564 s vs the pin's
+    // 0.354 s) — zero genuine regressions, but the artifact misrepresented
+    // the workload and forced every reader through the normalization
+    // argument. When the probe lands above 2x the PIN's probe (same-cpus
+    // pin only — probes are config-specific), retry up to 4 times with a
+    // 30 s backoff (contention windows on a shared box are minutes long);
+    // if it never settles, divert the full-map artifact to
+    // bench_queries_contended.json so the committed gate input is never
+    // clobbered by a contended run, and mark the stdout line "contended".
+    val pinCalib: Option[Double] = {
+      val pinPath = sys.env.getOrElse("SPARK_GRAFT_PIN", "baseline_pin_local32.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(pinPath)), "UTF-8")
+        val c = """"calib"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+        val pc = """"cpus"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (pc.contains(cpus)) c else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    var calib = calibrate()
+    pinCalib.foreach { pc =>
+      var attempts = 0
+      while (calib > 2.0 * pc && attempts < 4) {
+        System.err.println(f"[bench] probe ${calib}%.3f s > 2x pin probe " +
+          f"${pc}%.3f s — ambient contention; retry ${attempts + 1}/4 in 30 s")
+        Thread.sleep(30000L)
+        calib = calibrate()
+        attempts += 1
+      }
+    }
+    val contended = pinCalib.exists(pc => calib > 2.0 * pc)
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
@@ -153,12 +185,15 @@ object Bench {
     // full-catalog artifact (the regression gate's input) unless the
     // caller explicitly routed it somewhere with SPARK_GRAFT_BENCH_OUT.
     val defaultOut =
-      if (only.isDefined) "bench_queries_subset.json" else "bench_queries.json"
+      if (only.isDefined) "bench_queries_subset.json"
+      else if (contended) "bench_queries_contended.json"
+      else "bench_queries.json"
     val mapPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
+    val contendedField = if (contended) ""","contended":true""" else ""
     java.nio.file.Files.write(mapPath,
-      s"""{"sf":"$sfDir","cpus":$cpus,"calib":${f3(calib)},"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"calib":${f3(calib)}$contendedField,"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)}$contendedField,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }
