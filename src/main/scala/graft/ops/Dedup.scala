@@ -259,6 +259,69 @@ object Dedup {
     grouped.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate PAIRS by byte-band LSH + exact hamming verify
+    * — the q_multimodal_phash shape applied to text signatures. Splitting
+    * the 64-bit signature into 8 disjoint 8-bit bands gives PIGEONHOLE
+    * exact recall for hamming ≤ 7: a pair differing in at most 7 bits
+    * leaves at least one band untouched, so it collides in that band's
+    * bucket. Candidates come only from band-bucket collisions (never
+    * all-pairs); each candidate is verified with a codegen'd
+    * bit_count(xor) and kept at or below `maxHamming`. Scale shape: the
+    * shuffle key set is bands × bucket values and per-bucket work is
+    * quadratic in bucket occupancy — at corpus scales where 8-bit buckets
+    * densify (≫ 256·tasks docs), widen the bands and lower the hamming
+    * budget (4 × 16-bit bands covers k ≤ 3 with 65k buckets/band, the
+    * Manku-et-al web-dedup operating point); the pigeonhole argument and
+    * this code are width-generic, the 8/8 default matches the catalog's
+    * phash precedent. */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val bands = 8
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands")
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL))
+            .as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Verify-replay DuckDB oracle for [[simHashPairs]]: the recorded
+    * per-doc signatures (xxhash64-based, not SQL-expressible) enter as
+    * literals, and DuckDB independently recomputes the ENTIRE pairing
+    * stage brute-force — all-pairs hamming via bit_count(xor), the
+    * threshold, and the ordering. Because the banding is pigeonhole-exact
+    * for hamming ≤ maxHamming, a Spark bug anywhere downstream of the
+    * signatures — a band extraction that drops a pair, a wrong xor, a
+    * threshold or sort drift — hash-mismatches against the brute-force
+    * replay; only signature GENERATION is trusted as recorded. */
+  def simHashReplayOracleSql(sigs: Seq[(Long, Long)], maxHamming: Int): String = {
+    val rows =
+      if (sigs.isEmpty)
+        "SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE"
+      else {
+        val vals = sigs.map { case (id, h) => s"$id, $h" }
+          .mkString("(", "), (", ")")
+        s"SELECT CAST(i AS BIGINT), CAST(h AS BIGINT) FROM (VALUES $vals) v(i, h)"
+      }
+    s"""WITH sigs(doc_id, h) AS ($rows)
+       SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+       FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       WHERE bit_count(xor(x.h, y.h)) <= $maxHamming
+       ORDER BY id_a, id_b"""
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. NOTE: evaluates
     * `array_intersect` twice (no let-binding in the Column DSL) — in
     * per-pair hot paths use [[withJaccard]], which materializes the

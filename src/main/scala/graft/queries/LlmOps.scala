@@ -102,6 +102,22 @@ object LlmOps {
   private val fullCandidates = new CandMemo()
   private val ReplayOracleCap = 5000
 
+  /** Recorded per-doc SimHash SIGNATURES, keyed by corpus dir — consumed
+    * by [[oracles]] to GENERATE q_dedup_simhash's verify-replay oracle
+    * (the signatures are xxhash64-based and not SQL-expressible, so they
+    * enter as literals while DuckDB recomputes the entire pairing stage
+    * BRUTE-FORCE: all-pairs hamming + threshold + ordering — which
+    * verifies the banding's pigeonhole recall along with everything
+    * downstream). Same one-dir emission rule and literal cap as
+    * [[lshCandidates]]. */
+  private val simhashSigs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+
+  /** q_dedup_simhash's hamming budget — ONE definition shared by the
+    * query and its generated oracle. 7 is the 8-band pigeonhole maximum
+    * (any pair within 7 bit flips leaves one 8-bit band untouched). */
+  private val SimHashMaxHamming = 7
+
   /** The exact-Jaccard keep threshold of the MinHash verify stage — ONE
     * definition shared by the queries (verifyCandidates default) and the
     * generated replay oracles. */
@@ -374,11 +390,24 @@ object LlmOps {
         .select("stage", "id_a", "id_b", "jac")
         .orderBy("stage", "id_a", "id_b")
     }),
-    // SimHash signatures; near-dups share high bit-overlap (rows-only).
-    // Corpus-scale shape: explode + codegen'd bit sums, not per-row HOFs.
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashes(tbl(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+    // SimHash near-dup pairs: 64-bit signatures (explode + codegen'd bit
+    // sums, not per-row HOFs) -> byte-band LSH candidates -> exact
+    // bit_count(xor) hamming verify at <= 7 — pigeonhole-exact recall by
+    // construction (8 disjoint 8-bit bands). ORACLED via generated
+    // verify-replay SQL: the recorded signatures enter as literals and
+    // DuckDB recomputes the whole pairing stage brute-force, so a
+    // banding bug that drops a pair (or any hamming/threshold/ordering
+    // drift) hash-mismatches; only signature generation is trusted as
+    // recorded. The signature frame persists: the band self-join reads
+    // it twice and the memo collect pays once per corpus per JVM.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val sigs = Dedup.simHashes(tbl(s, dir, "documents"), "doc_id", "text")
+        .persist()
+      simhashSigs.computeIfAbsent(dir, _ =>
+        sigs.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+      Dedup.simHashPairs(sigs, SimHashMaxHamming)
+        .orderBy("id_a", "id_b")
+    }),
 
     // Brute-force exact top-5 via the codegen'd native Catalyst expression.
     "q_sim_topk_native" -> ((s, dir) => {
@@ -779,7 +808,13 @@ object LlmOps {
       replayOracle(incCandidates, "id_new", "id_corpus")
         .map("q_dedup_incremental" -> _) ++
       replayOracle(fullCandidates, "id_a", "id_b")
-        .map("q_dedup_incremental_full" -> _)
+        .map("q_dedup_incremental_full" -> _) ++ {
+        val recorded = simhashSigs.asScala.values.toSeq
+        if (recorded.size == 1 && recorded.head.size <= ReplayOracleCap)
+          Map("q_dedup_simhash" -> graft.ops.Dedup.simHashReplayOracleSql(
+            recorded.head, SimHashMaxHamming))
+        else Map.empty
+      }
   }
 
   private val staticOracles: Map[String, String] = Map(

@@ -103,10 +103,25 @@ class CatalogContractSpec extends SparkSpec {
     val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf001)
     assert(inc.filter(col("jac") < 0.5).count() == 0)
     assert(inc.filter(col("id_new") % 5 =!= 0 || col("id_corpus") % 5 === 0).count() == 0)
-    // simhash assigns a signature to every document (total function)
-    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
-    assert(SparkEntry.queries("q_dedup_simhash")(spark, sf001).count() == nDocs)
+    // simhash pairs: the banded-LSH + verify pipeline must equal the
+    // brute-force all-pairs hamming filter EXACTLY (pigeonhole recall 1
+    // at hamming <= 7 is a theorem, so any deviation is a bug) — the
+    // in-Spark twin of the generated brute-force DuckDB replay oracle
+    val sh = graft.ops.Dedup.simHashes(
+      graft.queries.tbl(spark, sf001, "documents"), "doc_id", "text")
+    val brute = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        org.apache.spark.sql.functions.bit_count(
+          col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hm"))
+      .filter(col("hm") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = SparkEntry.queries("q_dedup_simhash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} pairs != brute-force ${brute.size}")
     // decode stub emits features for every non-null media row
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
     assert(SparkEntry.queries("q_multimodal_decode")(spark, sf001).count() == nDocs)
   }
 
