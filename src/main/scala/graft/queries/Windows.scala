@@ -63,19 +63,23 @@ object Windows {
     // frame cannot express either). Ordered on integer micros with
     // inclusive [-1h, now] bounds = DuckDB's RANGE INTERVAL 1 HOUR
     // PRECEDING; values are cents-quantized before summing so both
-    // engines do exact long arithmetic. One user_id shuffle + in-frame
-    // running state bounded by the hour's event count — the same
-    // bounded-window contract streaming sliding windows make.
+    // engines do exact long arithmetic. Evaluated via the CHUNKED range
+    // frame (ops.RangeFrame): the window partitions by (user, hour-chunk)
+    // with boundary-context duplication instead of by user alone, so a
+    // viral user's history splits across span/1h parallel tasks rather
+    // than one straggler sort — bit-identical to the plain window by the
+    // frame's own time bound (RangeFrameSpec pins it on a zipf corpus),
+    // same frame state bound (the hour's event count).
     "q_window_range_frame" -> ((s, dir) => {
       val hourUs = 3600L * 1000000L
-      val lastHour = Window.partitionBy("user_id").orderBy(col("t_us"))
-        .rangeBetween(-hourUs, Window.currentRow)
-      tbl(s, dir, "events")
+      val ev = tbl(s, dir, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
           floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      graft.ops.RangeFrame.trailing(ev, "user_id", "t_us", hourUs, Seq(
+          "n_last_hour" -> count(lit(1)),
+          "cents_last_hour" -> sum(col("cents"))))
         .select(col("event_id"), col("user_id"),
-          count(lit(1)).over(lastHour).as("n_last_hour"),
-          sum("cents").over(lastHour).as("cents_last_hour"))
+          col("n_last_hour"), col("cents_last_hour"))
         .orderBy("event_id")
     }),
     // Marketing-attribution metrics per conversion: each purchase sees
@@ -88,18 +92,19 @@ object Windows {
     // frame state bounded by a week of per-user events. No-click
     // purchases keep NULL touches (div propagates), exactly as the
     // oracle's CASE/QUALIFY replay does.
+    // Chunked like q_window_range_frame (ops.RangeFrame, 7-day chunks):
+    // the conditional aggregates are frame-local, so the same
+    // boundary-context evaluation applies unchanged.
     "q_events_attribution" -> ((s, dir) => {
       val weekUs = 7L * 24 * 3600 * 1000000L
-      val w7 = Window.partitionBy("user_id").orderBy(col("t_us"))
-        .rangeBetween(-weekUs, Window.currentRow)
       val isClick = col("event_type") === "click"
-      tbl(s, dir, "events")
+      val ev = tbl(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("t_us"))
-        .select(col("event_id"), col("user_id"), col("event_type"), col("t_us"),
-          count(when(isClick, lit(1))).over(w7).as("n_clicks_7d"),
-          min(when(isClick, col("t_us"))).over(w7).as("first_click_us"),
-          max(when(isClick, col("t_us"))).over(w7).as("last_click_us"))
+      graft.ops.RangeFrame.trailing(ev, "user_id", "t_us", weekUs, Seq(
+          "n_clicks_7d" -> count(when(isClick, lit(1))),
+          "first_click_us" -> min(when(isClick, col("t_us"))),
+          "last_click_us" -> max(when(isClick, col("t_us")))))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("n_clicks_7d"),
           col("first_click_us"), col("last_click_us"),
