@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS plagiarism detector's selection scheme): slide a window of
+  * `w` consecutive k-gram positions over each document and keep each
+  * window's MINIMUM gram as a fingerprint. The selection guarantee is
+  * the point: any shared substring of at least w + k − 1 tokens forces
+  * at least one SHARED fingerprint (both docs see an identical window
+  * and select identically), while expected fingerprint density is only
+  * 2/(w+1) of the gram stream — a guaranteed-recall sparse index for
+  * "documents sharing a long run" queries, cheaper than the all-grams
+  * index q_dedup_substring builds.
+  *
+  * Divergence from the paper, on purpose: windows select the minimum by
+  * gram STRING (leftmost position on ties), not by a rolling hash — a
+  * total order is a total order, every selection property holds under
+  * any of them, and the string order is replayable bit-for-bit by the
+  * DuckDB oracle (a hash order would force verify-replay). Production
+  * at 100 TB would key the downstream joins on xxhash64(fp) to shrink
+  * shuffle keys — the q_dedup_paragraph hash = string equivalence.
+  *
+  * Scale shape: grams explode map-side; the selection window partitions
+  * by doc (state = w rows, length-bounded docs — never user-skew); the
+  * fingerprint index is ~2/(w+1) of the gram volume; a document-
+  * frequency cap drops boilerplate fingerprints before the pair join
+  * (the q_dedup_substring df-cap stance), so pair fan-out is bounded by
+  * maxDf² per fingerprint and never all-pairs.
+  */
+object Winnowing {
+
+  /** Distinct winnowing fingerprints per document: complete windows only
+    * (docs shorter than w + k − 1 tokens emit none). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val sel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams.select(col("doc_id"), col("pos"), min("gram").over(sel).as("fp"))
+      .filter(col("pos") >= w)
+      .select("doc_id", "fp").distinct()
+  }
+
+  /** Document pairs sharing at least `minShared` fingerprints, after
+    * dropping fingerprints appearing in more than `maxDf` documents
+    * (boilerplate: a fingerprint half the corpus shares identifies
+    * nothing and quadratically dominates the join). */
+  def sharedFingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 4, w: Int = 4,
+                             maxDf: Long = 50L, minShared: Long = 5L): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, k, w)
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val kept = fp.join(rare.select("fp"), Seq("fp"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The DuckDB oracle: the full chain — gram construction, window-min
+    * selection with the pos >= w completeness rule, distinct, df cap,
+    * pair join, threshold — replayed over gram STRINGS. */
+  def oracleSql(k: Int, w: Int, maxDf: Long, minShared: Long): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g0 AS (SELECT doc_id,
+                unnest(range(1, len(t) - ${k - 2})) AS pos, t
+              FROM tk WHERE len(t) >= $k),
+       g AS (SELECT doc_id, pos,
+               array_to_string(t[CAST(pos AS INT):CAST(pos + ${k - 1} AS INT)], ' ') AS gram
+             FROM g0),
+       sel AS (SELECT doc_id, pos,
+                 min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
+               FROM g),
+       fp AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= $w),
+       rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+                WHERE df <= $maxDf),
+       kept AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= $minShared
+       ORDER BY id_a, id_b"""
+}

@@ -409,6 +409,20 @@ object LlmOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Winnowing fingerprint dedup (Schleimer et al. 2003, the MOSS
+    // scheme): window-min k-gram selection gives a ~2/(w+1)-density
+    // fingerprint index with GUARANTEED recall for shared runs of
+    // w+k-1 = 7+ tokens; df-capped fingerprints join into doc pairs
+    // sharing >= 5 fingerprints. Selection by gram STRING (not hash) on
+    // purpose — bit-replayable by the static DuckDB oracle; see
+    // ops.Winnowing for the scale shape and the hash-keyed production
+    // variant.
+    "q_dedup_winnowing" -> ((s, dir) =>
+      graft.ops.Winnowing.sharedFingerprintPairs(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, maxDf = 50L, minShared = 5L)
+        .orderBy("id_a", "id_b")),
+
     // Brute-force exact top-5 via the codegen'd native Catalyst expression.
     "q_sim_topk_native" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -818,6 +832,8 @@ object LlmOps {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "q_dedup_winnowing" ->
+      graft.ops.Winnowing.oracleSql(k = 4, w = 4, maxDf = 50L, minShared = 5L),
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash

@@ -425,6 +425,56 @@ object TextQueries {
             .cast("long").as("entropy_micro"))
         .orderBy("doc_id")
     }),
+    // Zipf-exponent fit per language — the corpus-level lexical-law
+    // diagnostic (a natural corpus fits ln(count) ~= a + s·ln(rank) with
+    // s near -1; templated/synthetic/boilerplate-heavy corpora bend the
+    // curve, which makes the fitted slope a cheap corpus-forensics
+    // signal at ingest time). Head ranks only (top 100 per lang) via the
+    // BOUNDED-HEAP per-group top-k — the vocabulary never meets an
+    // unpartitioned ranking window — then closed-form OLS over
+    // (ln rank, ln count) in EXACT integer arithmetic: both lns quantize
+    // to milli-nats BEFORE the sums (so Σ terms stay within long under
+    // the n=100 bound) and the slope publishes as micro-units via
+    // truncating division, the q_events_trend contract (negative
+    // numerator parity included — Zipf slopes are negative).
+    "q_text_zipf_fit" -> ((s, dir) => {
+      val tf = tbl(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      val top = graft.ops.TopK.perGroup(tf, Seq("lang"),
+        Seq("c" -> false, "word" -> true), k = 100, rankCol = "zrank")
+      top.select(col("lang"),
+          floor(log(col("zrank").cast("double")) * 1000 + 0.5).cast("long").as("x"),
+          floor(log(col("c").cast("double")) * 1000 + 0.5).cast("long").as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_ranks"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("num", col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("den") > 0)
+        .select(col("lang"), col("n_ranks"),
+          expr("num * 1000000 div den").as("zipf_slope_micro"))
+        .orderBy("lang")
+    }),
+    // Type-token lexical diversity per language: types, tokens, hapax
+    // legomena (count-1 types) and their ppm ratios — the quick screen
+    // for templated or duplicated text (low TTR, vanishing hapax share)
+    // before paying for the heavier dedup passes. One (lang, word)
+    // aggregation with map-side combine (vocab-sized shuffle keys), then
+    // a lang-sized rollup; exact integer ppm via truncating division.
+    "q_text_ttr" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+        .orderBy("lang")),
     // Exact corpus heavy hitters (stopword/boilerplate token discovery):
     // Misra-Gries candidate pass (bounded k counters per partition, one
     // narrow scan) + broadcast verify pass with exact counts — the
@@ -471,6 +521,42 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays the bounded-heap top-100 as a ranking window (legal at
+    // verification scale), then the same milli-nat ln quantization and
+    // exact integer OLS; `//` = Spark `div` (truncation toward zero on
+    // the negative slope numerators, pinned by Round11QueriesSpec).
+    "q_text_zipf_fit" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+         tf AS (SELECT lang, word, count(*) AS c FROM toks
+                WHERE length(word) >= 1 GROUP BY 1, 2),
+         top AS (SELECT lang, c, rnk FROM (
+                   SELECT lang, c, row_number() OVER (PARTITION BY lang
+                     ORDER BY c DESC, word ASC) AS rnk FROM tf) z
+                 WHERE rnk <= 100),
+         pts AS (SELECT lang,
+                   CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(c AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+                 FROM top),
+         s AS (SELECT lang, count(*) AS n_ranks, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+               FROM pts GROUP BY lang)
+         SELECT lang, n_ranks,
+           CAST((n_ranks * sxy - sx * sy) * 1000000
+             // (n_ranks * sxx - sx * sx) AS BIGINT) AS zipf_slope_micro
+         FROM s WHERE n_ranks * sxx - sx * sx > 0 ORDER BY lang""",
+    "q_text_ttr" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                       FROM documents),
+         tf AS (SELECT lang, word, count(*) AS c FROM toks
+                WHERE length(word) >= 1 GROUP BY 1, 2)
+         SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS hapax_ppm
+         FROM tf GROUP BY lang ORDER BY lang""",
     "q_text_levenshtein" ->
       """SELECT a.doc_id,
          CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS INT) AS edit_dist
