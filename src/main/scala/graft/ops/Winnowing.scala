@@ -57,7 +57,13 @@ object Winnowing {
   def sharedFingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 4, w: Int = 4,
                              maxDf: Long = 50L, minShared: Long = 5L): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
+    // persisted: the fingerprint index feeds THREE consumers (the df
+    // census and both sides of the pair join) — unpersisted, the whole
+    // gram+selection pipeline recomputes per reference (measured 4x at
+    // sf0.1). Session-lifetime like the LSH candidate persists; the
+    // production shape writes the index to storage (Dedup's signature-
+    // index stance) instead of caching it.
+    val fp = fingerprints(docs, idCol, textCol, k, w).persist()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val kept = fp.join(rare.select("fp"), Seq("fp"), "left_semi")
