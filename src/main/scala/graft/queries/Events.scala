@@ -41,6 +41,44 @@ object Events {
         .select(col("event_id").as("click_id"), col("user_id"), col("matched_purchase"))
         .orderBy("click_id")
     }),
+    // As-of join WITH TOLERANCE — the feature-store staple the plain
+    // as-of can't express: a click only attributes to its most recent
+    // purchase when that purchase is at most 24 h old (stale features
+    // must read as ABSENT, not as the last value forever — the
+    // label-leakage guard). Same union + last(ignoreNulls) running-state
+    // evaluation as q_asof_join (one user_id shuffle, constant per-row
+    // state), with the matched purchase's timestamp carried alongside
+    // its id so the tolerance check is a post-window filter that NULLs
+    // both output columns together. The oracle replays via DuckDB ASOF
+    // LEFT JOIN + the same CASE, gap in truncating-division seconds.
+    "q_asof_join_tolerance" -> ((s, dir) => {
+      val tolUs = 24L * 3600L * 1000000L
+      val ev = tbl(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("side"), lit(null).cast(LongType).as("r_id"),
+          lit(null).cast(LongType).as("r_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("side"), col("event_id").as("r_id"),
+          unix_micros(col("ts")).as("r_us"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fresh = col("mp_us").isNotNull &&
+        unix_micros(col("ts")) - col("mp_us") <= tolUs
+      clicks.unionByName(purchases)
+        .withColumn("mp", last(col("r_id"), ignoreNulls = true).over(w))
+        .withColumn("mp_us", last(col("r_us"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          when(fresh, col("mp")).as("matched_purchase"),
+          when(fresh, expr("(unix_micros(ts) - mp_us) div 1000000"))
+            .as("gap_secs"))
+        .orderBy("click_id")
+    }),
     // session_window in BATCH mode: same gap-based sessionization as the
     // streaming query, no state store — one shuffle on (user, window-merge).
     "q_batch_sessions" -> ((s, dir) =>
@@ -345,6 +383,36 @@ object Events {
           expr("num * 1000 div den").as("slope_milli_cph"))
         .orderBy("user_id")
     }),
+    // Robust outlier census by MEDIAN/MAD (the Hampel rule): values more
+    // than 5 MADs from the median are flagged, per event type. Mean/
+    // stddev outlier rules break exactly when outliers exist (the
+    // outliers inflate the stddev that is supposed to catch them); the
+    // median and MAD have 50% breakdown, the data-quality screen a dirty
+    // 100 TB feed needs. Both thresholds come from OrderStats' exact
+    // histogram-bisection quantiles (two counter-cell aggregations, no
+    // global sort — the q_filter_quantile contract) and arrive as
+    // LITERALS, so the census scan prunes on a static predicate; all
+    // arithmetic is exact cents/longs, the oracle replays the thresholds
+    // positionally and every comparison.
+    "q_quality_outlier_mad" -> ((s, dir) => {
+      import graft.ops.OrderStats.{Quantile, quantilesDisc}
+      val ev = tbl(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val med = quantilesDisc(ev.select(col("cents")), "cents",
+        Seq(Quantile("p50", 1, 2))).head().getLong(1)
+      val mad = quantilesDisc(
+        ev.select(abs(col("cents") - med).as("dev")), "dev",
+        Seq(Quantile("p50", 1, 2))).head().getLong(1)
+      val isOut = abs(col("cents") - lit(med)) > lit(5L) * lit(mad)
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+          max(when(isOut, col("cents"))).as("max_outlier_cents"))
+        .withColumn("median_cents", lit(med))
+        .withColumn("mad_cents", lit(mad))
+        .orderBy("event_type")
+    }),
     "q_events_streak" -> ((s, dir) => {
       val days = sort_array(collect_set(unix_date(to_date(col("ts")))))
       // accumulator: (prev day, current run length, max run, run count)
@@ -375,6 +443,21 @@ object Events {
                          GROUP BY user_id, ts) r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY click_id""",
+    "q_asof_join_tolerance" ->
+      """SELECT l.event_id AS click_id, l.user_id,
+           CASE WHEN r.ts IS NOT NULL
+                 AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+                THEN r.event_id END AS matched_purchase,
+           CASE WHEN r.ts IS NOT NULL
+                 AND epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+                THEN (epoch_us(l.ts) - epoch_us(r.ts)) // 1000000
+                END AS gap_secs
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY click_id""",
     "q_batch_sessions" ->
       """WITH x AS (
            SELECT user_id, ts,
@@ -390,6 +473,29 @@ object Events {
            FROM x)
          SELECT user_id, epoch_us(min(ts)) AS sess_start, count(*) AS n_events
          FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""",
+    // Thresholds re-derived positionally (row_number - 1 = the discrete
+    // lower-quantile rank OrderStats publishes), then the identical
+    // integer census — threshold drift, rank drift, or comparison drift
+    // all hash-mismatch.
+    "q_quality_outlier_mad" ->
+      """WITH c AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         n AS (SELECT count(*) AS cnt FROM c),
+         o AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rn
+               FROM c),
+         med AS (SELECT cents AS m FROM o, n WHERE rn = (cnt - 1) * 1 // 2),
+         dv AS (SELECT abs(cents - m) AS dev FROM c, med),
+         o2 AS (SELECT dev, row_number() OVER (ORDER BY dev) - 1 AS rn
+                FROM dv),
+         mad AS (SELECT dev AS md FROM o2, n WHERE rn = (cnt - 1) * 1 // 2)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(cents - m) > 5 * md THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           max(CASE WHEN abs(cents - m) > 5 * md THEN cents END)
+             AS max_outlier_cents,
+           CAST(m AS BIGINT) AS median_cents, CAST(md AS BIGINT) AS mad_cents
+         FROM c, med, mad
+         GROUP BY event_type, m, md ORDER BY event_type""",
     "q_events_retention" ->
       """WITH cohort AS (
            SELECT user_id, date_trunc('week', min(ts)) AS cw

@@ -654,6 +654,25 @@ object Relational {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.KCore.peel(sym, k = 2, rounds = 8).orderBy("id")
     }),
+    // Multi-source BFS hop distance over the co-purchase graph
+    // (ops.Bfs — the Pregel SSSP shape): every part's hop count from the
+    // deterministic seed set (partkey % 50 == 0) — the graph-locality
+    // signal seed-based trust/contamination propagation needs. Min-
+    // relaxation is confluent; the 10-round horizon covers the measured
+    // fixpoint depths (3 at sf0.001, 8 at sf0.01, 6 at sf0.1; BfsSpec
+    // asserts round 10 == round 11). Per round one vertex-sized join +
+    // min-combine agg against the once-partitioned edge list,
+    // localCheckpointed (the KCore doubled-reference contract).
+    "q_graph_bfs" -> ((s, dir) => {
+      val pairs = graft.ops.Triangles.coPairs(
+          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+        .filter(col("w") >= 2).select("src", "dst")
+      val sym = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Bfs.distances(sym, col("id") % 50 === 0, rounds = 10)
+        .orderBy("id")
+    }),
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
     // one pathologically hot key spreads over SALT shuffle partitions.
@@ -1330,6 +1349,20 @@ object Relational {
          SELECT src, dst FROM pr
          UNION ALL SELECT dst AS src, src AS dst FROM pr""",
       k = 2, rounds = 8),
+    "q_graph_bfs" -> graft.ops.Bfs.oracleSql(
+      s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ds AS (SELECT l_orderkey, l_partkey FROM (
+                  SELECT l_orderkey, l_partkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+                  FROM ds0) z
+                WHERE rn <= $CoPairsBasketCap),
+         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT src, dst FROM pr
+         UNION ALL SELECT dst AS src, src AS dst FROM pr""",
+      seedSql = "src % 50 = 0", rounds = 10),
     "q_graph_pagerank" -> graft.ops.PageRank.oracleSql(
       """SELECT src, dst FROM (
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
