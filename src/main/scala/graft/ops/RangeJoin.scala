@@ -267,6 +267,93 @@ object RangeJoin {
     max(when(col("__kind") === 1, f)) - max(when(col("__kind") === 0, f))
   }
 
+  /** Interval×interval OVERLAP count per left interval via the same
+    * boundary sweep — the interval-join-with-count shape
+    * (`a ⋈ b ON b.start <= a.end AND b.end >= a.start → count per a`,
+    * closed bounds on both sides).
+    *
+    * A pair plan (binned or nested-loop) pays for every overlapping
+    * pair — k² under density scaling, the sf10 wall. But the overlap
+    * COUNT decomposes into two order statistics (inclusion–exclusion
+    * over well-formed intervals, b.start <= b.end):
+    *
+    *   overlaps(a) = |{b : b.start <= a.end}| − |{b : b.end < a.start}|
+    *
+    * (every b that ended strictly before a started is the exact
+    * complement, within the first set, of the overlappers). Each term is
+    * one rank lookup into a prefix sum over B's boundary stream, and
+    * BOTH cumsums ride ONE sharded sweep: union b.start rows (weight
+    * ws=1), b.end rows (we=1) and a's two query rows, order ties as
+    * (b.start, a-queries, b.end) so `<=` counts same-instant b.starts
+    * and `<` excludes same-instant b.ends, take per-shard running sums +
+    * broadcast shard offsets, and difference the two F values per a key.
+    * Cost: ONE shuffle of 2|A| + 2|B| rows at ANY density — no pair ever
+    * materialized. Left intervals overlapping nothing are dropped
+    * (inner-join semantics, matching the pair plan's join + group by);
+    * `keyCols` must uniquely identify left rows. */
+  def overlapsPerInterval(aIntervals: DataFrame, keyCols: Seq[String],
+                          aStart: String, aEnd: String,
+                          bIntervals: DataFrame, bStart: String, bEnd: String,
+                          countCol: String = "n_overlaps",
+                          nShards: Int = 256): DataFrame = {
+    require(keyCols.nonEmpty, "overlap sweep needs left-interval key columns")
+    import org.apache.spark.sql.expressions.Window
+    def sec(c: Column): Column = c.cast("timestamp").cast("long")
+    val st = bIntervals.agg(min(sec(col(bStart))).as("lo"),
+      max(sec(col(bEnd))).as("hi")).head()
+    val (lo, hi) = if (st.isNullAt(0)) (0L, 0L)
+                   else (st.getLong(0), st.getLong(1))
+    val shardWidth = math.max(1L, (hi - lo) / nShards + 1L)
+    val key = struct(keyCols.map(col): _*)
+    // tie rank __r: b.start (0) < a queries (1) < b.end (2); __q marks
+    // which query a row is (1 = a.end reads the b.start cumsum, 0 =
+    // a.start reads the b.end cumsum, -1 = value row)
+    val aRows = aIntervals.select(
+      explode(array(
+        struct(sec(col(aEnd)).as("t"), lit(1).as("q")),
+        struct(sec(col(aStart)).as("t"), lit(0).as("q")))).as("x"),
+      key.as("__key"))
+      .select(col("x.t").as("__t"), lit(1).as("__r"),
+        lit(0L).as("__ws"), lit(0L).as("__we"),
+        col("x.q").as("__q"), col("__key"))
+    val keyType = aRows.schema("__key").dataType
+    val bRows = bIntervals.select(
+      explode(array(
+        struct(sec(col(bStart)).as("t"), lit(0).as("r"),
+          lit(1L).as("ws"), lit(0L).as("we")),
+        struct(sec(col(bEnd)).as("t"), lit(2).as("r"),
+          lit(0L).as("ws"), lit(1L).as("we")))).as("x"))
+      .select(col("x.t").as("__t"), col("x.r").as("__r"),
+        col("x.ws").as("__ws"), col("x.we").as("__we"),
+        lit(-1).as("__q"), lit(null).cast(keyType).as("__key"))
+    val all = aRows.unionByName(bRows)
+      .filter(col("__t").isNotNull)
+      .withColumn("__shard", floor((col("__t") - lit(lo)) / lit(shardWidth)))
+    val local = Window.partitionBy("__shard")
+      .orderBy(col("__t"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = all
+      .withColumn("__cs", coalesce(sum(col("__ws")).over(local), lit(0L)))
+      .withColumn("__ce", coalesce(sum(col("__we")).over(local), lit(0L)))
+    val offW = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = all.groupBy("__shard")
+      .agg(sum(col("__ws")).as("__ts"), sum(col("__we")).as("__te"))
+      .select(col("__shard"),
+        coalesce(sum(coalesce(col("__ts"), lit(0L))).over(offW), lit(0L))
+          .as("__os"),
+        coalesce(sum(coalesce(col("__te"), lit(0L))).over(offW), lit(0L))
+          .as("__oe"))
+    cum.filter(col("__q") >= 0)
+      .join(broadcast(offsets), Seq("__shard"))
+      .groupBy("__key")
+      .agg((max(when(col("__q") === 1, col("__cs") + col("__os"))) -
+        max(when(col("__q") === 0, col("__ce") + col("__oe"))))
+        .as(countCol))
+      .select(col("__key.*"), col(countCol))
+      .filter(col(countCol) > 0)
+  }
+
   /** Pairs-below count per group via the same sweep idea as
     * [[countPerInterval]], for the inequality-JOIN-with-count shape:
     * `left ⋈ right ON keys AND right.v < left.v → count per group`.

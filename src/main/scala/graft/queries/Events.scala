@@ -222,6 +222,46 @@ object Events {
           col("event_type"),
           regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))
         .orderBy("event_id")),
+    // PII census — the AUDIT side of PII hygiene (pseudonymize above is
+    // the scrub side): per-source counts of email-shaped, phone-shaped,
+    // and long-digit-run spans, plus the ppm of documents carrying any.
+    // The corpus has no PII column, so contact spans are SYNTHESIZED
+    // deterministically from (doc_id, source) — the q_dedup_url stance:
+    // the operator under test is the regex-census scan, and synthesis
+    // makes it fully oracle-replayable. All patterns are conservative
+    // regex (char classes + bounded quantifiers) evaluated identically
+    // by Java regex and DuckDB's RE2; map-only until one source-keyed
+    // aggregation — auditing 100 TB is exactly one pass over the bytes.
+    "q_pii_census" -> ((s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+      val runRe = "[0-9]{4,}"
+      val blob = concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("user"), col("doc_id").cast("string"), lit("@"),
+            col("source"), lit(".example.com "))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("+1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ")))
+          .otherwise(lit("")),
+        col("text"))
+      val nEmail = regexp_count(col("blob"), lit(emailRe))
+      val nPhone = regexp_count(col("blob"), lit(phoneRe))
+      val nRun = regexp_count(col("blob"), lit(runRe))
+      tbl(s, dir, "documents")
+        .select(col("source"), blob.as("blob"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nEmail.cast("long")).as("n_email"),
+          sum(nPhone.cast("long")).as("n_phone"),
+          sum(nRun.cast("long")).as("n_digit_runs"),
+          sum(when(nEmail > 0 || nPhone > 0 || nRun > 0, 1L).otherwise(0L))
+            .as("n_docs_pii"))
+        .select(col("source"), col("n_docs"), col("n_email"), col("n_phone"),
+          col("n_digit_runs"),
+          expr("n_docs_pii * 1000000 div n_docs").as("pii_ppm"))
+        .orderBy("source")
+    }),
     // Time-series gap fill — the sibling of the flagship densification:
     // hourly event counts per user with ZERO rows materialized for silent
     // hours between that user's first and last activity. The hour spine is
@@ -555,6 +595,30 @@ object Events {
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
          ORDER BY event_id""",
+    // Same synthesis + the same regexes via RE2's regexp_extract_all;
+    // a count or membership drift on any pattern hash-mismatches.
+    "q_pii_census" ->
+      """WITH b AS (SELECT source,
+           (CASE WHEN doc_id % 3 = 0
+                 THEN 'user' || CAST(doc_id AS VARCHAR) || '@' || source
+                      || '.example.com ' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0
+                 THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' ' ELSE '' END) ||
+           text AS blob
+           FROM documents),
+         c AS (SELECT source,
+           len(regexp_extract_all(blob, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS ne,
+           len(regexp_extract_all(blob, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS np,
+           len(regexp_extract_all(blob, '[0-9]{4,}')) AS nr
+           FROM b)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(ne) AS BIGINT) AS n_email,
+           CAST(sum(np) AS BIGINT) AS n_phone,
+           CAST(sum(nr) AS BIGINT) AS n_digit_runs,
+           CAST(sum(CASE WHEN ne > 0 OR np > 0 OR nr > 0 THEN 1 ELSE 0 END)
+             * 1000000 // count(*) AS BIGINT) AS pii_ppm
+         FROM c GROUP BY source ORDER BY source""",
     "q_pii_pseudonymize" ->
       """SELECT event_id,
          sha256(CAST(user_id AS VARCHAR) || ':graft-pii') AS user_pseudo,

@@ -1058,6 +1058,28 @@ object Relational {
     // question); the sweep is one shuffle of n + 2|I| rows — prefix
     // sums, never pairs — at any density. Both entries share one DuckDB
     // oracle text, so the driver proves plan-for-plan equivalence.
+    // Interval×interval overlap count per order window — the interval
+    // JOIN complement of the point sweeps below: each sampled 7-day
+    // order window counts the lineitem ship→receipt intervals it
+    // overlaps (closed bounds), computed as TWO order statistics over
+    // one sharded boundary sweep (RangeJoin.overlapsPerInterval:
+    // |{b.start <= a.end}| − |{b.end < a.start}|) — one shuffle of
+    // 2|A| + 2|B| rows at any density, no pair ever materialized, the
+    // same k²-wall cure as the point sweeps.
+    "q_join_interval_overlap" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("a_start"),
+          (col("o_orderdate") + make_dt_interval(days = lit(7))).as("a_end"))
+      // the corpus carries ship dates only; the transit interval is the
+      // standard fixed-lead synthesis (ship -> ship + 3 days, closed)
+      val b = tbl(s, dir, "lineitem")
+        .select(col("l_shipdate").as("b_start"),
+          (col("l_shipdate") + make_dt_interval(days = lit(3))).as("b_end"))
+      graft.ops.RangeJoin.overlapsPerInterval(a, Seq("o_orderkey"),
+          "a_start", "a_end", b, "b_start", "b_end")
+        .orderBy("o_orderkey")
+    }),
     "q_join_range_sweep" -> ((s, dir) => {
       val iv = tbl(s, dir, "orders")
         .filter(col("o_orderkey") % 100 === 0)
@@ -1672,6 +1694,14 @@ object Relational {
          FROM orders o JOIN lineitem l
            ON l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+         WHERE o.o_orderkey % 100 = 0
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
+    // The oracle is the nonequi interval join the sweep replaces.
+    "q_join_interval_overlap" ->
+      """SELECT o.o_orderkey, count(*) AS n_overlaps
+         FROM orders o JOIN lineitem l
+           ON l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+          AND l.l_shipdate + INTERVAL 3 DAY >= o.o_orderdate
          WHERE o.o_orderkey % 100 = 0
          GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
     "q_join_range_sweep" ->

@@ -319,4 +319,51 @@ class MergeRangeSpec extends SparkSpec {
       .orderBy("iv_id").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L)))
   }
+
+  test("overlap sweep matches the naive interval join, boundary ties inclusive") {
+    import spark.implicits._
+    def ivs(rows: Seq[(Long, Long, Long)], s: String, e: String) =
+      rows.toDF("id", "s_raw", "e_raw")
+        .select(col("id"), col("s_raw").cast("timestamp").as(s),
+          col("e_raw").cast("timestamp").as(e))
+    // hand-picked boundary cases: b touching a's end exactly (counts —
+    // closed), b ending exactly at a's start (counts), b strictly before
+    // / after (don't), b containing a, b inside a
+    val a = ivs(Seq((1L, 100L, 200L), (2L, 500L, 600L), (3L, 900L, 950L)),
+      "as", "ae")
+    val b = ivs(Seq(
+      (10L, 200L, 300L),  // touches a1.end -> overlap a1
+      (11L, 50L, 100L),   // ends exactly at a1.start -> overlap a1
+      (12L, 0L, 49L),     // strictly before a1
+      (13L, 201L, 499L),  // between a1 and a2
+      (14L, 90L, 610L),   // contains a1 AND a2
+      (15L, 520L, 530L)), // inside a2
+      "bs", "be")
+    val sweep = RangeJoin.overlapsPerInterval(a, Seq("id"), "as", "ae",
+        b, "bs", "be")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // naive: closed-bounds inequality join
+    val naive = a.join(b.withColumnRenamed("id", "bid"),
+        col("bs") <= col("ae") && col("be") >= col("as"))
+      .groupBy("id").count().orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(sweep == naive, s"sweep $sweep vs naive $naive")
+    assert(sweep == Seq((1L, 3L), (2L, 2L)), sweep.toString) // a3 dropped (0)
+    // randomized cross-check: 300 random b intervals vs 40 random a's
+    val rnd = new scala.util.Random(7)
+    val ra = ivs((1L to 40L).map(i =>
+      { val s = rnd.nextInt(10000).toLong; (i, s, s + rnd.nextInt(500)) }),
+      "as", "ae")
+    val rb = ivs((1L to 300L).map(i =>
+      { val s = rnd.nextInt(10000).toLong; (i, s, s + rnd.nextInt(300)) }),
+      "bs", "be")
+    val s2 = RangeJoin.overlapsPerInterval(ra, Seq("id"), "as", "ae",
+        rb, "bs", "be", nShards = 7)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val n2 = ra.join(rb.withColumnRenamed("id", "bid"),
+        col("bs") <= col("ae") && col("be") >= col("as"))
+      .groupBy("id").count().orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(s2 == n2)
+  }
 }
