@@ -394,6 +394,23 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_join_interval_overlap: sweep plan, never a nested-loop pair join") {
+    // The overlap sweep exists to AVOID the inequality-join plan: if the
+    // query ever regresses to joining the interval sets on the range
+    // predicate, Spark plans BroadcastNestedLoopJoin / CartesianProduct
+    // — |A|x|B| comparisons, the k2 wall the sweep family cures. The
+    // only joins allowed are the broadcast of the ~nShards offset table
+    // and whatever AQE does to the final key aggregation.
+    val df = SparkEntry.queries("q_join_interval_overlap")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val loops = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(loops.isEmpty, s"overlap sweep regressed to a pair join:\n$p")
+  }
+
   test("q_text_inverted_index bounds the posting sample before aggregating") {
     // The posting sample must descend from the bounded-heap prune
     // (TopK.perGroup) — a regression to collect_set-then-slice buffers
