@@ -475,6 +475,29 @@ object TextQueries {
           expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
           expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
         .orderBy("lang")),
+    // Source-level vocabulary overlap matrix (corpus governance: which
+    // sources duplicate each other's lexical content — mirrored feeds,
+    // scraped re-posts — before paying for document-level dedup between
+    // them). Per-word source SETS ride the coPairs map-side pair explode
+    // (fan-out bounded by the SOURCE count per word — a schema-bounded
+    // 20 here, capped at 64 like every co-occurrence query), so the
+    // |sources|² matrix costs one vocab-keyed aggregation + one bounded
+    // explode, never a row-bearing self-join. Jaccard in exact integer
+    // ppm over distinct-word counts.
+    "q_text_source_overlap" -> ((s, dir) => {
+      val sw = tbl(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .select("source", "word").distinct()
+      val sizes = sw.groupBy("source").agg(count(lit(1)).as("n"))
+      graft.ops.Triangles.coPairs(sw, "word", "source", maxBasket = 64)
+        .join(sizes.select(col("source").as("src"), col("n").as("n_a")), "src")
+        .join(sizes.select(col("source").as("dst"), col("n").as("n_b")), "dst")
+        .select(col("src").as("source_a"), col("dst").as("source_b"),
+          col("w").as("n_shared"),
+          expr("w * 1000000 div (n_a + n_b - w)").as("jaccard_ppm"))
+        .orderBy("source_a", "source_b")
+    }),
     // Exact corpus heavy hitters (stopword/boilerplate token discovery):
     // Misra-Gries candidate pass (bounded k counters per partition, one
     // narrow scan) + broadcast verify pass with exact counts — the
@@ -545,6 +568,27 @@ object TextQueries {
            CAST((n_ranks * sxy - sx * sy) * 1000000
              // (n_ranks * sxx - sx * sx) AS BIGINT) AS zipf_slope_micro
          FROM s WHERE n_ranks * sxx - sx * sx > 0 ORDER BY lang""",
+    // Replays the basket cap exactly as the graph oracles do
+    // (row_number <= 64 — never binding at 20 sources, but replayed so
+    // the derivations cannot drift).
+    "q_text_source_overlap" ->
+      """WITH sw AS (SELECT DISTINCT source, word FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS word
+             FROM documents) t
+           WHERE length(word) >= 1),
+         sizes AS (SELECT source, count(*) AS n FROM sw GROUP BY source),
+         caps AS (SELECT word, source FROM (
+             SELECT word, source, row_number() OVER (PARTITION BY word
+               ORDER BY source) AS rn FROM sw) z
+           WHERE rn <= 64),
+         pr AS (SELECT a.source AS sa, b.source AS sb, count(*) AS w
+                FROM caps a JOIN caps b
+                  ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT sa AS source_a, sb AS source_b, w AS n_shared,
+           CAST(w * 1000000 // (x.n + y.n - w) AS BIGINT) AS jaccard_ppm
+         FROM pr JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+         ORDER BY source_a, source_b""",
     "q_text_ttr" ->
       """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS word
                        FROM documents),

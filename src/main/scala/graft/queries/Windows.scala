@@ -155,6 +155,35 @@ object Windows {
             * 1000000.0).cast("long").as("z_micro"))
         .orderBy("event_type", "hour_us")
     }),
+    // Exponentially-weighted trailing average with an EXACT dyadic
+    // kernel: weights 2^7..2^0 over the last 8 orders (most recent
+    // heaviest), normalized by the weight mass actually PRESENT (short
+    // prefixes at partition start re-normalize instead of decaying
+    // toward a phantom zero history). A float EWMA recurrence is
+    // summation-order-dependent and engine-divergent by construction;
+    // bounding the horizon and using power-of-two weights makes every
+    // term an exact long, so both engines compute identical integers —
+    // the same exactness stance as the OLS trend and TWA queries.
+    // Evaluated as 8 explicit lag() columns over ONE window (codegen'd,
+    // no collect_list frame whose element order is not contractual);
+    // one o_custkey shuffle.
+    "q_window_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val base = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val terms = (0 until 8).map(i =>
+        (lag(col("cents"), i).over(w), 1L << (7 - i)))
+      val num = terms.map { case (c, wt) =>
+        when(c.isNotNull, c * lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+      val den = terms.map { case (c, wt) =>
+        when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+      base.withColumn("__num", num).withColumn("__den", den)
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          expr("__num * 1000 div __den").as("ewma_milli"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q_window_ntile_share" -> ((s, dir) => {
       val byPrice = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -258,6 +287,26 @@ object Windows {
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
          ORDER BY c_nationkey, c_custkey""",
+    // The same 8 lag() terms, CASE-summed, `//` = Spark `div`.
+    "q_window_ewma" -> {
+      val terms = (0 until 8).map { i =>
+        val wt = 1L << (7 - i)
+        (s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN lag(cents, $i) OVER w * $wt ELSE 0 END",
+         s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         t AS (SELECT o_custkey, o_orderkey, cents,
+             ${terms.map(_._1).mkString(" + ")} AS num,
+             ${terms.map(_._2).mkString(" + ")} AS den
+           FROM c
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC))
+         SELECT o_custkey, o_orderkey, cents,
+           CAST(num * 1000 // den AS BIGINT) AS ewma_milli
+         FROM t ORDER BY o_custkey, o_orderkey"""
+    },
     "q_window_ntile_share" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(ntile(4) OVER (PARTITION BY o_orderpriority
