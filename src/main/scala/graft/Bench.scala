@@ -75,9 +75,16 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(pinPath)), "UTF-8")
-        val c = """"calib"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
-        val pc = """"cpus"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1))
+        // Parse only the top-level header: everything before the first
+        // "queries" key. Within it, anchor each key to line start so a
+        // failed-array entry containing 'calib'/'cpus' as a substring can
+        // never shadow the real field (the keys are whole-line-exact;
+        // query names are q_* so no collision is possible).
+        val header = txt.split("\"queries\"", 2)(0)
+        val c = """(?m)^\s*"calib"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(header).map(_.group(1).toDouble)
+        val pc = """(?m)^\s*"cpus"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(header).map(_.group(1))
         if (pc.contains(cpus)) c else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }

@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   * instead of `O(hottest key)`. Aggregates must be frame-local
   * (count/sum/min/max/avg of the frame's rows — anything a range frame
   * computes row-at-a-time); ROW_NUMBER-style whole-partition functions
-  * are out of scope by construction. Timestamps are assumed nonnegative
-  * epoch micros (integer `div` = floor there); results are bit-identical
-  * to the single-partition window, which `RangeFrameSpec` pins on a zipf
-  * corpus against the plain formulation.
+  * are out of scope by construction. Chunk assignment uses true FLOOR
+  * division (`(t - pmod(t, L)) div L`, exact in integer arithmetic) — a
+  * plain `t div L` truncates toward zero, which would merge `(-L, 0)`
+  * and `[0, L)` into one chunk 0 and misalign context padding for
+  * pre-epoch timestamps. Results are bit-identical to the
+  * single-partition window, which `RangeFrameSpec` pins on a zipf corpus
+  * against the plain formulation (including a negative-timestamp case).
   */
 object RangeFrame {
 
@@ -45,7 +48,10 @@ object RangeFrame {
                lookbackUs: Long, aggs: Seq[(String, Column)]): DataFrame = {
     require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
     val keep = df.columns
-    val base = df.withColumn("__chunk", expr(s"$tUsCol div ${lookbackUs}"))
+    // Floor division, exact on longs: pmod is nonnegative, so subtracting
+    // it lands on the chunk's floor multiple before the (now exact) div.
+    val base = df.withColumn("__chunk",
+      expr(s"($tUsCol - pmod($tUsCol, ${lookbackUs}L)) div ${lookbackUs}L"))
     val padded = base.withColumn("__ctx", lit(false))
       .unionByName(base.withColumn("__chunk", col("__chunk") + 1)
         .withColumn("__ctx", lit(true)))

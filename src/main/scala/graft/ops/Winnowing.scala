@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
@@ -19,36 +18,71 @@ import org.apache.spark.sql.functions._
   * gram STRING (leftmost position on ties), not by a rolling hash — a
   * total order is a total order, every selection property holds under
   * any of them, and the string order is replayable bit-for-bit by the
-  * DuckDB oracle (a hash order would force verify-replay). Production
-  * at 100 TB would key the downstream joins on xxhash64(fp) to shrink
-  * shuffle keys — the q_dedup_paragraph hash = string equivalence.
+  * DuckDB oracle (a hash order would force verify-replay). Selection is
+  * the ONLY stage that touches gram strings: immediately after the
+  * window-min, fingerprints collapse to `xxhash64(fp)` longs, and every
+  * downstream shuffle (distinct, df census, semi-join, pair join) keys
+  * on the 8-byte hash instead of a multi-token string — the
+  * q_dedup_paragraph hash = string equivalence (results differ only on
+  * a 64-bit collision, ~n²/2⁶⁵; ShingleHashPropSpec models the stance).
+  * The DuckDB oracle replays the string-keyed chain, which is equal by
+  * that same equivalence.
   *
-  * Scale shape: grams explode map-side; the selection window partitions
-  * by doc (state = w rows, length-bounded docs — never user-skew); the
-  * fingerprint index is ~2/(w+1) of the gram volume; a document-
-  * frequency cap drops boilerplate fingerprints before the pair join
-  * (the q_dedup_substring df-cap stance), so pair fan-out is bounded by
-  * maxDf² per fingerprint and never all-pairs.
+  * Scale shape: gram construction AND window-min selection are both
+  * map-side higher-order functions inside the scan's projection — no
+  * exchange touches a gram string anywhere (state = one doc's gram
+  * array, length-bounded docs — never user-skew); the
+  * fingerprint index is ~2/(w+1) of the gram volume AND 8 bytes per key;
+  * a document-frequency cap drops boilerplate fingerprints before the
+  * pair join (the q_dedup_substring df-cap stance), so pair fan-out is
+  * bounded by maxDf² per fingerprint and never all-pairs.
   */
 object Winnowing {
 
-  /** Distinct winnowing fingerprints per document: complete windows only
-    * (docs shorter than w + k − 1 tokens emit none). */
-  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, w: Int): DataFrame = {
+  /** The winnowing selection stream: one row per complete window holding
+    * the window's minimum gram STRING (docs shorter than w + k − 1
+    * tokens emit none). Pre-distinct; both fingerprint views derive from
+    * it.
+    *
+    * Entirely MAP-SIDE: every gram of a document derives from that one
+    * input row, so selection needs no per-doc exchange at all — the gram
+    * array and each window's `array_min` evaluate as higher-order
+    * functions inside the scan's projection (a `Window.partitionBy(doc)`
+    * formulation would shuffle and sort the full gram stream, with
+    * multi-token strings as payload, just to regroup rows the source
+    * already had grouped). Per-row state = one doc's gram array — the
+    * same doc-length bound the window's sort task would have held. */
+  private def selected(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    val grams = when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("g")) >= w,
+            transform(sequence(lit(w), size(col("g"))),
+              p => array_min(slice(col("g"), p - lit(w) + 1, lit(w)))))
           .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    val sel = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(w - 1), Window.currentRow)
-    grams.select(col("doc_id"), col("pos"), min("gram").over(sel).as("fp"))
-      .filter(col("pos") >= w)
-      .select("doc_id", "fp").distinct()
+      .select(col("doc_id"), (col("pos") + w).as("pos"), col("col").as("fp"))
   }
+
+  /** Distinct winnowing fingerprints per document as gram STRINGS — the
+    * oracle-replayable view; invariant specs (recall, completeness,
+    * density) pin their guarantees here. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int): DataFrame =
+    selected(docs, idCol, textCol, k, w).select("doc_id", "fp").distinct()
+
+  /** Distinct winnowing fingerprints per document as xxhash64 LONGS —
+    * the production index view: hashing happens map-side before the
+    * distinct, so no shuffle downstream of selection ever carries a
+    * gram string. */
+  def hashedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    selected(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), xxhash64(col("fp")).as("fp")).distinct()
 
   /** Document pairs sharing at least `minShared` fingerprints, after
     * dropping fingerprints appearing in more than `maxDf` documents
@@ -62,8 +96,9 @@ object Winnowing {
     // gram+selection pipeline recomputes per reference (measured 4x at
     // sf0.1). Session-lifetime like the LSH candidate persists; the
     // production shape writes the index to storage (Dedup's signature-
-    // index stance) instead of caching it.
-    val fp = fingerprints(docs, idCol, textCol, k, w).persist()
+    // index stance) instead of caching it. HASHED index: 8-byte keys in
+    // the cache and in every downstream shuffle.
+    val fp = hashedFingerprints(docs, idCol, textCol, k, w).persist()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val kept = fp.join(rare.select("fp"), Seq("fp"), "left_semi")
@@ -76,7 +111,10 @@ object Winnowing {
 
   /** The DuckDB oracle: the full chain — gram construction, window-min
     * selection with the pos >= w completeness rule, distinct, df cap,
-    * pair join, threshold — replayed over gram STRINGS. */
+    * pair join, threshold — replayed over gram STRINGS. Equal to the
+    * hash-keyed Spark plan by the hash = string equivalence (distinct
+    * counts, df census, and shared-fp counts agree unless two distinct
+    * grams collide in 64 bits). */
   def oracleSql(k: Int, w: Int, maxDf: Long, minShared: Long): String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g0 AS (SELECT doc_id,

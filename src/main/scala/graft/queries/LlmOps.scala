@@ -399,12 +399,19 @@ object LlmOps {
     // banding bug that drops a pair (or any hamming/threshold/ordering
     // drift) hash-mismatches; only signature generation is trusted as
     // recorded. The signature frame persists: the band self-join reads
-    // it twice and the memo collect pays once per corpus per JVM.
+    // it twice and the memo collect pays once per corpus per JVM. The
+    // memo collect is itself capped: limit(cap+1) bounds the driver
+    // transfer to ReplayOracleCap+1 rows regardless of corpus size, and
+    // an over-cap corpus memoizes empty (→ rows-only fallback) instead
+    // of shipping one row per document to the driver.
     "q_dedup_simhash" -> ((s, dir) => {
       val sigs = Dedup.simHashes(tbl(s, dir, "documents"), "doc_id", "text")
         .persist()
-      simhashSigs.computeIfAbsent(dir, _ =>
-        sigs.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+      simhashSigs.computeIfAbsent(dir, _ => {
+        val rec = sigs.limit(ReplayOracleCap + 1).collect().toSeq
+        if (rec.size > ReplayOracleCap) Seq.empty
+        else rec.map(r => (r.getLong(0), r.getLong(1)))
+      })
       Dedup.simHashPairs(sigs, SimHashMaxHamming)
         .orderBy("id_a", "id_b")
     }),
@@ -413,10 +420,11 @@ object LlmOps {
     // scheme): window-min k-gram selection gives a ~2/(w+1)-density
     // fingerprint index with GUARANTEED recall for shared runs of
     // w+k-1 = 7+ tokens; df-capped fingerprints join into doc pairs
-    // sharing >= 5 fingerprints. Selection by gram STRING (not hash) on
-    // purpose — bit-replayable by the static DuckDB oracle; see
-    // ops.Winnowing for the scale shape and the hash-keyed production
-    // variant.
+    // sharing >= 5 fingerprints. Selection orders by gram STRING
+    // (bit-replayable by the static DuckDB oracle); every shuffle AFTER
+    // selection keys on xxhash64(fp) longs — the hash = string
+    // equivalence (see ops.Winnowing; plan-contracted: no string-typed
+    // join/agg key downstream of selection).
     "q_dedup_winnowing" -> ((s, dir) =>
       graft.ops.Winnowing.sharedFingerprintPairs(
           tbl(s, dir, "documents"), "doc_id", "text",
@@ -824,7 +832,11 @@ object LlmOps {
       replayOracle(fullCandidates, "id_a", "id_b")
         .map("q_dedup_incremental_full" -> _) ++ {
         val recorded = simhashSigs.asScala.values.toSeq
-        if (recorded.size == 1 && recorded.head.size <= ReplayOracleCap)
+        // nonEmpty: an over-cap corpus memoizes Seq.empty (see the query's
+        // bounded collect) — emitting a zero-signature oracle would wrongly
+        // assert zero pairs, so empty falls back to rows-only.
+        if (recorded.size == 1 && recorded.head.nonEmpty &&
+            recorded.head.size <= ReplayOracleCap)
           Map("q_dedup_simhash" -> graft.ops.Dedup.simHashReplayOracleSql(
             recorded.head, SimHashMaxHamming))
         else Map.empty

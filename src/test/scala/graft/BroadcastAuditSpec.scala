@@ -12,6 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the suite until the site is allowlisted HERE with its bound, and a
   * removed site fails until its stale entry is dropped.
   *
+  * Round 13 hardening (advisor): the match now also catches QUALIFIED
+  * hints (`functions.broadcast(x)`, `sc.broadcast(x)` — only `def`
+  * definitions are excluded), and each (file, ident) entry records its
+  * exact SITE COUNT, so a second broadcast of an already-allowlisted
+  * identifier in the same file can no longer hide behind the existing
+  * entry.
+  *
   * Bound classes, strongest first:
   *  - ONE_ROW     a single-row aggregate (count/min/total)
   *  - SCHEMA      enumerated domain: regions/nations/brands/labels/
@@ -34,66 +41,72 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BroadcastAuditSpec extends AnyFunSuite {
 
-  private val allow: Map[(String, String), String] = Map(
-    ("Contamination.scala", "index") -> "CAPPED: df-capped benchmark gram index; broadcastIndex=false opt-out for big benchmarks",
-    ("Dedup.scala", "ids") -> "OUTPUT: candidate-pair doc ids (near-dup volume, not corpus); production fallback = shuffle semi-join",
-    ("Dedup.scala", "newBanded") -> "PROBE: incremental day-batch signatures; broadcastNew=false opt-out for large batches",
-    ("Events.scala", "maxts") -> "ONE_ROW: max timestamp",
-    ("Events.scala", "sizes") -> "SCHEMA: one row per signup WEEK (calendar-bounded)",
-    ("HeavyHitters.scala", "candidates") -> "CAPPED: Misra-Gries summary, <= k rows per partition merged",
-    ("LlmOps.scala", "minCnt") -> "ONE_ROW: min label count",
-    ("LlmOps.scala", "quota") -> "SCHEMA: one row per label",
-    ("Mixing.scala", "stats") -> "SCHEMA: one row per mixture domain",
-    ("PageRank.scala", "n1") -> "ONE_ROW: vertex count",
-    ("RangeJoin.scala", "offsets") -> "SCHEMA: one row per shard (fixed shard count)",
-    ("Relational.scala", "freq") -> "SCHEMA: brand marginals (p_brand domain)",
-    ("Relational.scala", "n") -> "SCHEMA: nation dimension (25 rows)",
-    ("Relational.scala", "nb") -> "ONE_ROW: basket count",
-    ("Relational.scala", "r") -> "SCHEMA: region dimension (5 rows)",
-    ("Relational.scala", "region") -> "SCHEMA: region dimension (5 rows)",
-    ("Relational.scala", "tbl") -> "ENTITY_DIM: part (p_partkey, p_brand) projection — product catalog; swap to shuffle join past executor memory",
-    ("Relational.scala", "tot") -> "ONE_ROW: grand total",
-    ("Similarity.scala", "probes") -> "PROBE: ANN query batch (API contract: probe sets are small)",
-    ("Similarity.scala", "q") -> "PROBE: LSH query batch",
-    ("Similarity.scala", "queries") -> "PROBE: brute-force/HOF query batch",
-    ("Similarity.scala", "shortlist") -> "PROBE: per-probe ADC shortlist, <= probes x shortlist-k rows",
-    ("StreamOps.scala", "cust") -> "ENTITY_DIM: stream-static enrichment dim; per-batch shuffle join is the documented swap when the dim outgrows executors",
-    ("TextAnalysis.scala", "lm") -> "VOCAB: unigram LM table (min-df floor documented in unigramNll)",
-    ("TextAnalysis.scala", "n") -> "ONE_ROW: corpus doc count",
-    ("TextAnalysis.scala", "total") -> "ONE_ROW: token total",
-    ("TextModels.scala", "docs") -> "ONE_ROW: doc-count aggregate (inline .agg)",
-    ("TextModels.scala", "model") -> "VOCAB: vocab x class log-prob grid (classes schema-bounded)",
-    ("TextModels.scala", "priors") -> "SCHEMA: one row per class",
-    ("TextModels.scala", "totL") -> "SCHEMA: one row per class",
-    ("TextModels.scala", "tots") -> "SCHEMA: one row per feature-model side (2)",
-    ("TextModels.scala", "vSize") -> "ONE_ROW: vocab size",
-    ("TextQueries.scala", "ca") -> "VOCAB: left unigram marginal",
-    ("TextQueries.scala", "capped") -> "CAPPED: min-count-capped bigram table, <= total-pairs/cap rows (plan-contracted build side)",
-    ("TextQueries.scala", "cb") -> "VOCAB: right unigram marginal",
-    ("TextQueries.scala", "tot") -> "ONE_ROW: pair total",
-    ("TextQueries.scala", "vocab") -> "VOCAB: distinct-token table (tf-idf df join)",
-    ("Triangles.scala", "deg") -> "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction")
+  // (file, first-arg ident) -> (expected site count, bound argument)
+  private val allow: Map[(String, String), (Int, String)] = Map(
+    ("Contamination.scala", "index") -> (1, "CAPPED: df-capped benchmark gram index; broadcastIndex=false opt-out for big benchmarks"),
+    ("Dedup.scala", "ids") -> (1, "OUTPUT: candidate-pair doc ids (near-dup volume, not corpus); production fallback = shuffle semi-join"),
+    ("Dedup.scala", "newBanded") -> (1, "PROBE: incremental day-batch signatures; broadcastNew=false opt-out for large batches"),
+    ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
+    ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
+    ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
+    ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
+    ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
+    ("Mixing.scala", "stats") -> (2, "SCHEMA: one row per mixture domain (joined twice: quota + deficit pass)"),
+    ("PageRank.scala", "n1") -> (2, "ONE_ROW: vertex count (seed + per-round dangling redistribution)"),
+    ("RangeJoin.scala", "offsets") -> (2, "SCHEMA: one row per shard (fixed shard count; both join sides aligned)"),
+    ("Relational.scala", "freq") -> (2, "SCHEMA: brand marginals (p_brand domain; lift numerator + denominator)"),
+    ("Relational.scala", "n") -> (2, "SCHEMA: nation dimension (25 rows; two query sites)"),
+    ("Relational.scala", "nb") -> (2, "ONE_ROW: basket count (support + confidence normalizers)"),
+    ("Relational.scala", "r") -> (1, "SCHEMA: region dimension (5 rows)"),
+    ("Relational.scala", "region") -> (1, "SCHEMA: region dimension (5 rows)"),
+    ("Relational.scala", "tbl") -> (1, "ENTITY_DIM: part (p_partkey, p_brand) projection — product catalog; swap to shuffle join past executor memory"),
+    ("Relational.scala", "tot") -> (1, "ONE_ROW: grand total"),
+    ("Similarity.scala", "probes") -> (2, "PROBE: ANN query batch (API contract: probe sets are small; coarse + fine stage)"),
+    ("Similarity.scala", "q") -> (1, "PROBE: LSH query batch"),
+    ("Similarity.scala", "queries") -> (2, "PROBE: brute-force/HOF query batch (native + HOF variants)"),
+    ("Similarity.scala", "shortlist") -> (1, "PROBE: per-probe ADC shortlist, <= probes x shortlist-k rows"),
+    ("StreamOps.scala", "cust") -> (1, "ENTITY_DIM: stream-static enrichment dim; per-batch shuffle join is the documented swap when the dim outgrows executors"),
+    ("TextAnalysis.scala", "lm") -> (1, "VOCAB: unigram LM table (min-df floor documented in unigramNll)"),
+    ("TextAnalysis.scala", "n") -> (1, "ONE_ROW: corpus doc count"),
+    ("TextAnalysis.scala", "total") -> (1, "ONE_ROW: token total"),
+    ("TextModels.scala", "docs") -> (1, "ONE_ROW: doc-count aggregate (inline .agg)"),
+    ("TextModels.scala", "model") -> (2, "VOCAB: vocab x class log-prob grid (classes schema-bounded; train + score sites)"),
+    ("TextModels.scala", "priors") -> (1, "SCHEMA: one row per class"),
+    ("TextModels.scala", "totL") -> (1, "SCHEMA: one row per class"),
+    ("TextModels.scala", "tots") -> (1, "SCHEMA: one row per feature-model side (2)"),
+    ("TextModels.scala", "vSize") -> (2, "ONE_ROW: vocab size (smoothing denominator, two scorers)"),
+    ("TextQueries.scala", "ca") -> (1, "VOCAB: left unigram marginal"),
+    ("TextQueries.scala", "capped") -> (1, "CAPPED: min-count-capped bigram table, <= total-pairs/cap rows (plan-contracted build side)"),
+    ("TextQueries.scala", "cb") -> (1, "VOCAB: right unigram marginal"),
+    ("TextQueries.scala", "tot") -> (2, "ONE_ROW: pair total (PMI numerator + normalizer)"),
+    ("TextQueries.scala", "vocab") -> (1, "VOCAB: distinct-token table (tf-idf df join)"),
+    ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 
   test("every forced broadcast() hint site is allowlisted with a boundedness argument") {
+    // (?<!\w) — NOT (?<![.\w]) — so qualified hints (functions.broadcast,
+    // sc.broadcast) are audited too; (?<!def ) excludes definitions.
     val pat = java.util.regex.Pattern
-      .compile("(?<![.\\w])broadcast\\(\\s*([A-Za-z_][A-Za-z0-9_]*)")
+      .compile("(?<!\\w)(?<!def )broadcast\\(\\s*([A-Za-z_][A-Za-z0-9_]*)")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
-    val found = walk(new java.io.File("src/main/scala")).flatMap { f =>
-      val noComments = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .linesIterator.map(_.replaceAll("//.*", "")).mkString("\n")
-      val m = pat.matcher(noComments)
-      Iterator.continually(m.find()).takeWhile(identity)
-        .map(_ => (f.getName, m.group(1))).toList
-    }.toSet
-    val unlisted = found.diff(allow.keySet)
-    val stale = allow.keySet.diff(found)
+    val found: Map[(String, String), Int] =
+      walk(new java.io.File("src/main/scala")).flatMap { f =>
+        val noComments = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .linesIterator.map(_.replaceAll("//.*", "")).mkString("\n")
+        val m = pat.matcher(noComments)
+        Iterator.continually(m.find()).takeWhile(identity)
+          .map(_ => (f.getName, m.group(1))).toList
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    val unlisted = found.filter { case (k, n) => allow.get(k).forall(_._1 != n) }
+    val stale = allow.filter { case (k, (n, _)) => !found.get(k).contains(n) }
     assert(unlisted.isEmpty,
-      s"NEW forced broadcast hint(s) without a recorded bound — add each " +
-        s"to BroadcastAuditSpec.allow with its bound class: $unlisted")
+      s"forced broadcast hint site(s) without a matching (count, bound) " +
+        s"entry — update BroadcastAuditSpec.allow (site -> actual count): " +
+        s"$unlisted")
     assert(stale.isEmpty,
-      s"stale allowlist entries (hint removed or renamed): $stale")
+      s"stale allowlist entries (hint removed, renamed, or count changed): " +
+        s"${stale.map { case (k, (n, _)) => k -> n }}")
   }
 }

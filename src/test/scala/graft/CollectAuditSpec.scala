@@ -29,7 +29,7 @@ class CollectAuditSpec extends AnyFunSuite {
     "StreamingQueries.scala" -> (1,
       "oracle memo: recorded candidate pairs, emission capped at ReplayOracleCap"),
     "LlmOps.scala" -> (2,
-      "oracle memos: LSH candidate pairs + simhash signatures, both under the one-dir + ReplayOracleCap emission rule"),
+      "oracle memos: LSH candidate pairs (bounded by near-dup volume) + simhash signatures (limit(ReplayOracleCap+1)-bounded collect; over-cap memoizes empty -> rows-only)"),
     "Events.scala" -> (1,
       "RFM quantile threshold rows — stats x quintiles"))
 

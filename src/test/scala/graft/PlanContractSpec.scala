@@ -546,6 +546,50 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"pair formation must be the map-side array explode, not a self-join:\n$p")
   }
 
+  test("q_dedup_winnowing: every shuffle downstream of selection keys on hashed longs") {
+    // The round-12 `weak` item: the fingerprint index must shuffle as
+    // xxhash64 LONGS, never as multi-token gram strings — the df census,
+    // the semi-join, and the pair join all key on the 8-byte hash. Gram
+    // strings may only appear inside the selection window's own
+    // partition-by-doc exchange (keyed by doc_id, strings as payload).
+    // Contract: no HashAggregate or join in the executed plan groups or
+    // joins on a StringType expression named fp/gram.
+    val df = SparkEntry.queries("q_dedup_winnowing")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    def stringKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(k => k.dataType ==
+          org.apache.spark.sql.types.StringType &&
+        Seq("fp", "gram").exists(k.toString.toLowerCase.contains))
+    val badAggs = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if stringKeyed(a.groupingExpressions) => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if stringKeyed(a.groupingExpressions) => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if stringKeyed(a.groupingExpressions) => a
+    }
+    assert(badAggs.isEmpty,
+      s"fingerprint aggregation keys on gram STRINGS (the round-12 scale tax):\n$p")
+    val badJoins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if stringKeyed(j.leftKeys) => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if stringKeyed(j.leftKeys) => j
+      case j: BroadcastHashJoinExec if stringKeyed(j.leftKeys) => j
+    }
+    assert(badJoins.isEmpty,
+      s"fingerprint join keys on gram STRINGS:\n$p")
+    // and selection itself is map-side (HOF array_min in the projection):
+    // a regression to Window.partitionBy(doc) re-shuffles the full gram
+    // stream with multi-token strings as payload
+    val windows = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"winnowing selection must be the map-side HOF, not a window:\n$p")
+  }
+
   test("q_agg_exact_quantiles resolves with driver-local result and exact ranks") {
     // the bisection rounds are counter-cell aggregations executed inside
     // the op (no sort, no window — OrderStatsSpec covers exactness); the

@@ -66,6 +66,31 @@ class RangeFrameSpec extends SparkSpec {
     assert(p(8L) == ((2L, 192L)), p(8L).toString) // exactly-lookback inclusive
   }
 
+  test("negative (pre-epoch) timestamps: floor-div chunking keeps chunked == plain") {
+    import spark.implicits._
+    // Rows straddle t=0. Truncate-toward-zero chunking would put
+    // (-H, 0) and [0, H) both in chunk 0, so the t=-1 row would
+    // wrongly be a same-chunk peer (not a context row) of t in [0, H)
+    // and the t = -H - 1 row would lose its context propagation into
+    // the chunk holding t = -5. Floor division keeps the invariant.
+    val rows = Seq(
+      (1L, 7L, -2L * H + 3L, 1L),
+      (2L, 7L, -H - 1L, 2L),       // last micro of chunk -2
+      (3L, 7L, -H, 4L),            // first micro of chunk -1; frame reaches -2H
+      (4L, 7L, -5L, 8L),           // chunk -1; frame [-H-5, -5] includes 2,3
+      (5L, 7L, -1L, 16L),          // last pre-epoch micro
+      (6L, 7L, 0L, 32L),           // epoch: frame [-H, 0] includes 3,4,5
+      (7L, 7L, H - 2L, 64L),       // frame [-2, H-2] includes 5,6
+      (8L, 9L, -H, 128L))          // second key, isolated
+      .toDF("event_id", "user_id", "t_us", "v")
+    val p = asMap(plain(rows, H))
+    val c = asMap(chunked(rows, H))
+    assert(p == c, s"plain $p vs chunked $c")
+    // hand-traced: the epoch row's trailing hour spans three chunks' rows
+    assert(p(6L) == ((4L, 60L)), p(6L).toString) // t=0 sees -H, -5, -1, 0
+    assert(p(4L) == ((3L, 14L)), p(4L).toString) // t=-5 sees -H-1, -H, -5
+  }
+
   test("zipf hot key: chunked == plain, and the hot key spans many chunks") {
     import spark.implicits._
     // hot user: 20k events over ~55 hours (one per 10 s); 200 cold users
