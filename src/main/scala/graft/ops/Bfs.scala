@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: min-distance relaxation is confluent like k-core peeling
   * (relaxing never raises a distance), so the fixpoint is unique and no
-  * tie-break is needed; the fixed `rounds` horizon is part of the
-  * operator's semantics (PageRank's `iters` contract), and BfsSpec pins
-  * that the horizon REACHES the fixpoint on the catalog corpus.
+  * tie-break is needed. [[distancesConverged]] iterates to that fixpoint
+  * with exact stop-on-empty-frontier detection (one cheap count per
+  * round) and reports the executed round count for the replay oracle;
+  * the fixed-horizon [[distances]] remains for callers that want
+  * PageRank's `iters`-style bounded semantics.
   *
   * Scale shape: the edge list is repartitioned by `src` once and
   * persisted; each round is one join of the vertex-sized distance table
@@ -32,20 +34,49 @@ object Bfs {
     * by `seed` (a predicate over the vertex id column `id`). Returns
     * (id, dist) for REACHED vertices only. */
   def distances(edges: DataFrame, seed: org.apache.spark.sql.Column,
-                rounds: Int): DataFrame = {
+                rounds: Int): DataFrame =
+    run(edges, seed, rounds, stopOnFixpoint = false)._1
+
+  /** Convergence-driven BFS: relax until a round reaches NO new vertex,
+    * up to the `maxRounds` safety cap. Returns the fixpoint distances
+    * plus the number of rounds actually executed — the count the
+    * round-replay oracle must use to reproduce the result bit-for-bit.
+    *
+    * Detection is exact and costs one cheap count per round (on the
+    * round's already-checkpointed frame): in unit-weight synchronous
+    * BFS a vertex's distance is final the first round it is reached
+    * (the first reaching round IS its minimum hop), so the reached set
+    * only ever GROWS and an unchanged count implies an unchanged table
+    * — no deep corpus can silently under-iterate the way a fixed
+    * horizon can. */
+  def distancesConverged(edges: DataFrame, seed: org.apache.spark.sql.Column,
+                         maxRounds: Int = 100): (DataFrame, Int) =
+    run(edges, seed, maxRounds, stopOnFixpoint = true)
+
+  private def run(edges: DataFrame, seed: org.apache.spark.sql.Column,
+                  rounds: Int, stopOnFixpoint: Boolean): (DataFrame, Int) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src")).persist()
     var dist = e.select(col("src").as("id")).distinct()
       .filter(seed).withColumn("d", lit(0))
-    for (_ <- 1 to rounds) {
+    var prevCount = if (stopOnFixpoint) dist.count() else -1L
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
       dist = dist
         .unionByName(e.join(dist.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), (col("d") + 1).as("d")))
         .groupBy("id").agg(min("d").as("d"))
         .localCheckpoint(eager = true)
+      executed += 1
+      if (stopOnFixpoint) {
+        val c = dist.count()
+        converged = c == prevCount
+        prevCount = c
+      }
     }
-    dist.select(col("id"), col("d").as("dist"))
+    (dist.select(col("id"), col("d").as("dist")), executed)
   }
 
   /** The DuckDB replay: the same `rounds` carry-over-union/relax/min CTE

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * Determinism: peeling is CONFLUENT — the fixpoint is unique regardless
   * of deletion order (deleting a vertex never raises another's degree),
   * so unlike LPA no tie-break pinning is needed; synchronous rounds are
-  * chosen because each round is one join + one aggregation. A fixed
-  * `rounds` horizon is part of the operator's semantics exactly like
-  * PageRank's `iters` (the DuckDB oracle replays the same rounds);
-  * KCoreSpec asserts the horizon REACHES the fixpoint on the catalog
-  * corpus, so the published result is the true core there.
+  * chosen because each round is one join + one aggregation.
+  * [[peelConverged]] iterates to the fixpoint with exact
+  * stop-on-no-removal detection (one cheap count per round) and reports
+  * the executed round count for the replay oracle; the fixed-horizon
+  * [[peel]] remains for callers that want PageRank's `iters`-style
+  * bounded semantics.
   *
   * Scale shape (100 TB graph): the edge list is repartitioned by `src`
   * once and persisted; each round joins the vertex-sized survivor set
@@ -41,7 +42,26 @@ object KCore {
     * per-round price every iterative loop here pays (Components
     * materializes its RDD per pointer-jump round the same way). Cache
     * contract for the edge frame: same as [[PageRank.fixedPoint]]. */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    run(edges, k, rounds, stopOnFixpoint = false)._1
+
+  /** Convergence-driven peeling: peel until a round removes NO vertex,
+    * up to the `maxRounds` safety cap. Returns the true k-core plus the
+    * number of rounds actually executed — the count the round-replay
+    * oracle must use to reproduce the result bit-for-bit.
+    *
+    * Detection is exact and costs one cheap count per round (on the
+    * round's already-checkpointed survivor frame): survivor sets only
+    * ever SHRINK (peeling deletes, never restores), so an unchanged
+    * count implies an unchanged set, and an unchanged set means every
+    * surviving degree is already >= k — the fixpoint. A corpus whose
+    * peel depth exceeds any fixed horizon converges here regardless. */
+  def peelConverged(edges: DataFrame, k: Int,
+                    maxRounds: Int = 100): (DataFrame, Int) =
+    run(edges, k, maxRounds, stopOnFixpoint = true)
+
+  private def run(edges: DataFrame, k: Int, rounds: Int,
+                  stopOnFixpoint: Boolean): (DataFrame, Int) = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds must be >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src")).persist()
@@ -49,14 +69,24 @@ object KCore {
       .join(act.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(act.select(col("id").as("dst")), Seq("dst"), "left_semi")
     var active = e.select(col("src").as("id")).distinct()
-    for (_ <- 1 to rounds) {
+    var prevCount = if (stopOnFixpoint) active.count() else -1L
+    var executed = 0
+    var converged = false
+    while (executed < rounds && !converged) {
       active = shrink(active)
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("id")
         .localCheckpoint(eager = true)
+      executed += 1
+      if (stopOnFixpoint) {
+        val c = active.count()
+        converged = c == prevCount
+        prevCount = c
+      }
     }
-    shrink(active)
-      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+    (shrink(active)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree")),
+      executed)
   }
 
   /** The DuckDB replay: the same `rounds` restrict/re-degree/threshold

@@ -87,6 +87,26 @@ object Relational {
       derive: () => Seq[(Double, Double)]): Seq[(Double, Double)] =
     zDomains.computeIfAbsent(dir, _ => derive())
 
+  /** Executed round counts of the convergence-driven graph loops, keyed
+    * by corpus dir — the q_dedup_semantic recording pattern: the BFS /
+    * k-core queries iterate to their (unique, confluent) fixpoints and
+    * RECORD how many rounds that took, and [[oracles]] generates the
+    * DuckDB round-replay CTE chain from the recorded count. With zero or
+    * conflicting recordings the oracle falls back to the legacy fixed
+    * horizon (10 / 8 — fixpoint-verified at every catalog sf), so the
+    * gate never weakens; with a recording the replay matches the
+    * executed rounds bit-for-bit at ANY depth. */
+  private val bfsRoundsRun = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val kcoreRoundsRun = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def recordedRounds(
+      memo: java.util.concurrent.ConcurrentHashMap[String, Integer],
+      fallback: Int): Int = {
+    import scala.jdk.CollectionConverters._
+    val vs = memo.asScala.values.toSet
+    if (vs.size == 1) vs.head.intValue else fallback
+  }
+
   val defs: Map[String, Q] = Map(
     // -- aggregation family ------------------------------------------------
     "q_agg_pricing" -> ((s, dir) => {
@@ -637,14 +657,17 @@ object Relational {
     // i.e. the maximal subgraph where every part keeps >= 2 co-purchase
     // partners — peeling strips every tree-like tendril and leaves the
     // cyclic backbone the triangle census and LPA communities live on.
-    // Peeling is confluent (unique fixpoint, no tie-break needed); the
-    // 8-round horizon REACHES the fixpoint at every catalog scale
-    // (measured depths: 2 at sf0.001, 4 at sf0.01, 6 at sf0.1 — depth
-    // grows slowly because each round deletes a whole peel layer;
-    // KCoreSpec asserts round 8 == round 9), and the DuckDB oracle
-    // replays the same rounds as CTEs. Per round: two vertex-sized
-    // semi-joins against the once-partitioned edge list + one
-    // combiner-backed degree aggregation — edges never reshuffle.
+    // Peeling is confluent (unique fixpoint, no tie-break needed) and
+    // CONVERGENCE-DRIVEN: rounds run until a peel removes nothing (one
+    // cheap count per round — exact, since survivor sets only shrink),
+    // so a 100x corpus with a deeper peel order can never silently
+    // under-iterate; the executed round count is recorded per corpus and
+    // the DuckDB oracle replays exactly those rounds as CTEs (4 executed
+    // rounds at sf0.01 incl. the final no-change round, vs the legacy
+    // fixed 8 — convergence is also CHEAPER when the corpus is shallow).
+    // Per round: two vertex-sized semi-joins against
+    // the once-partitioned edge list + one combiner-backed degree
+    // aggregation — edges never reshuffle.
     "q_graph_kcore" -> ((s, dir) => {
       val pairs = graft.ops.Triangles.coPairs(
           tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
@@ -652,17 +675,23 @@ object Relational {
         .filter(col("w") >= 2).select("src", "dst")
       val sym = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.KCore.peel(sym, k = 2, rounds = 8).orderBy("id")
+      val (core, rounds) = graft.ops.KCore.peelConverged(sym, k = 2)
+      kcoreRoundsRun.put(dir, rounds)
+      core.orderBy("id")
     }),
     // Multi-source BFS hop distance over the co-purchase graph
     // (ops.Bfs — the Pregel SSSP shape): every part's hop count from the
     // deterministic seed set (partkey % 50 == 0) — the graph-locality
     // signal seed-based trust/contamination propagation needs. Min-
-    // relaxation is confluent; the 10-round horizon covers the measured
-    // fixpoint depths (3 at sf0.001, 8 at sf0.01, 6 at sf0.1; BfsSpec
-    // asserts round 10 == round 11). Per round one vertex-sized join +
-    // min-combine agg against the once-partitioned edge list,
-    // localCheckpointed (the KCore doubled-reference contract).
+    // relaxation is confluent and CONVERGENCE-DRIVEN: rounds run until a
+    // relaxation reaches no new vertex (one cheap count per round —
+    // exact, since the reached set only grows and first-reach = minimum
+    // hop), so a deeper-diameter corpus can never silently
+    // under-iterate; the executed round count is recorded per corpus and
+    // the oracle replays exactly those rounds. Per round one
+    // vertex-sized join + min-combine agg against the once-partitioned
+    // edge list, localCheckpointed (the KCore doubled-reference
+    // contract).
     "q_graph_bfs" -> ((s, dir) => {
       val pairs = graft.ops.Triangles.coPairs(
           tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
@@ -670,8 +699,10 @@ object Relational {
         .filter(col("w") >= 2).select("src", "dst")
       val sym = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ops.Bfs.distances(sym, col("id") % 50 === 0, rounds = 10)
-        .orderBy("id")
+      val (dist, rounds) =
+        graft.ops.Bfs.distancesConverged(sym, col("id") % 50 === 0)
+      bfsRoundsRun.put(dir, rounds)
+      dist.orderBy("id")
     }),
     // Skew mitigation by salting: append a deterministic salt to the fact
     // side's join key and replicate the other side once per salt value, so
@@ -1131,7 +1162,34 @@ object Relational {
        SELECT n_regionkey, n_nationkey, depth FROM walk
        ORDER BY n_regionkey, depth"""
 
-  val oracles: Map[String, String] = Map(
+  /** The co-purchase graph's symmetrized edge list in DuckDB SQL — the
+    * shared input of the kcore/bfs round-replay oracles (same derivation
+    * the static triangle/components/LPA oracles inline). */
+  private val CoPurchaseEdgesSql: String =
+    s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ds AS (SELECT l_orderkey, l_partkey FROM (
+                  SELECT l_orderkey, l_partkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+                  FROM ds0) z
+                WHERE rn <= $CoPairsBasketCap),
+         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT src, dst FROM pr
+         UNION ALL SELECT dst AS src, src AS dst FROM pr"""
+
+  // def, not val: the kcore/bfs oracles replay the round counts the
+  // convergence-driven queries RECORDED at run time (see bfsRoundsRun) —
+  // a val would freeze the legacy horizons before any query ran.
+  def oracles: Map[String, String] = staticOracles ++ Map(
+    "q_graph_kcore" -> graft.ops.KCore.oracleSql(CoPurchaseEdgesSql,
+      k = 2, rounds = recordedRounds(kcoreRoundsRun, fallback = 8)),
+    "q_graph_bfs" -> graft.ops.Bfs.oracleSql(CoPurchaseEdgesSql,
+      seedSql = "src % 50 = 0",
+      rounds = recordedRounds(bfsRoundsRun, fallback = 10)))
+
+  private val staticOracles: Map[String, String] = Map(
     "q_sql_recursive_cte" -> RecursiveCteSql,
     "q_compact_layout" ->
       """SELECT CAST(16 AS BIGINT) AS n_files_before,
@@ -1357,34 +1415,6 @@ object Relational {
          SELECT src, dst FROM pr
          UNION ALL SELECT dst AS src, src AS dst FROM pr""",
       rounds = 3),
-    "q_graph_kcore" -> graft.ops.KCore.oracleSql(
-      s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         ds AS (SELECT l_orderkey, l_partkey FROM (
-                  SELECT l_orderkey, l_partkey, row_number() OVER
-                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
-                  FROM ds0) z
-                WHERE rn <= $CoPairsBasketCap),
-         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
-                                   AND a.l_partkey < b.l_partkey
-                GROUP BY 1, 2 HAVING count(*) >= 2)
-         SELECT src, dst FROM pr
-         UNION ALL SELECT dst AS src, src AS dst FROM pr""",
-      k = 2, rounds = 8),
-    "q_graph_bfs" -> graft.ops.Bfs.oracleSql(
-      s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         ds AS (SELECT l_orderkey, l_partkey FROM (
-                  SELECT l_orderkey, l_partkey, row_number() OVER
-                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
-                  FROM ds0) z
-                WHERE rn <= $CoPairsBasketCap),
-         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
-                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
-                                   AND a.l_partkey < b.l_partkey
-                GROUP BY 1, 2 HAVING count(*) >= 2)
-         SELECT src, dst FROM pr
-         UNION ALL SELECT dst AS src, src AS dst FROM pr""",
-      seedSql = "src % 50 = 0", rounds = 10),
     "q_graph_pagerank" -> graft.ops.PageRank.oracleSql(
       """SELECT src, dst FROM (
            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -22,6 +22,27 @@ class BfsSpec extends SparkSpec {
       out.toString)
   }
 
+  test("convergence-driven: a planted path DEEPER than the legacy horizon still resolves exactly") {
+    // path 0-1-2-...-15: diameter 15 > the legacy 10-round horizon. The
+    // fixed-horizon run under-iterates by construction (the round-12
+    // verdict's silent-under-iteration hazard); distancesConverged must
+    // keep going until the frontier empties and return every exact hop.
+    val edges = sym((0L until 15L).map(i => (i, i + 1)))
+    val truncated = Bfs.distances(edges, col("id") === 0, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!truncated.contains(15L), "fixture degenerate: 10 rounds already reach the end")
+    val (df, rounds) = Bfs.distancesConverged(edges, col("id") === 0)
+    val out = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == (0L to 15L).map(i => i -> i.toInt).toMap, out.toString)
+    // 15 reaching rounds + the final no-change round that proves the fixpoint
+    assert(rounds == 16, s"executed rounds: $rounds")
+    // and the recorded count replays bit-identically through the oracle shape:
+    // one more fixed round changes nothing
+    val replay = Bfs.distances(edges, col("id") === 0, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(replay == out)
+  }
+
   test("the catalog query's 10-round horizon reaches the fixpoint at sf0.001 and sf0.01") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val pairs = graft.ops.Triangles.coPairs(

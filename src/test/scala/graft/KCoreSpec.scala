@@ -40,6 +40,29 @@ class KCoreSpec extends SparkSpec {
     assert(fixed == Map(4L -> 2L, 5L -> 2L, 6L -> 2L), fixed.toString)
   }
 
+  test("convergence-driven: a peel cascade DEEPER than the legacy horizon still resolves exactly") {
+    // path 0-1-...-12 feeding a triangle {12,13,14}: at k=2 the path
+    // unravels ONE vertex per synchronous round from the free end — 12
+    // peel rounds, deeper than the legacy 8-round horizon, under which
+    // phantom path vertices survive (the silent-under-iteration hazard).
+    // peelConverged must keep peeling until nothing is removed, leaving
+    // exactly the triangle.
+    val edges = sym((0L until 12L).map(i => (i, i + 1)) ++
+      Seq((12L, 13L), (13L, 14L), (12L, 14L)))
+    val truncated = KCore.peel(edges, k = 2, rounds = 8).collect()
+      .map(_.getLong(0)).toSet
+    assert(truncated.size > 3, "fixture degenerate: 8 rounds already reach the fixpoint")
+    val (df, rounds) = KCore.peelConverged(edges, k = 2)
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(12L -> 2L, 13L -> 2L, 14L -> 2L), out.toString)
+    // 12 removal rounds + the final no-change round that proves the fixpoint
+    assert(rounds == 13, s"executed rounds: $rounds")
+    // the recorded count replays bit-identically through the fixed-round shape
+    val replay = KCore.peel(edges, k = 2, rounds = rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay == out)
+  }
+
   test("the catalog query's 8-round horizon reaches the fixpoint at sf0.001 and sf0.01") {
     // q_graph_kcore publishes 'survivors after 8 peels' — this pins that
     // 8 rounds IS the fixpoint on the catalog corpus (one more round
