@@ -202,17 +202,22 @@ object Events {
     // per type across all days) MERGES tiles instead of rescanning raw
     // events. This is how distinct counts stay re-aggregatable in a
     // 100 TB cube: the raw stream is touched once; every slice of the
-    // cube is a union of kilobyte sketches. Rows-only (sketch estimates
-    // aren't SQL-expressible); the estimate-vs-exact error bound is
-    // pinned in CatalogContractSpec.
+    // cube is a union of kilobyte sketches. ORACLED via verify-replay:
+    // recorded (type, n_tiles, est_users) rows enter as literals while
+    // DuckDB recomputes the exact tile count (must match exactly) and
+    // exact distinct users (estimate must land within 5%; lgK=14 rsd is
+    // ~0.8%) — CatalogContractSpec keeps the invariant pinned too.
     "q_agg_sketch_tiles" -> ((s, dir) => {
       val tiles = tbl(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-      tiles.groupBy("event_type")
+      val df = tiles.groupBy("event_type")
         .agg(count(lit(1)).as("n_tiles"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
         .orderBy("event_type")
+      sketchTilesRec.computeIfAbsent(dir, _ =>
+        df.collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+      df
     }),
     "q_pii_pseudonymize" -> ((s, dir) =>
       tbl(s, dir, "events")
@@ -474,7 +479,47 @@ object Events {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Recorded q_agg_sketch_tiles rows (type, n_tiles, est_users), keyed
+    * by corpus dir — its verify-replay oracle's literal side (one row
+    * per event type; schema-bounded). One-dir emission rule like the
+    * LlmOps memos: zero or conflicting recordings fall back to
+    * rows-only. */
+  private val sketchTilesRec =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+
+  private def sketchTilesOracleSql: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val rec = sketchTilesRec.asScala.values.toSeq
+    if (rec.size != 1 || rec.head.isEmpty) None
+    else {
+      val vals = rec.head.map { case (t, nt, eu) =>
+        s"('$t', CAST($nt AS BIGINT), CAST($eu AS BIGINT))"
+      }.mkString(", ")
+      // Exact counts drive the join: a type the recording missed emits
+      // NULL columns (hash mismatch), a wrong tile count or an
+      // out-of-bound estimate nulls out, and a recorded type the corpus
+      // lacks leaves the oracle short a row — every failure direction
+      // flags.
+      Some(s"""WITH rec(event_type, n_tiles, est_users) AS (VALUES $vals),
+         exact AS (SELECT event_type,
+                     count(DISTINCT date_trunc('day', ts)) AS nt,
+                     count(DISTINCT user_id) AS nu
+                   FROM events GROUP BY 1)
+         SELECT e.event_type,
+                CASE WHEN r.n_tiles = e.nt THEN r.n_tiles END AS n_tiles,
+                CASE WHEN abs(r.est_users - e.nu) <= greatest(1, 0.05 * e.nu)
+                     THEN r.est_users END AS est_users
+         FROM exact e LEFT JOIN rec r USING (event_type)
+         ORDER BY e.event_type""")
+    }
+  }
+
+  // def, not val: the sketch-tiles oracle replays estimates RECORDED at
+  // query run time — a val would freeze the map before any query ran.
+  def oracles: Map[String, String] = staticOracles ++
+    sketchTilesOracleSql.map("q_agg_sketch_tiles" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "q_asof_join" ->
       """SELECT l.event_id AS click_id, l.user_id, r.event_id AS matched_purchase
          FROM (SELECT * FROM events WHERE event_type = 'click') l

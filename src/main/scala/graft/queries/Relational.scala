@@ -99,6 +99,35 @@ object Relational {
   private val bfsRoundsRun = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val kcoreRoundsRun = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Recorded HLL estimates of q_agg_approx_distinct, keyed by corpus
+    * dir — its verify-replay oracle's literal side (one row per return
+    * flag; schema-bounded). One-dir emission rule like the LlmOps
+    * memos: zero or conflicting recordings fall back to rows-only. */
+  private val approxDistinctRec =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  private def approxDistinctOracleSql: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val rec = approxDistinctRec.asScala.values.toSeq
+    if (rec.size != 1 || rec.head.isEmpty) None
+    else {
+      val vals = rec.head
+        .map { case (f, n) => s"('$f', CAST($n AS BIGINT))" }.mkString(", ")
+      // Exact counts drive the join: a flag the recording missed emits a
+      // NULL row (hash mismatch), an out-of-bound estimate nulls out,
+      // and a recorded flag the corpus lacks leaves the oracle short a
+      // row — every failure direction flags.
+      Some(s"""WITH rec(l_returnflag, approx_parts) AS (VALUES $vals),
+         exact AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n
+                   FROM lineitem GROUP BY 1)
+         SELECT e.l_returnflag,
+                CASE WHEN abs(r.approx_parts - e.n) <= greatest(1, 0.06 * e.n)
+                     THEN r.approx_parts END AS approx_parts
+         FROM exact e LEFT JOIN rec r USING (l_returnflag)
+         ORDER BY e.l_returnflag""")
+    }
+  }
+
   private def recordedRounds(
       memo: java.util.concurrent.ConcurrentHashMap[String, Integer],
       fallback: Int): Int = {
@@ -140,12 +169,21 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
     }),
-    // HLL sketch — approximate, so no SQL oracle (driver rows-only check).
+    // HLL sketch — ORACLED via verify-replay (the q_dedup_simhash
+    // pattern): the estimates are recorded per corpus (3 rows — the
+    // l_returnflag domain) and enter the generated DuckDB oracle as
+    // literals, while DuckDB independently recomputes the EXACT distinct
+    // counts and nulls out any estimate outside 3x-rsd (6%) or any flag
+    // the recording missed — so a sketch gone wrong, a dropped group, or
+    // estimate drift all hash-mismatch instead of passing rows-only.
     "q_agg_approx_distinct" -> ((s, dir) => {
-      tbl(s, dir, "lineitem")
+      val df = tbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")
+      approxDistinctRec.computeIfAbsent(dir, _ =>
+        df.collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+      df
     }),
     // Single-pass heavy hitters (Misra-Gries via df.stat.freqItems): every
     // value above the support threshold is guaranteed present (false
@@ -1187,7 +1225,8 @@ object Relational {
       k = 2, rounds = recordedRounds(kcoreRoundsRun, fallback = 8)),
     "q_graph_bfs" -> graft.ops.Bfs.oracleSql(CoPurchaseEdgesSql,
       seedSql = "src % 50 = 0",
-      rounds = recordedRounds(bfsRoundsRun, fallback = 10)))
+      rounds = recordedRounds(bfsRoundsRun, fallback = 10))) ++
+    approxDistinctOracleSql.map("q_agg_approx_distinct" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "q_sql_recursive_cte" -> RecursiveCteSql,

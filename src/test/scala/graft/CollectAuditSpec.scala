@@ -30,8 +30,10 @@ class CollectAuditSpec extends AnyFunSuite {
       "oracle memo: recorded candidate pairs, emission capped at ReplayOracleCap"),
     "LlmOps.scala" -> (2,
       "oracle memos: LSH candidate pairs (bounded by near-dup volume) + simhash signatures (limit(ReplayOracleCap+1)-bounded collect; over-cap memoizes empty -> rows-only)"),
-    "Events.scala" -> (1,
-      "RFM quantile threshold rows — stats x quintiles"))
+    "Events.scala" -> (2,
+      "RFM quantile threshold rows (stats x quintiles) + sketch-tiles oracle memo (one row per event type, schema-bounded)"),
+    "Relational.scala" -> (1,
+      "approx-distinct oracle memo — one row per return flag (schema-bounded)"))
 
   test("every .collect() site in main is allowlisted with a boundedness argument") {
     def walk(f: java.io.File): Seq[java.io.File] =
