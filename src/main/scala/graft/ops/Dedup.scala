@@ -172,9 +172,8 @@ object Dedup {
     finally out.close()
   }
 
-  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
-                                  path: String, shingleN: Int, perms: Int,
-                                  rowsPerBand: Int): Unit = {
+  private def readIndexParams(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Map[String, String] = {
     val p = paramsPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
@@ -182,13 +181,46 @@ object Dedup {
         "crash between data and sidecar writes (recover with stampIndexParams)")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val have = text.linesIterator.filter(_.contains("="))
+    text.linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
+  }
+
+  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, shingleN: Int, perms: Int,
+                                  rowsPerBand: Int): Unit = {
+    val have = readIndexParams(spark, path)
     val want = Map("shingleN" -> shingleN.toString, "perms" -> perms.toString,
       "rowsPerBand" -> rowsPerBand.toString)
     require(have == want,
       s"banding params mismatch for index at $path: index has $have, caller passed $want " +
         "— probing with different banding silently matches nothing")
+  }
+
+  /** Compact a signature index's accumulated per-batch append files —
+    * the maintenance step the continuous ingest loop needs: every
+    * [[writeSignatureIndex]] Append adds one small file set, and after
+    * thousands of batches the probe's index scan pays per-file open
+    * costs that dwarf the bytes (the StreamIngestGrowthProbe caveat).
+    * Delegates the rewrite + atomic swap to [[graft.io.Maintenance.compact]]
+    * but PRESERVES the `_lsh_params` sidecar, which the generic path
+    * would silently strip (parquet data discovery ignores underscore
+    * files, and the rename swap carries the old dir — sidecar included —
+    * away with the deleted backup): params are read before the rewrite
+    * and re-stamped after. A crash between swap and re-stamp leaves the
+    * same loud, `stampIndexParams`-repairable state as a crash inside
+    * [[writeSignatureIndex]] — probes refuse rather than mismatch. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            targetFileBytes: Long = 128L * 1024 * 1024,
+                            shuffle: Boolean = false): graft.io.Maintenance.LayoutStats = {
+    val params = readIndexParams(spark, path)
+    val stats = graft.io.Maintenance.compact(spark, path, targetFileBytes, shuffle)
+    val p = paramsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) // no-op compactions never moved the sidecar
+      writeIndexParams(spark, path, params("shingleN").toInt,
+        params("perms").toInt, params("rowsPerBand").toInt)
+    stats
   }
 
   /** Candidate near-dup pairs between a NEW batch and an indexed corpus:

@@ -57,6 +57,37 @@ class IncrementalDedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pairs.contains((200L, 100L)), s"batch-2 must match appended batch-1: $pairs")
   }
 
+  test("compactSignatureIndex merges append accretion, preserves the sidecar, changes nothing") {
+    val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_test6_").getAbsolutePath
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    // simulate the continuous loop: 6 tiny appended batches = 6 extra file sets
+    for (i <- 0 until 6)
+      Dedup.writeSignatureIndex(
+        Seq((300L + i, s"filler batch $i with some moderately unique text"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, mode = SaveMode.Append)
+    val before = graft.io.Maintenance.layoutStats(spark, idx)
+    val pairsBefore = Dedup.incrementalCandidatePairs(
+      spark, batch, "doc_id", "text", idx).as[(Long, Long)].collect().toSet
+    val after = Dedup.compactSignatureIndex(spark, idx)
+    assert(after.nFiles < before.nFiles,
+      s"compaction must shrink the layout: ${before.nFiles} -> ${after.nFiles}")
+    // the sidecar survived the swap (the generic Maintenance.compact
+    // path alone would have stripped it and the probe would refuse)
+    val pairsAfter = Dedup.incrementalCandidatePairs(
+      spark, batch, "doc_id", "text", idx).as[(Long, Long)].collect().toSet
+    assert(pairsAfter == pairsBefore, s"$pairsBefore -> $pairsAfter")
+    // and the loop continues: appends still validate against the sidecar
+    Dedup.writeSignatureIndex(
+      Seq((400L, base + " quietly whispered")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, mode = SaveMode.Append)
+    val next = Dedup.incrementalCandidatePairs(spark,
+        Seq((500L, base + " quietly murmured")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toSet
+    assert(next.contains((500L, 400L)), s"post-compaction append invisible: $next")
+  }
+
   test("mismatched banding params are refused via the index sidecar") {
     val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_test3_").getAbsolutePath
     Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx) // defaults: 3/32/8
