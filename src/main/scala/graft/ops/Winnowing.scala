@@ -91,17 +91,21 @@ object Winnowing {
   def sharedFingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 4, w: Int = 4,
                              maxDf: Long = 50L, minShared: Long = 5L): DataFrame = {
-    // persisted: the fingerprint index feeds THREE consumers (the df
-    // census and both sides of the pair join) — unpersisted, the whole
-    // gram+selection pipeline recomputes per reference (measured 4x at
-    // sf0.1). Session-lifetime like the LSH candidate persists; the
-    // production shape writes the index to storage (Dedup's signature-
-    // index stance) instead of caching it. HASHED index: 8-byte keys in
-    // the cache and in every downstream shuffle.
+    // persisted TWICE, deliberately: `fp` because the raw index feeds
+    // the df census and the semi-join (unpersisted, the whole
+    // gram+selection pipeline recomputes per reference — measured 4x at
+    // sf0.1), and `kept` because BOTH sides of the pair self-join read
+    // the df-filtered index — without its own cache the census
+    // aggregation and semi-join run once per side (runtime exchange
+    // reuse does NOT fire across the self-join's two branches; measured,
+    // and PlanContractSpec now pins the single-census shape). Both
+    // caches are 8-byte-keyed and session-lifetime like the LSH
+    // candidate persists; the production shape writes the kept index to
+    // storage (Dedup's signature-index stance) instead of caching.
     val fp = hashedFingerprints(docs, idCol, textCol, k, w).persist()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val kept = fp.join(rare.select("fp"), Seq("fp"), "left_semi")
+    val kept = fp.join(rare.select("fp"), Seq("fp"), "left_semi").persist()
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -588,6 +588,22 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(windows.isEmpty,
       s"winnowing selection must be the map-side HOF, not a window:\n$p")
+    // the df-census + semi-join feeds BOTH pair-join sides, and runtime
+    // exchange reuse does NOT fire across a self-join's branches
+    // (measured): the census must therefore live inside the persisted
+    // kept-index relation, computed ONCE — if it leaks back into the
+    // top-level plan it is running once per side, an index-sized shuffle
+    // paid twice at 100 TB. Census signature: a count aggregate grouped
+    // on the single fp key (the final pair count groups on two keys).
+    val censusAggs = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.size == 1 &&
+          a.groupingExpressions.head.toString.contains("fp") &&
+          a.aggregateExpressions.nonEmpty => a
+    }
+    assert(censusAggs.isEmpty,
+      s"df census duplicated into the top-level plan (must be cached " +
+        s"inside the kept-index relation):\n$p")
   }
 
   test("q_agg_exact_quantiles resolves with driver-local result and exact ranks") {
