@@ -471,11 +471,13 @@ object Dedup {
     * derived leading column — e.g. the streaming ingest query's
     * batch_id, recomputed from staged id-range arithmetic — which also
     * leads the ORDER BY. */
-  def verifyReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
-                            leftCol: String, rightCol: String,
-                            threshold: Double,
-                            extraCtes: String = "",
-                            prefixCol: Option[(String, String)] = None): String = {
+  /** The shared cand/tk/sh/scored CTE block of the verify-replay oracles:
+    * recorded candidates as literals, shingling + exact Jaccard
+    * recomputed by DuckDB. ONE derivation consumed by both
+    * [[verifyReplayOracleSql]] and [[clusterReplayOracleSql]] so the two
+    * replays cannot drift. */
+  private def scoredCtes(pairs: Seq[(Option[String], Long, Long)],
+                         leftCol: String, rightCol: String): (String, Boolean) = {
     val staged = pairs.exists(_._1.isDefined)
     val candCols = (if (staged) Seq("stage") else Nil) ++ Seq(leftCol, rightCol)
     val rows =
@@ -490,11 +492,7 @@ object Dedup {
           s"FROM (VALUES $vals) v(${cols.mkString(", ")})"
       }
     val stageSel = if (staged) "c.stage, " else ""
-    val stageOrd = if (staged) "stage, " else ""
-    val extra = if (extraCtes.isEmpty) "" else s",\n       $extraCtes"
-    val preSel = prefixCol.map { case (n, e) => s"$e AS $n, " }.getOrElse("")
-    val preOrd = prefixCol.map { case (n, _) => s"$n, " }.getOrElse("")
-    s"""WITH cand(${candCols.mkString(", ")}) AS ($rows),
+    val ctes = s"""cand(${candCols.mkString(", ")}) AS ($rows),
        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 1) + 1),
@@ -505,10 +503,54 @@ object Dedup {
              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
          FROM cand c
          JOIN sh x ON x.doc_id = c.$leftCol
-         JOIN sh y ON y.doc_id = c.$rightCol)$extra
+         JOIN sh y ON y.doc_id = c.$rightCol)"""
+    (ctes, staged)
+  }
+
+  def verifyReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
+                            leftCol: String, rightCol: String,
+                            threshold: Double,
+                            extraCtes: String = "",
+                            prefixCol: Option[(String, String)] = None): String = {
+    val (ctes, staged) = scoredCtes(pairs, leftCol, rightCol)
+    val stageOrd = if (staged) "stage, " else ""
+    val extra = if (extraCtes.isEmpty) "" else s",\n       $extraCtes"
+    val preSel = prefixCol.map { case (n, e) => s"$e AS $n, " }.getOrElse("")
+    val preOrd = prefixCol.map { case (n, _) => s"$n, " }.getOrElse("")
+    s"""WITH $ctes$extra
        SELECT $preSel$stageOrd$leftCol, $rightCol,
          floor(j * 10000 + 0.5) / 10000 AS jac
        FROM scored WHERE j >= $threshold
        ORDER BY $preOrd$stageOrd$leftCol, $rightCol"""
+  }
+
+  /** GENERATED DuckDB oracle for the full cluster-and-keep stage
+    * (q_dedup_clusters): the recorded candidates feed the same scored
+    * CTEs as [[verifyReplayOracleSql]], then DuckDB independently runs
+    * the whole downstream — threshold, edge symmetrization, recursive
+    * min-label reachability (the q_graph_components replay shape,
+    * identical semantics to [[Components.connectedComponents]]'s
+    * min-reachable-id labels), canonical keep = the component minimum,
+    * cluster sizing, and the per-doc keep/drop verdicts. A wrong merge,
+    * a split cluster, a wrong canonical pick, or a size drift all
+    * hash-mismatch. */
+  def clusterReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
+                             threshold: Double): String = {
+    val (ctes, _) = scoredCtes(pairs, "id_a", "id_b")
+    s"""WITH RECURSIVE $ctes,
+       p AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= $threshold),
+       e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+                          UNION SELECT id_b AS a, id_a AS b FROM p),
+       reach(node, r) AS (
+         SELECT a, a FROM e
+         UNION
+         SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node),
+       lbl AS MATERIALIZED (
+         SELECT node AS doc_id, min(r) AS keep_id FROM reach GROUP BY node),
+       sz AS (SELECT keep_id, count(*) AS cluster_size FROM lbl GROUP BY keep_id)
+       SELECT l.doc_id, l.keep_id, s.cluster_size,
+              l.doc_id <> l.keep_id AS is_drop
+       FROM lbl l JOIN sz s USING (keep_id)
+       ORDER BY l.doc_id"""
   }
 }

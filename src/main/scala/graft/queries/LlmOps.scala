@@ -313,6 +313,36 @@ object LlmOps {
       // 0.5) so this and the incremental query cannot drift
       Dedup.verifyCandidates(d, "doc_id", "text", cands, "id_a", "id_b")
     }),
+    // The near-dup loop's FINAL step — the keep/drop decision a crawl
+    // pipeline actually acts on: verified near-dup pairs (same
+    // signatures/banding/threshold as q_dedup_minhash_lsh — shared
+    // candidate memo, so the two queries cannot drift) merge into dup
+    // CLUSTERS via connected components (pairs are not transitive-safe
+    // to act on directly: A~B, B~C must drop to ONE canonical doc, not
+    // two independent pair picks), canonical keep = the cluster's min
+    // doc_id, output one verdict row per clustered doc. Scale shape:
+    // components run on the near-dup PAIR graph (bounded by near-dup
+    // volume, orders below corpus size); cluster sizing is one
+    // component-keyed aggregation joined back. Singleton docs (no
+    // verified pair) emit nothing — the output is dup-volume-sized,
+    // never corpus-sized. Oracled end-to-end via the generated
+    // verify-replay + recursive-components SQL (Dedup.clusterReplayOracleSql).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(d, "doc_id", "text")).persist()
+      lshCandidates.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      val pairs = Dedup.verifyCandidates(d, "doc_id", "text",
+          cands, "id_a", "id_b")
+        .select("id_a", "id_b")
+      val comp = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+      comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .join(comp, "component")
+        .select(col("id").as("doc_id"), col("component").as("keep_id"),
+          col("cluster_size"),
+          (col("id") =!= col("component")).as("is_drop"))
+        .orderBy("doc_id")
+    }),
     // Incremental dedup: a "daily batch" (doc_id % 5 == 0) probed against
     // a persisted signature index of the corpus (the other 80%). The
     // index is built once per corpus and memoized (same lifecycle as the
@@ -826,7 +856,17 @@ object LlmOps {
         graft.ops.SemanticDedup.statsOracleSql(kfitted.head))
       else Map.empty) ++
       replayOracle(lshCandidates, "id_a", "id_b")
-        .map("q_dedup_minhash_lsh" -> _) ++
+        .map("q_dedup_minhash_lsh" -> _) ++ {
+        // q_dedup_clusters rides the SAME candidate memo (identical
+        // seeded signatures -> identical candidates), same one-dir + cap
+        // emission rule
+        import scala.jdk.CollectionConverters._
+        val rec = lshCandidates.asScala.values.toSeq
+        if (rec.size == 1 && rec.head.size <= ReplayOracleCap)
+          Map("q_dedup_clusters" -> graft.ops.Dedup.clusterReplayOracleSql(
+            rec.head, VerifyThreshold))
+        else Map.empty
+      } ++
       replayOracle(incCandidates, "id_new", "id_corpus")
         .map("q_dedup_incremental" -> _) ++
       replayOracle(fullCandidates, "id_a", "id_b")

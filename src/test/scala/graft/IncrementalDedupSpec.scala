@@ -57,6 +57,33 @@ class IncrementalDedupSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pairs.contains((200L, 100L)), s"batch-2 must match appended batch-1: $pairs")
   }
 
+  test("dedup clusters: transitive near-dups collapse to ONE canonical keep") {
+    // A~B and B~C (each pair above threshold) but A and C may be farther
+    // apart — acting on pairs independently could keep two of the three;
+    // the cluster verdict must keep exactly min(doc_id) and drop the
+    // other two, with cluster_size 3 on every member's row.
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " tonight"),
+      (12L, base + " tonight okay"),
+      (99L, "totally different text about compilers and register allocation"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.minHashSignatures(docs, "doc_id", "text"))
+    val pairs = Dedup.verifyCandidates(docs, "doc_id", "text",
+        cands, "id_a", "id_b")
+      .select("id_a", "id_b")
+    assert(pairs.count() >= 2, "fixture degenerate: chain pairs not formed")
+    val comp = graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+    val out = comp.groupBy("component")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cluster_size"))
+      .join(comp, "component")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)),
+      out.toString)
+  }
+
   test("compactSignatureIndex merges append accretion, preserves the sidecar, changes nothing") {
     val idx = graft.io.TempDirs.createDeletedOnExit("lsh_idx_test6_").getAbsolutePath
     Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
