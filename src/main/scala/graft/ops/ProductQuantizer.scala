@@ -144,4 +144,63 @@ object ProductQuantizer {
     flatten(transform(sequence(lit(0), lit(cb.m - 1)),
       mi => element_at(element_at(cbLit, mi + 1), element_at(codes, mi + 1) + 1)))
   }
+
+  // ------------------------------------------------------------------
+  // DuckDB replay — the SQL twins of encodeExpr/decodeExpr, consumed by
+  // the generated PQ / IVF-PQ oracles. The codebook enters as a literal;
+  // encode's per-subspace distance is the same sequential fold (see
+  // SqlReplay), and the argmin replays array_sort's lexicographic
+  // (d, j) rule via list_sort over the same structs — ties to the
+  // lowest code on both engines.
+  // ------------------------------------------------------------------
+
+  /** The fitted codebook as a DOUBLE[][][] literal — exactly the values
+    * `encodeExpr`/`decodeExpr` ship as Column literals (float centroids
+    * widened to double, which is exact). */
+  def codebookLit(cb: PqCodebook): String =
+    "CAST([" + cb.centroids.map(sub =>
+      "[" + sub.map(c => SqlReplay.dArr(c.map(_.toDouble))).mkString(", ") + "]")
+      .mkString(", ") + "] AS DOUBLE[][][])"
+
+  /** SQL twin of [[encodeExpr]] over `emb` (a DOUBLE[] expr) against the
+    * codebook literal bound to `cbl`: m codes, each the argmin-L2 entry
+    * of its subspace. Subvector element i of subspace mi is read in place
+    * as `emb[mi·subDim + i]` — the same elements `slice` feeds zip_with. */
+  def codesSql(emb: String, cbl: String, cb: PqCodebook): String = {
+    val sd = cb.subDim
+    val diff = s"($emb[mi * $sd + i] - $cbl[mi + 1][j + 1][i])"
+    s"list_transform(range(0, ${cb.m}), mi -> " +
+      s"list_sort(list_transform(range(0, ${cb.ks}), j -> " +
+      s"{'d': list_reduce(list_transform(range(1, $sd + 1), " +
+      s"i -> $diff * $diff), (acc, x) -> acc + x), 'j': j}))[1].j)"
+  }
+
+  /** SQL twin of [[decodeExpr]]: concatenate each code's centroid. */
+  def decodeSql(codes: String, cbl: String, m: Int): String =
+    s"flatten(list_transform(range(1, $m + 1), mi -> $cbl[mi][$codes[mi] + 1]))"
+
+  /** GENERATED DuckDB oracle for the PQ reconstruction-stats query
+    * (`q_embed_pq`): encode + decode replayed from the codebook literal,
+    * reconstruction cosine floor-quantized to integer micro-units PER ROW
+    * before the label sums — exact long arithmetic on both engines, no
+    * summation-order-dependent double aggregates. */
+  def reconStatsOracleSql(cb: PqCodebook): String = {
+    import SqlReplay.{dot, sq}
+    s"""WITH cbv AS (SELECT ${codebookLit(cb)} AS cbl),
+       e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings),
+       codes AS (SELECT e.vec_id, ${codesSql("e.emb", "cbv.cbl", cb)} AS cds
+         FROM e, cbv),
+       dec AS (SELECT c.vec_id, ${decodeSql("c.cds", "cbv.cbl", cb.m)} AS demb
+         FROM codes c, cbv),
+       rc AS (SELECT e.label,
+           CAST(floor(${dot("e.emb", "d.demb")}
+             / (sqrt(${sq("e.emb")}) * sqrt(${sq("d.demb")}))
+             * 1000000.0) AS BIGINT) AS rcm
+         FROM dec d JOIN e ON e.vec_id = d.vec_id)
+       SELECT label, count(*) AS n_vecs,
+         CAST(sum(rcm) AS BIGINT) AS sum_recon_cos_micro,
+         min(rcm) AS min_recon_cos_micro
+       FROM rc GROUP BY label ORDER BY label"""
+  }
 }

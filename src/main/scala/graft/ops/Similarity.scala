@@ -70,11 +70,19 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"))
   }
 
+  /** The seeded hyperplane set `lshBuckets` hashes with — exposed so the
+    * generated DuckDB oracle can embed the SAME planes as literals and
+    * replay the sign bits exactly (java.util.Random's Gaussian stream is
+    * deterministic; Double.toString round-trips). */
+  def lshPlanes(dim: Int, bits: Int, seed: Long = 42): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
   /** Random-hyperplane signature: `bits` sign bits packed into a long.
     * Hyperplanes are deterministic (seeded) and broadcast as literals. */
   def lshBuckets(df: DataFrame, dim: Int, bits: Int = 8, seed: Long = 42): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val planes = lshPlanes(dim, bits, seed)
     val emb = col("embedding").cast("array<double>")
     val sig = (0 until bits).map { b =>
       val plane = array(planes(b).toIndexedSeq.map(v => lit(v)): _*)
@@ -104,7 +112,16 @@ object Similarity {
     * Coarse quantization needs rough balance, not converged clusters:
     * random init + few iterations keeps the fit cheap (k-means|| init
     * alone runs ~2 jobs per round over the corpus). List sizes are
-    * balanced by construction — unlike LSH, no bucket blows up on skew. */
+    * balanced by construction — unlike LSH, no bucket blows up on skew.
+    *
+    * The assignment pass uses [[SemanticDedup.nearestCentroid]]'s
+    * explicit argmin fold over the SAME float-rounded centroids the index
+    * records — not `KMeansModel.transform`, whose norm-precomputed
+    * `fastSquaredDistance` rounding no other engine replays. Identical
+    * semantics (euclidean argmin, ties to the smallest list), but the
+    * layout is now a pure function of (corpus, recorded centroids), which
+    * is what lets [[ivfAnnOracleSql]] replay the whole index from
+    * centroid literals. */
   def fitIvf(embeddings: DataFrame, nLists: Int, indexDir: String,
              seed: Long = 42, maxIter: Int = 5): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -113,11 +130,14 @@ object Similarity {
       .withColumn("__fv", array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random").setFeaturesCol("__fv").fit(feat)
-    model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
+    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        SemanticDedup.nearestCentroid(col("embedding"),
+          cents.toIndexedSeq.map(_.map(_.toDouble))).as("list_id"))
       .write.partitionBy("list_id").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(indexDir)
-    IvfIndex(indexDir, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    IvfIndex(indexDir, cents)
   }
 
   /** Probe a fitted IVF index: each query scores only the corpus rows in
@@ -348,4 +368,135 @@ object Similarity {
       .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // Generated DuckDB oracles — the verify-replay upgrade for the ANN
+  // tier. The non-SQL-expressible artifacts (seeded hyperplanes, fitted
+  // centroids, PQ codebooks) enter as literals; EVERYTHING downstream —
+  // sign bits, multi-probe expansion, euclidean list assignment, probe
+  // selection, ADC scoring, rerank, final top-k — is independently
+  // recomputed by DuckDB with bit-identical folds (see SqlReplay's
+  // scaladoc for why the doubles, and hence the ranks, cannot diverge).
+  // A banding bug, a wrong list assignment, a dropped candidate, or a
+  // broken tie rule all hash-mismatch.
+  // ------------------------------------------------------------------
+  import SqlReplay.{dArr, dot => sqlDot, sq => sqlSq, sqDiff, cosGuarded}
+
+  /** STATIC DuckDB oracle for [[lshTopK]] — static because the planes are
+    * a pure function of (dim, bits, seed): the oracle regenerates them
+    * with the same RNG and replays bucket bits, the Hamming-radius-1
+    * multi-probe expansion, the bucket join, and the exact cosine top-k.
+    * `queryPred` is the query-set filter over `embeddings` (e.g.
+    * `vec_id < 50`). */
+  def lshAnnOracleSql(dim: Int, bits: Int, k: Int, queryPred: String,
+                      hammingRadius: Int = 1, seed: Long = 42): String = {
+    require(hammingRadius >= 0 && hammingRadius <= 1,
+      s"hammingRadius $hammingRadius unsupported (0 or 1)")
+    val planes = lshPlanes(dim, bits, seed)
+    val pl = s"CAST([${planes.map(dArr).mkString(", ")}] AS DOUBLE[][])"
+    val bitTerm = (0 until bits).map { b =>
+      s"(CASE WHEN ${sqlDot("e.emb", s"pl.ps[${b + 1}]")} >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (if (hammingRadius == 0) Seq.empty
+      else (0 until bits).map(b => s"xor(bucket, ${1L << b})"))).mkString(", ")
+    s"""WITH pl AS (SELECT $pl AS ps),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       bkt AS (SELECT e.vec_id, e.emb, sqrt(${sqlSq("e.emb")}) AS n,
+           CAST($bitTerm AS BIGINT) AS bucket
+         FROM e CROSS JOIN pl),
+       pq AS (SELECT vec_id AS query_id, emb AS q_emb, n AS q_n,
+           unnest([$probeList]) AS bucket
+         FROM bkt WHERE $queryPred),
+       scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+           ${sqlDot("p.q_emb", "c.emb")} / (p.q_n * c.n) AS cos
+         FROM pq p JOIN bkt c ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
+       SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk,
+         neighbor_id
+       FROM scored QUALIFY rnk <= $k ORDER BY query_id, rnk"""
+  }
+
+  /** The shared cents/e/asg/probes CTE block of the IVF-family replays:
+    * recorded (float-rounded) centroids as literals, euclidean argmin
+    * list assignment (ties to the smallest list — [[fitIvf]]'s fold), and
+    * per-query nProbe probe-list selection by centroid cosine (csim DESC,
+    * list ASC — [[probeIvf]]'s window). ONE derivation consumed by both
+    * [[ivfAnnOracleSql]] and [[ivfPqAnnOracleSql]]. */
+  private def ivfCtes(centroids: Array[Array[Float]], nProbe: Int,
+                      queryPred: String): String = {
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST(${dArr(c.map(_.toDouble))} AS DOUBLE[]))"
+    }.mkString(", ")
+    s"""cents0(list_id, cent) AS (VALUES $rows),
+       cents AS (SELECT list_id, cent, sqrt(${sqlSq("cent")}) AS cn FROM cents0),
+       e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       e AS (SELECT vec_id, emb, sqrt(${sqlSq("emb")}) AS n FROM e0),
+       dist AS (SELECT e.vec_id, c.list_id, ${sqDiff("e.emb", "c.cent")} AS d
+         FROM e CROSS JOIN cents c),
+       asg AS (SELECT vec_id, list_id FROM (
+           SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY d ASC, list_id ASC) AS rn FROM dist) t WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, emb AS q_emb, n AS q_n FROM e
+         WHERE $queryPred),
+       psim AS (SELECT q.query_id, q.q_emb, q.q_n, c.list_id,
+           ${cosGuarded("q.q_emb", "c.cent", "q.q_n", "c.cn")} AS csim
+         FROM q CROSS JOIN cents c),
+       probes AS (SELECT query_id, q_emb, q_n, list_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY csim DESC, list_id ASC) AS prn FROM psim) t
+         WHERE prn <= $nProbe)"""
+  }
+
+  /** GENERATED DuckDB oracle for [[probeIvf]] over a [[fitIvf]] index:
+    * the recorded centroids replay the whole index (assignment is a pure
+    * function of corpus + centroids since the fold-based fitIvf), then
+    * probe selection and the exact cosine top-k within the probed lists. */
+  def ivfAnnOracleSql(centroids: Array[Array[Float]], nProbe: Int, k: Int,
+                      queryPred: String): String =
+    s"""WITH ${ivfCtes(centroids, nProbe, queryPred)},
+       scored AS (SELECT p.query_id, ce.vec_id AS neighbor_id,
+           ${cosGuarded("p.q_emb", "ce.emb", "p.q_n", "ce.n")} AS cos
+         FROM probes p JOIN asg a ON a.list_id = p.list_id
+         JOIN e ce ON ce.vec_id = a.vec_id
+         WHERE ce.vec_id <> p.query_id)
+       SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk, neighbor_id
+       FROM scored QUALIFY rnk <= $k ORDER BY query_id, rnk"""
+
+  /** GENERATED DuckDB oracle for [[probeIvfPq]] over a [[fitIvfPq]]
+    * index: coarse centroids + PQ codebooks as literals, then DuckDB
+    * independently replays all three tiers — list assignment, PQ encode
+    * (argmin per subspace, ties to the lowest code) + decode, ADC scoring
+    * and the rerank shortlist, and the exact final top-k against raw
+    * embeddings. */
+  def ivfPqAnnOracleSql(centroids: Array[Array[Float]],
+                        cb: ProductQuantizer.PqCodebook,
+                        nProbe: Int, rerank: Int, k: Int,
+                        queryPred: String): String =
+    s"""WITH ${ivfCtes(centroids, nProbe, queryPred)},
+       cbv AS (SELECT ${ProductQuantizer.codebookLit(cb)} AS cbl),
+       codes AS (SELECT e.vec_id,
+           ${ProductQuantizer.codesSql("e.emb", "cbv.cbl", cb)} AS cds
+         FROM e, cbv),
+       dec AS (SELECT c.vec_id,
+           ${ProductQuantizer.decodeSql("c.cds", "cbv.cbl", cb.m)} AS demb
+         FROM codes c, cbv),
+       decn AS (SELECT vec_id, demb, sqrt(${sqlSq("demb")}) AS dn FROM dec),
+       adc AS (SELECT p.query_id, p.q_emb, p.q_n, d.vec_id AS neighbor_id,
+           ${cosGuarded("p.q_emb", "d.demb", "p.q_n", "d.dn")} AS adc
+         FROM probes p JOIN asg a ON a.list_id = p.list_id
+         JOIN decn d ON d.vec_id = a.vec_id
+         WHERE d.vec_id <> p.query_id),
+       short AS (SELECT query_id, q_emb, q_n, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, neighbor_id ASC) AS arn FROM adc) t
+         WHERE arn <= $rerank),
+       scored AS (SELECT s.query_id, s.neighbor_id,
+           ${cosGuarded("s.q_emb", "ce.emb", "s.q_n", "ce.n")} AS cos
+         FROM short s JOIN e ce ON ce.vec_id = s.neighbor_id)
+       SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk, neighbor_id
+       FROM scored QUALIFY rnk <= $k ORDER BY query_id, rnk"""
 }

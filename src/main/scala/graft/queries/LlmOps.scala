@@ -83,6 +83,13 @@ object LlmOps {
   private val kmeansCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
 
+  /** Per-corpus PQ codebook memo (`q_embed_pq`'s fit — deterministic and
+    * sample-bounded, so memoizing only saves the refit) — consumed by
+    * [[oracles]] to GENERATE the codebook-replay oracle. Same one-dir
+    * emission rule as the other fitted-artifact memos. */
+  private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.ProductQuantizer.PqCodebook]()
+
   /** Recorded LSH CANDIDATE pairs (pre-verification), keyed by corpus dir
     * — consumed by [[oracles]] to GENERATE verify-replay DuckDB oracles
     * for the three MinHash-based dedup queries (the q_dedup_semantic
@@ -122,6 +129,18 @@ object LlmOps {
     * definition shared by the queries (verifyCandidates default) and the
     * generated replay oracles. */
   private val VerifyThreshold = 0.5
+
+  /** ANN-tier parameters — ONE definition shared by the queries and
+    * their generated replay oracles (the VerifyThreshold stance). The
+    * query-set predicates are likewise shared via [[AnnQueryPred]] /
+    * [[IvfPqQueryPred]]. */
+  private val AnnK = 3
+  private val LshAnnBits = 4
+  private val IvfNLists = 8
+  private val IvfNProbe = 2
+  private val IvfPqRerank = 32
+  private val AnnQueryPred = "vec_id < 50"
+  private val IvfPqQueryPred = "vec_id % 50 = 0"
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame,
                       stage: Option[String]): Seq[(Option[String], Long, Long)] =
@@ -475,31 +494,35 @@ object LlmOps {
           e.filter(col("vec_id") >= 20 && col("vec_id") < 40), e, 5)
         .orderBy("query_id", "rnk")
     }),
-    // LSH-bucketed ANN — the scale path (rows-only; approximate by design).
+    // LSH-bucketed ANN — the scale path. ORACLED by the static generated
+    // replay SQL (Similarity.lshAnnOracleSql): the seeded hyperplanes are
+    // a pure function of (dim, bits, seed), so DuckDB regenerates them as
+    // literals and replays sign bits, multi-probe expansion, and the
+    // exact cosine top-k bit-for-bit.
     "q_sim_lsh_ann" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       // multi-probe (Hamming radius 1): ~5x recall over single-probe on
       // near-isotropic embeddings for a (bits+1)x candidate bound
       // (RecallFloorSpec pins the floor)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), dim = 64, k = 3,
-          bits = 4, hammingRadius = 1)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), dim = 64,
+          k = AnnK, bits = LshAnnBits, hammingRadius = 1)
         .orderBy("query_id", "rnk")
     }),
-    // IVF ANN — k-means inverted lists, balanced by construction (rows-only).
     // IVF-PQ (FAISS IVFx,PQy): coarse lists -> ADC scoring over 8-byte
-    // codes -> exact rerank of 12 candidates. The three-tier shape that
-    // serves billion-vector ANN; rows-only (k-means + PQ codebooks are
-    // not SQL-expressible), recall floor pinned in PqSpec. Both index
-    // halves are fit ONCE per corpus (memoized like q_sim_ivf_ann's);
-    // every invocation after that is a pure probe.
+    // codes -> exact rerank of 32 candidates. The three-tier shape that
+    // serves billion-vector ANN; ORACLED via the generated replay SQL
+    // (recorded coarse centroids + PQ codebooks as literals, all three
+    // tiers recomputed by DuckDB); recall floor pinned in PqSpec. Both
+    // index halves are fit ONCE per corpus (memoized like
+    // q_sim_ivf_ann's); every invocation after that is a pure probe.
     "q_sim_ivfpq_ann" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val (index, cb) = LlmOps.ivfPqIndexFor(dir, () =>
-        Similarity.fitIvfPq(e, nLists = 8, m = 8, ks = 16, dim = 64,
+        Similarity.fitIvfPq(e, nLists = IvfNLists, m = 8, ks = 16, dim = 64,
           graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_")
             .getAbsolutePath))
-      Similarity.probeIvfPq(e, e.filter(col("vec_id") % 50 === 0), k = 3,
-          index, cb, nProbe = 2, rerank = 32)
+      Similarity.probeIvfPq(e, e.filter(col("vec_id") % 50 === 0), k = AnnK,
+          index, cb, nProbe = IvfNProbe, rerank = IvfPqRerank)
         .orderBy("query_id", "rnk")
     }),
     "q_sim_ivf_ann" -> ((s, dir) => {
@@ -508,12 +531,16 @@ object LlmOps {
       // the JVM; every invocation after that is a pure probe — the shape a
       // production ANN service runs, where the index build is a layout job
       // and queries only pay partition-pruned scans. Deterministic seed
-      // keeps the output identical to a fresh fit.
+      // keeps the output identical to a fresh fit. ORACLED via the
+      // generated replay SQL: since fitIvf assigns lists with the
+      // replayable argmin fold, the recorded centroids alone let DuckDB
+      // rebuild the whole index and recompute the probe end-to-end.
       val index = LlmOps.ivfIndexFor(dir, () =>
-        Similarity.fitIvf(tbl(s, dir, "embeddings"), nLists = 8,
+        Similarity.fitIvf(tbl(s, dir, "embeddings"), nLists = IvfNLists,
           graft.io.TempDirs.createDeletedOnExit("graft_ivf_").getAbsolutePath))
       Similarity.probeIvf(s, index,
-          tbl(s, dir, "embeddings").filter(col("vec_id") < 50), k = 3, nProbe = 2)
+          tbl(s, dir, "embeddings").filter(col("vec_id") < 50), k = AnnK,
+          nProbe = IvfNProbe)
         .orderBy("query_id", "rnk")
     }),
     // Deterministic train/val/test assignment by content hash: stable
@@ -822,19 +849,26 @@ object LlmOps {
     // 32x compression for the corpus-scale similarity tiers. Fit on a
     // deterministic 1024-row sample (driver-side Lloyd's, the FAISS
     // recipe), encode + reconstruct map-side via codebook literals, and
-    // report per-label reconstruction quality. Rows-only (k-means
-    // codebooks are not SQL-expressible); PqSpec pins the encode/decode
-    // contract and a reconstruction floor.
+    // report per-label reconstruction quality. ORACLED via the generated
+    // codebook-replay SQL (PQ.reconStatsOracleSql): the fitted codebook
+    // enters as a literal and DuckDB independently replays encode argmin,
+    // decode, and the reconstruction cosine. The per-row cosine is
+    // floor-quantized to integer MICRO-UNITS before the label sums (the
+    // q_embed_kmeans inertia move), so the aggregates are exact long
+    // arithmetic — a double avg would depend on summation order. PqSpec
+    // pins the encode/decode contract and a reconstruction floor.
     "q_embed_pq" -> ((s, dir) => {
       import graft.ops.{ProductQuantizer => PQ}
       val e = tbl(s, dir, "embeddings")
-      val cb = PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16)
+      val cb = pqCodebooks.computeIfAbsent(dir, _ =>
+        PQ.fit(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16))
       val recon = PQ.decodeExpr(PQ.encodeExpr(col("embedding"), cb), cb)
-      e.withColumn("rc", Similarity.cosine(col("embedding"), recon))
+      e.withColumn("rcm",
+          floor(Similarity.cosine(col("embedding"), recon) * lit(1000000.0)))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          round6(avg("rc")).as("avg_recon_cos"),
-          round6(min("rc")).as("min_recon_cos"))
+          sum("rcm").as("sum_recon_cos_micro"),
+          min("rcm").as("min_recon_cos_micro"))
         .orderBy("label")
     })
   )
@@ -880,6 +914,28 @@ object LlmOps {
           Map("q_dedup_simhash" -> graft.ops.Dedup.simHashReplayOracleSql(
             recorded.head, SimHashMaxHamming))
         else Map.empty
+      } ++ {
+        // ANN tier: recorded fitted artifacts (centroids / codebooks —
+        // driver-tiny, never corpus-sized) replay the whole index in
+        // DuckDB. Same one-dir emission rule as the other fitted memos.
+        val ivfF = ivfIndexes.asScala.values.toSeq
+        val pqF = ivfPqIndexes.asScala.values.toSeq
+        val cbF = pqCodebooks.asScala.values.toSeq
+        (if (ivfF.size == 1) Map("q_sim_ivf_ann" ->
+          Similarity.ivfAnnOracleSql(ivfF.head.centroids, IvfNProbe, AnnK,
+            AnnQueryPred))
+        else Map.empty) ++
+        (if (pqF.size == 1) Map("q_sim_ivfpq_ann" ->
+          Similarity.ivfPqAnnOracleSql(pqF.head._1.centroids, pqF.head._2,
+            IvfNProbe, IvfPqRerank, AnnK, IvfPqQueryPred))
+        else Map.empty) ++
+        (if (cbF.size == 1) Map("q_embed_pq" ->
+          graft.ops.ProductQuantizer.reconStatsOracleSql(cbF.head))
+        else Map.empty) ++
+        // static: the hyperplanes regenerate from (dim, bits, seed)
+        Map("q_sim_lsh_ann" ->
+          Similarity.lshAnnOracleSql(dim = 64, bits = LshAnnBits, k = AnnK,
+            queryPred = AnnQueryPred, hammingRadius = 1))
       }
   }
 
