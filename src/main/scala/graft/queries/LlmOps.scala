@@ -287,6 +287,24 @@ object LlmOps {
             .as("kept_tokens"))
         .orderBy("doc_id")
     }),
+    // Bloom-gated cross-batch content-seen check (ops.BloomDedup): the
+    // day's batch probes a fixed-size Bloom sketch of the corpus's
+    // 16-token block hashes (Spark's own BloomFilterAggregate — the
+    // runtime-filter expression, bridged like cosine_sim), never-seen
+    // blocks exit map-side, and the bloom-positive remainder is verified
+    // exactly. The sketch fixes the 100 TB asymmetry the exact join
+    // can't: neither corpus nor batch broadcasts, but the SKETCH is
+    // numBits-bounded and the verified candidate set is dup-volume-sized.
+    // Output is exact (no false negatives + exact verify), so the oracle
+    // is the plain block join the sketch replaces at scale, over block
+    // STRINGS (the q_dedup_paragraph hash = string stance).
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.BloomDedup.seenBlocks(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Exact character-3-gram Jaccard between consecutive doc ids — the
     // verification kernel of near-dup detection, oracled exactly.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
@@ -969,6 +987,31 @@ object LlmOps {
            CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
              AS kept_tokens
          FROM y GROUP BY doc_id ORDER BY doc_id""",
+    // The exact join the Bloom sketch replaces at scale — bloom is a
+    // transparent prefilter (no false negatives; verify removes false
+    // positives), so the oracle never models it. Block derivation is the
+    // q_dedup_paragraph CTE verbatim.
+    "q_dedup_bloom" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           CAST(unnest(generate_series(0, CAST(floor((n - 1) / 16.0) AS BIGINT))) AS INT)
+             AS chunk_idx
+         FROM d),
+         x AS (SELECT doc_id, chunk_idx,
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ')
+             AS blk
+         FROM c),
+         corpus AS (SELECT DISTINCT blk FROM x WHERE doc_id % 5 <> 0),
+         batch AS (SELECT doc_id, blk FROM x WHERE doc_id % 5 = 0),
+         seen AS (SELECT doc_id, count(*) AS n_seen_blocks
+                  FROM batch JOIN corpus USING (blk) GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_blocks
+                 FROM batch GROUP BY doc_id)
+         SELECT t.doc_id, t.n_blocks, s.n_seen_blocks,
+           CAST(s.n_seen_blocks * 1000000 // t.n_blocks AS BIGINT) AS seen_ppm
+         FROM seen s JOIN tot t USING (doc_id)
+         ORDER BY t.doc_id""",
     // Step-for-step replay of the synthesis + canonicalization chain
     // (literal splits where Spark splits on trivially-literal regexes).
     "q_dedup_url" ->

@@ -43,6 +43,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
 
   // (file, first-arg ident) -> (expected site count, bound argument)
   private val allow: Map[(String, String), (Int, String)] = Map(
+    ("BloomDedup.scala", "candHashes") -> (1, "OUTPUT: distinct bloom-positive hashes = true-dup volume + the numBits-sized FP rate, 8 bytes each"),
+    ("BloomDedup.scala", "verified") -> (1, "OUTPUT: verified subset of candHashes (above)"),
     ("Contamination.scala", "index") -> (1, "CAPPED: df-capped benchmark gram index; broadcastIndex=false opt-out for big benchmarks"),
     ("Dedup.scala", "ids") -> (1, "OUTPUT: candidate-pair doc ids (near-dup volume, not corpus); production fallback = shuffle semi-join"),
     ("Dedup.scala", "newBanded") -> (1, "PROBE: incremental day-batch signatures; broadcastNew=false opt-out for large batches"),
