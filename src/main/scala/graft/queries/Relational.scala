@@ -128,6 +128,53 @@ object Relational {
     }
   }
 
+  /** Recorded GK-sketch quantile estimates of q_agg_approx_quantiles —
+    * same lifecycle as [[approxDistinctRec]] (schema-bounded: flags ×
+    * percentiles rows). */
+  private val approxQuantRec = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Int, Double)]]()
+
+  /** percentile_approx's accuracy knob — rank error <= n/accuracy. ONE
+    * definition shared by the query and the generated oracle's bound. */
+  private val QuantAccuracy = 1000
+  private val QuantPcts = Seq(25, 50, 75, 90)
+
+  private def approxQuantOracleSql: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val rec = approxQuantRec.asScala.values.toSeq
+    if (rec.size != 1 || rec.head.isEmpty) None
+    else {
+      val vals = rec.head.map { case (f, p, e) =>
+        s"('$f', $p, CAST(${java.lang.Double.toString(e)} AS DOUBLE))"
+      }.mkString(", ")
+      val pctDom = QuantPcts.map(p => s"($p)").mkString(", ")
+      // 2/accuracy + 1 row of slop on the EXACT rank of each estimate:
+      // the sketch guarantees n/accuracy, the extra margin absorbs the
+      // <=-vs-< rank-definition skew. Estimates are checked against
+      // DuckDB's independent exact ranks; the (flags x pcts) domain
+      // drives the join, so a missing flag, a missing percentile, or an
+      // out-of-bound estimate all null out and hash-mismatch.
+      val e = s"${2.0 / QuantAccuracy}"
+      Some(s"""WITH rec(l_returnflag, pct, est) AS (VALUES $vals),
+         dom AS (SELECT f.l_returnflag, p.pct
+                 FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+                 CROSS JOIN (VALUES $pctDom) p(pct)),
+         cnts AS (SELECT r.l_returnflag, r.pct, r.est,
+             count(CASE WHEN li.l_extendedprice <= r.est THEN 1 END) AS cle,
+             count(CASE WHEN li.l_extendedprice < r.est THEN 1 END) AS clt,
+             count(*) AS n
+           FROM rec r JOIN lineitem li ON li.l_returnflag = r.l_returnflag
+           GROUP BY r.l_returnflag, r.pct, r.est)
+         SELECT d.l_returnflag, d.pct,
+           CASE WHEN c.cle >= (d.pct / 100.0 - $e) * c.n - 1
+                 AND c.clt <= (d.pct / 100.0 + $e) * c.n + 1
+                THEN c.est END AS est
+         FROM dom d LEFT JOIN cnts c
+           ON c.l_returnflag = d.l_returnflag AND c.pct = d.pct
+         ORDER BY d.l_returnflag, d.pct""")
+    }
+  }
+
   private def recordedRounds(
       memo: java.util.concurrent.ConcurrentHashMap[String, Integer],
       fallback: Int): Int = {
@@ -183,6 +230,31 @@ object Relational {
         .orderBy("l_returnflag")
       approxDistinctRec.computeIfAbsent(dir, _ =>
         df.collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+      df
+    }),
+    // GK quantile sketch (percentile_approx) — the OTHER sketch family a
+    // 100 TB profiler leans on: one pass, bounded per-group summary
+    // (O(accuracy·log n) tuples), map-side partial merge — where exact
+    // per-group quantiles would sort every group. ORACLED via
+    // verify-replay like the HLL tier: the estimates are recorded per
+    // corpus (flags x percentiles, schema-bounded) and DuckDB
+    // independently recomputes each estimate's EXACT rank, nulling out
+    // anything outside the sketch's guaranteed n/accuracy rank error
+    // (+margin) — a broken sketch, a dropped group, or estimate drift
+    // all hash-mismatch. The exact counterpart is q_agg_exact_quantiles.
+    "q_agg_approx_quantiles" -> ((s, dir) => {
+      val pctArr = array(QuantPcts.map(p => lit(p / 100.0)): _*)
+      val df = tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), pctArr,
+          lit(QuantAccuracy)).as("ests"))
+        .select(col("l_returnflag"), posexplode(col("ests")).as(Seq("i", "est")))
+        .select(col("l_returnflag"),
+          element_at(array(QuantPcts.map(lit): _*), col("i") + 1).as("pct"),
+          col("est"))
+        .orderBy("l_returnflag", "pct")
+      approxQuantRec.computeIfAbsent(dir, _ =>
+        df.collect().toSeq.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))))
       df
     }),
     // Single-pass heavy hitters (Misra-Gries via df.stat.freqItems): every
@@ -1226,7 +1298,8 @@ object Relational {
     "q_graph_bfs" -> graft.ops.Bfs.oracleSql(CoPurchaseEdgesSql,
       seedSql = "src % 50 = 0",
       rounds = recordedRounds(bfsRoundsRun, fallback = 10))) ++
-    approxDistinctOracleSql.map("q_agg_approx_distinct" -> _)
+    approxDistinctOracleSql.map("q_agg_approx_distinct" -> _) ++
+    approxQuantOracleSql.map("q_agg_approx_quantiles" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "q_sql_recursive_cte" -> RecursiveCteSql,

@@ -32,8 +32,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "oracle memos: LSH candidate pairs (bounded by near-dup volume) + simhash signatures (limit(ReplayOracleCap+1)-bounded collect; over-cap memoizes empty -> rows-only)"),
     "Events.scala" -> (2,
       "RFM quantile threshold rows (stats x quintiles) + sketch-tiles oracle memo (one row per event type, schema-bounded)"),
-    "Relational.scala" -> (1,
-      "approx-distinct oracle memo — one row per return flag (schema-bounded)"))
+    "Relational.scala" -> (2,
+      "oracle memos: approx-distinct (one row per return flag) + approx-quantiles (flags x percentiles) — both schema-bounded"))
 
   test("every .collect() site in main is allowlisted with a boundedness argument") {
     def walk(f: java.io.File): Seq[java.io.File] =
