@@ -139,6 +139,47 @@ object Relational {
   private val QuantAccuracy = 1000
   private val QuantPcts = Seq(25, 50, 75, 90)
 
+  /** Count-min sketch parameters + recorded estimates — the frequency
+    * member of the sketch triple (HLL distinct / GK quantile / CM
+    * frequency). eps bounds the overestimate at eps*N with confidence
+    * CmConf; the oracle grants 3x slack (the HLL 3x-rsd stance) so the
+    * seeded, deterministic run can never flake while a broken sketch
+    * still mismatches by construction (CM NEVER underestimates — the
+    * lower bound is exact equality). */
+  private val CmEps = 0.001
+  private val CmConf = 0.99
+  private val CmSeed = 42
+  private val CmProbeKeys = (1L to 20L).toSeq
+  private val countMinRec = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Long)]]()
+
+  private def countMinOracleSql: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val rec = countMinRec.asScala.values.toSeq
+    if (rec.size != 1 || rec.head.isEmpty) None
+    else {
+      val vals = rec.head.map { case (k, e) =>
+        s"($k, CAST($e AS BIGINT))"
+      }.mkString(", ")
+      val keys = CmProbeKeys.mkString(", ")
+      // exact side drives the probe-key domain; a missing key, an
+      // underestimate (impossible for a correct CM), or an overestimate
+      // beyond 3*eps*N all null out and hash-mismatch
+      Some(s"""WITH rec(l_partkey, est_count) AS (VALUES $vals),
+         n AS (SELECT count(*) AS total FROM lineitem),
+         exact AS (SELECT k.l_partkey,
+             (SELECT count(*) FROM lineitem li
+              WHERE li.l_partkey = k.l_partkey) AS c
+           FROM (SELECT unnest([$keys]) AS l_partkey) k)
+         SELECT e.l_partkey,
+           CASE WHEN r.est_count >= e.c
+                 AND r.est_count <= e.c + 3 * $CmEps * n.total
+                THEN r.est_count END AS est_count
+         FROM exact e LEFT JOIN rec r USING (l_partkey) CROSS JOIN n
+         ORDER BY e.l_partkey""")
+    }
+  }
+
   private def approxQuantOracleSql: Option[String] = {
     import scala.jdk.CollectionConverters._
     val rec = approxQuantRec.asScala.values.toSeq
@@ -256,6 +297,28 @@ object Relational {
       approxQuantRec.computeIfAbsent(dir, _ =>
         df.collect().toSeq.map(r => (r.getString(0), r.getInt(1), r.getDouble(2))))
       df
+    }),
+    // Count-min sketch — the FREQUENCY member of the sketch triple. The
+    // sketch itself is the distributed piece (count_min_sketch is a
+    // map-side-mergeable aggregate: fixed eps x conf counter grid per
+    // partition, merged once — how per-key frequencies stay
+    // re-aggregatable at 100 TB without shuffling the keys); the probe
+    // of 20 fixed part keys deserializes the one binary row on the
+    // driver (ONE_ROW-bounded). ORACLED via verify-replay: recorded
+    // estimates vs DuckDB's exact counts — CM never underestimates, so
+    // the lower bound is exact equality and the upper bound is the
+    // 3x-slackened eps*N guarantee.
+    "q_agg_countmin" -> ((s, dir) => {
+      val rec = countMinRec.computeIfAbsent(dir, _ => {
+        val bytes = tbl(s, dir, "lineitem")
+          .agg(expr(s"count_min_sketch(l_partkey, ${CmEps}d, ${CmConf}d, " +
+            s"$CmSeed)").as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        CmProbeKeys.map(k => (k, sk.estimateCount(java.lang.Long.valueOf(k))))
+      })
+      import s.implicits._
+      rec.toDF("l_partkey", "est_count").orderBy("l_partkey")
     }),
     // Single-pass heavy hitters (Misra-Gries via df.stat.freqItems): every
     // value above the support threshold is guaranteed present (false
@@ -1299,7 +1362,8 @@ object Relational {
       seedSql = "src % 50 = 0",
       rounds = recordedRounds(bfsRoundsRun, fallback = 10))) ++
     approxDistinctOracleSql.map("q_agg_approx_distinct" -> _) ++
-    approxQuantOracleSql.map("q_agg_approx_quantiles" -> _)
+    approxQuantOracleSql.map("q_agg_approx_quantiles" -> _) ++
+    countMinOracleSql.map("q_agg_countmin" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "q_sql_recursive_cte" -> RecursiveCteSql,
