@@ -602,6 +602,35 @@ object LlmOps {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round6(col("priority")).as("priority"))
         .orderBy("priority", "doc_id")),
+    // Deterministic negative sampling for contrastive pairs — the
+    // negatives-mining step of embedding/reranker training data: each
+    // anchor doc draws 3 pseudo-random corpus negatives as a pure
+    // function of (doc_id, draw index) — the reservoir query's
+    // derandomized md5 recipe, here a 48-bit prefix mod corpus size —
+    // so the draw is reproducible across runs, partitionings, and
+    // engines (fully DuckDB-oracled, unlike an RNG sample). Self-draws
+    // step to the next id; repeats across draws are kept (i is the draw
+    // rank — the honest semantics of sampling WITH replacement).
+    // Scale shape: the anchor side explodes map-side, the negative
+    // lookup is ONE equi-join on neg_id against the corpus (AQE
+    // broadcast-promotes whichever side fits), corpus never shuffled
+    // twice. The corpus-size scalar arrives as a one-row broadcast.
+    "q_sample_negatives" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val nRow = d.agg((max("doc_id") + 1).as("n"))
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":neg:"), col("i").cast("string"))), 1, 12), 16, 10).cast("long")
+      val raw = pmod(h, col("n"))
+      d.select(col("doc_id")).crossJoin(broadcast(nRow))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), lit(2))).as("i"))
+        .withColumn("neg_id",
+          when(raw === col("doc_id"), pmod(raw + 1, col("n"))).otherwise(raw))
+        .join(d.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), "neg_id")
+        .select(col("doc_id"), col("i"), col("neg_id"), col("neg_source"))
+        .orderBy("doc_id", "i")
+    }),
     // Contiguous 0-based example ids + round-robin shard assignment —
     // the training-shard numbering primitive. NOT row_number over an
     // unpartitioned window (single-task at scale): ops.GlobalIndex runs
@@ -1367,6 +1396,23 @@ object LlmOps {
          SELECT doc_id, lang, n_chars,
            floor(pr * 1000000 + 0.5) / 1000000 AS priority
          FROM sel ORDER BY priority, doc_id""",
+    // Step-for-step replay of the derandomized draw: same md5 prefix,
+    // same 48-bit hex -> BIGINT, same mod / self-step rules.
+    "q_sample_negatives" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         a AS (SELECT doc_id, unnest([0, 1, 2]) AS i FROM documents),
+         h AS (SELECT a.doc_id, a.i,
+             CAST(('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)
+               || ':neg:' || CAST(a.i AS VARCHAR)), 1, 12)) AS BIGINT)
+               % n.n AS raw
+           FROM a CROSS JOIN n),
+         g AS (SELECT h.doc_id, h.i,
+             CASE WHEN h.raw = h.doc_id THEN (h.raw + 1) % n.n
+                  ELSE h.raw END AS neg_id
+           FROM h CROSS JOIN n)
+         SELECT g.doc_id, g.i, g.neg_id, d.source AS neg_source
+         FROM g JOIN documents d ON d.doc_id = g.neg_id
+         ORDER BY g.doc_id, g.i""",
     "q_global_index" ->
       """SELECT doc_id, lang,
            row_number() OVER (ORDER BY doc_id) - 1 AS global_idx,

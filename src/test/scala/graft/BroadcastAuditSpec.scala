@@ -52,6 +52,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
+    ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
     ("Mixing.scala", "stats") -> (2, "SCHEMA: one row per mixture domain (joined twice: quota + deficit pass)"),
     ("PageRank.scala", "n1") -> (2, "ONE_ROW: vertex count (seed + per-round dangling redistribution)"),
