@@ -76,14 +76,17 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(pinPath)), "UTF-8")
         // Parse only the top-level header: everything before the first
-        // "queries" key. Within it, anchor each key to line start so a
-        // failed-array entry containing 'calib'/'cpus' as a substring can
-        // never shadow the real field (the keys are whole-line-exact;
-        // query names are q_* so no collision is possible).
+        // "queries" key. Pin files are SINGLE-LINE JSON (this main writes
+        // them), so the keys must be matched mid-line — a line-start
+        // anchor here never matches and silently kills the contention
+        // guard (round-13 review catch). Shadowing is impossible within
+        // the header: the only content before "queries" is the fixed
+        // sf/cpus/calib/total/failed fields, and query names (q_*) all
+        // live after the split point.
         val header = txt.split("\"queries\"", 2)(0)
-        val c = """(?m)^\s*"calib"\s*:\s*([0-9.]+)""".r
+        val c = """"calib"\s*:\s*([0-9.]+)""".r
           .findFirstMatchIn(header).map(_.group(1).toDouble)
-        val pc = """(?m)^\s*"cpus"\s*:\s*(\d+)""".r
+        val pc = """"cpus"\s*:\s*"?(\d+)""".r
           .findFirstMatchIn(header).map(_.group(1))
         if (pc.contains(cpus)) c else None
       } catch { case scala.util.control.NonFatal(_) => None }

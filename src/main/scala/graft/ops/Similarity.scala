@@ -365,7 +365,14 @@ object Similarity {
         norm.as("c_norm"), col("bucket"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      // zero-norm guard, same rule as the native cosine_sim: unguarded,
+      // a zero vector scores NaN and ranks FIRST under desc in Spark
+      // while DuckDB's NULL ranks last — divergent top-k (round-13
+      // review catch; latent on the catalog's gaussian embeddings)
+      .withColumn("cos",
+        when(col("q_norm") === 0 || col("c_norm") === 0, lit(0.0))
+          .otherwise(dot(col("q_emb"), col("c_emb"))
+            / (col("q_norm") * col("c_norm"))))
     rankTopK(scored, k)
   }
 
@@ -409,7 +416,7 @@ object Similarity {
            unnest([$probeList]) AS bucket
          FROM bkt WHERE $queryPred),
        scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-           ${sqlDot("p.q_emb", "c.emb")} / (p.q_n * c.n) AS cos
+           ${cosGuarded("p.q_emb", "c.emb", "p.q_n", "c.n")} AS cos
          FROM pq p JOIN bkt c ON c.bucket = p.bucket AND c.vec_id <> p.query_id)
        SELECT query_id,
          CAST(row_number() OVER (PARTITION BY query_id

@@ -65,7 +65,7 @@ object Winnowing {
             transform(sequence(lit(w), size(col("g"))),
               p => array_min(slice(col("g"), p - lit(w) + 1, lit(w)))))
           .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), (col("pos") + w).as("pos"), col("col").as("fp"))
+      .select(col("doc_id"), col("col").as("fp"))
   }
 
   /** Distinct winnowing fingerprints per document as gram STRINGS — the

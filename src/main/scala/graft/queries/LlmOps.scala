@@ -90,6 +90,11 @@ object LlmOps {
   private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ops.ProductQuantizer.PqCodebook]()
 
+  /** Per-corpus Bloom sketch memo (`q_dedup_bloom`'s fitted filter —
+    * numBits/8 bytes, the fit-once half of the content-seen check). */
+  private val bloomSketches =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
   /** Recorded LSH CANDIDATE pairs (pre-verification), keyed by corpus dir
     * — consumed by [[oracles]] to GENERATE verify-replay DuckDB oracles
     * for the three MinHash-based dedup queries (the q_dedup_semantic
@@ -300,9 +305,14 @@ object LlmOps {
     // STRINGS (the q_dedup_paragraph hash = string stance).
     "q_dedup_bloom" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      graft.ops.BloomDedup.seenBlocks(
-          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      // fit-once/probe-many: the serialized filter is a corpus artifact
+      // memoized per dir (the ivfIndexFor lifecycle); every invocation
+      // after the first pays one batch pass + one corpus verify pass
+      val sketch = bloomSketches.computeIfAbsent(dir, _ =>
+        graft.ops.BloomDedup.fitSketch(corpus, "doc_id", "text"))
+      graft.ops.BloomDedup.seenBlocks(corpus,
+          d.filter(col("doc_id") % 5 === 0), "doc_id", "text", sketch)
         .orderBy("doc_id")
     }),
     // Exact character-3-gram Jaccard between consecutive doc ids — the

@@ -30,15 +30,14 @@ object BloomBridge {
       .toAggregateExpression())
 
   /** Probe: true if `h` MIGHT be in the filter (no false negatives;
-    * false positives at the sized rate). Codegen'd. `might_contain`
-    * requires its filter side to be a constant or a scalar subquery —
-    * pass the one-row aggregate DataFrame and it rides in as the latter,
-    * exactly the shape `InjectRuntimeFilter` builds: the subquery runs
-    * once and its result enters the probe stage as a literal, so the
-    * probe itself stays a map-side codegen'd predicate. */
-  def might_contain(bloomDf: org.apache.spark.sql.DataFrame, h: Column): Column =
+    * false positives at the sized rate). `might_contain` requires its
+    * filter side to be a constant or a scalar subquery; a fit-once
+    * sketch artifact enters as a binary LITERAL (referenced as a plan
+    * object, not inlined in generated source), so the probe is a
+    * map-side codegen'd predicate — the same runtime shape
+    * `InjectRuntimeFilter` builds for its scalar-subquery filters. */
+  def might_contain(sketch: Array[Byte], h: Column): Column =
     ExpressionUtils.column(BloomFilterMightContain(
-      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
-        bloomDf.queryExecution.analyzed),
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
       ExpressionUtils.expression(h)))
 }

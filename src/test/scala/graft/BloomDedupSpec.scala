@@ -27,7 +27,7 @@ class BloomDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = BloomDedup.seenBlocks(
         docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
-        "doc_id", "text")
+        "doc_id", "text", window = 16, estItems = 1L << 22, numBits = 1L << 25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((10L, 2L, 1L, 500000L)), out.mkString(", "))
   }
@@ -40,7 +40,7 @@ class BloomDedupSpec extends SparkSpec {
     // REAL false-positive rate through the probe stage, so this test
     // fails if the verify stage ever stops discarding them
     val viaBloom = BloomDedup.seenBlocks(corpus, batch, "doc_id", "text",
-        estItems = 1L << 12, numBits = 1L << 12)
+        window = 16, estItems = 1L << 12, numBits = 1L << 12)
       .orderBy("doc_id").collect().toSeq
     def blocks(df: org.apache.spark.sql.DataFrame) =
       graft.ops.TextAnalysis.chunkDocs(df, "doc_id", "text", 16, 16)
@@ -58,9 +58,11 @@ class BloomDedupSpec extends SparkSpec {
 
   test("plan: might_contain gates the batch; corpus blocks never shuffle") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sketch = BloomDedup.fitSketch(
+      d.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
     val out = BloomDedup.seenBlocks(
       d.filter($"doc_id" % 5 =!= 0), d.filter($"doc_id" % 5 === 0),
-      "doc_id", "text")
+      "doc_id", "text", sketch)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
