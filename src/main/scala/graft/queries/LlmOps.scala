@@ -18,6 +18,16 @@ object LlmOps {
   private val MixWeights = Map(
     "en" -> 0.25, "de" -> 0.25, "es" -> 0.20, "fr" -> 0.20, "zh" -> 0.10)
 
+  /** `q_filter_blocklist`'s curated registered-domain blocklist — ONE
+    * definition interpolated into both the Spark literal table and the
+    * DuckDB oracle's VALUES list so an edit cannot drift. Two entries hit
+    * the corpus (src3/src12 across every subdomain variant); two miss —
+    * the filter must be a no-op for unlisted domains, not merely shrink
+    * listed ones. */
+  private[queries] val BlockedDomains: Seq[String] = Seq(
+    "src3.example.com", "src12.example.com",
+    "tracker.example.com", "malware.example.org")
+
   /** Per-corpus IVF index memo (JVM lifetime — verify/bench are one JVM
     * per pass). Keyed by the scale-factor dir: a different corpus gets its
     * own fit; the same corpus never refits. */
@@ -89,6 +99,12 @@ object LlmOps {
     * emission rule as the other fitted-artifact memos. */
   private val pqCodebooks = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ops.ProductQuantizer.PqCodebook]()
+
+  /** Per-corpus PCA fit memo (`q_embed_pca`'s one-pass moment fit) —
+    * consumed by [[oracles]] to GENERATE the projection-replay oracle.
+    * Same one-dir emission rule as the other fitted-artifact memos. */
+  private val pcaFits = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Pca.PcaModel]()
 
   /** Per-corpus Bloom sketch memo (`q_dedup_bloom`'s fitted filter —
     * numBits/8 bytes, the fit-once half of the content-seen check). */
@@ -665,6 +681,38 @@ object LlmOps {
           isEval = id => id % 100 === 0, shingleN = 5, minOverlap = 3,
           maxShingleDf = 100000L)
         .orderBy("doc_id", "eval_id")),
+    // Crawl blocklist filtering — the first gate of a web-corpus pipeline:
+    // drop every document whose REGISTERED domain is on a curated
+    // blocklist, regardless of which subdomain served it (cdn./www.
+    // variants must not evade a domain-level block). Hosts are
+    // SYNTHESIZED deterministically from (doc_id, source) — the corpus
+    // has no URL column; the operator is the suffix-normalizing anti-join.
+    // Registered domain = last 3 labels (the corpus's public suffix is
+    // the 2-label "example.com"), extracted map-side with native
+    // split/slice — no shuffle until the final keyed count. The blocklist
+    // is a FIXED literal table (4 rows here; 10^5-ish in production — a
+    // curated artifact, never corpus-scale) joined as a broadcast
+    // LEFT ANTI: the 100 TB side streams map-side past an executor-local
+    // hash set and never shuffles. Oracled by a step-for-step replay
+    // (same synthesis, same last-3-label slice, NOT-EXISTS anti form).
+    "q_filter_blocklist" -> ((s, dir) => {
+      val sub = when(col("doc_id") % 7 === 0, lit("cdn."))
+        .when(col("doc_id") % 7 === 1, lit("www."))
+        .otherwise(lit(""))
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(sub, col("source"), lit(".example.com")).as("host"))
+        .withColumn("registered_domain",
+          array_join(slice(split(col("host"), "\\."), -3, 3), "."))
+      val bl = s.createDataFrame(BlockedDomains.map(Tuple1(_)))
+        .toDF("blocked_domain")
+      docs
+        .join(broadcast(bl),
+          docs("registered_domain") === bl("blocked_domain"), "left_anti")
+        .groupBy("registered_domain")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+        .orderBy("registered_domain")
+    }),
     // Domain mixing: downsample every label to the smallest label's size —
     // deterministic multiplicative-hash acceptance (no RNG), per-label
     // quotas arriving via aggregate + broadcast join (no driver collect,
@@ -927,6 +975,24 @@ object LlmOps {
           sum("rcm").as("sum_recon_cos_micro"),
           min("rcm").as("min_recon_cos_micro"))
         .orderBy("label")
+    }),
+    // First-principal-component projection (ops.Pca): ONE treeAggregate
+    // pass accumulates the d×d moment matrix (per-partition imperative —
+    // d² doubles per partition, corpus-independent driver load), the
+    // power loop runs on the driver's 64×64, and the projection is a
+    // map-side sequential fold against the recorded (μ, v) literals —
+    // the embedding-tier preprocessing step (whitening / drift checks /
+    // OPQ-style rotations) at its 100 TB shape: no shuffle anywhere.
+    // ORACLED via the generated replay SQL (Pca.projectionOracleSql):
+    // the fitted vectors enter as literals and DuckDB re-folds every
+    // projection bit-identically, micro-quantized at emission.
+    "q_embed_pca" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val m = pcaFits.computeIfAbsent(dir, _ =>
+        graft.ops.Pca.fit(e, "embedding", dim = 64))
+      e.select(col("vec_id"), col("label"),
+          graft.ops.Pca.projectionMicro(col("embedding"), m).as("proj_micro"))
+        .orderBy("vec_id")
     })
   )
 
@@ -988,7 +1054,12 @@ object LlmOps {
         else Map.empty) ++
         (if (cbF.size == 1) Map("q_embed_pq" ->
           graft.ops.ProductQuantizer.reconStatsOracleSql(cbF.head))
-        else Map.empty) ++
+        else Map.empty) ++ {
+          val pcaF = pcaFits.asScala.values.toSeq
+          if (pcaF.size == 1) Map("q_embed_pca" ->
+            graft.ops.Pca.projectionOracleSql(pcaF.head))
+          else Map.empty
+        } ++
         // static: the hyperplanes regenerate from (dim, bits, seed)
         Map("q_sim_lsh_ann" ->
           Similarity.lshAnnOracleSql(dim = 64, bits = LshAnnBits, k = AnnK,
@@ -1381,6 +1452,25 @@ object LlmOps {
          FROM sh t JOIN sh e ON t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
          WHERE len(list_intersect(t.s, e.s)) >= 3
          ORDER BY t.doc_id, eval_id""",
+    // Step-for-step replay: same host synthesis, same last-3-label
+    // registered-domain slice, LEFT JOIN ... IS NULL as the anti form.
+    "q_filter_blocklist" ->
+      s"""WITH d AS (SELECT doc_id,
+           (CASE WHEN doc_id % 7 = 0 THEN 'cdn.'
+                 WHEN doc_id % 7 = 1 THEN 'www.' ELSE '' END)
+             || source || '.example.com' AS host
+         FROM documents),
+         r AS (SELECT doc_id,
+           array_to_string(string_split(host, '.')[-3:], '.')
+             AS registered_domain FROM d),
+         bl AS (SELECT * FROM (VALUES
+           ${BlockedDomains.map(b => s"('$b')").mkString(", ")})
+           AS t(blocked_domain))
+         SELECT r.registered_domain, count(*) AS n_docs,
+           min(r.doc_id) AS min_doc_id
+         FROM r LEFT JOIN bl ON r.registered_domain = bl.blocked_domain
+         WHERE bl.blocked_domain IS NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_sample_weighted" ->
       """WITH cnt AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY label),
          m AS (SELECT min(cnt) AS min_cnt FROM cnt),

@@ -3,6 +3,7 @@ package graft.queries
 import graft.ops.TextAnalysis
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NfcNormalize.nfc_normalize
 
 /** Text-analysis catalog queries over `documents`: quality stats, token
   * counting (whitespace + BPE-ish regex), language-ID heuristic, and
@@ -59,6 +60,37 @@ object TextQueries {
           size(filter(toks, t => length(t) >= 6)).as("n_long_tokens"),
           (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
             .as("n_vowels"))
+        .orderBy("doc_id")
+    }),
+    // Unicode text cleaning — the zeroth pass of every web-corpus
+    // pipeline, run here with graft's native codegen'd `nfc_normalize`
+    // Expression (Spark has NO built-in Unicode normalizer; the usual
+    // Scala-UDF fallback pays a serialization boundary per row — the
+    // native kernel stays inside whole-stage codegen and skips
+    // re-encoding on already-NFC rows via the JDK quick-check). The
+    // corpus text is ASCII-clean by construction, so noise is SYNTHESIZED
+    // deterministically per doc_id: decomposed combining sequences (NFC
+    // must compose them), control characters (BEL/BS must strip), and
+    // tab/space runs (must collapse). Chain: NFC → strip \p{Cc} →
+    // collapse \s+ → trim; emitted as length deltas + an md5 of the
+    // cleaned text, so ONE wrong byte anywhere hash-mismatches. Entirely
+    // map-side — no shuffle at any scale.
+    "q_text_normalize" -> ((s, dir) => {
+      val noisy = concat(
+        when(col("doc_id") % 4 === 0, lit("\u0007")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 1, lit(" A\u030Angstro\u0308m"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("\t  trailing\u0008junk "))
+          .otherwise(lit("")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), noisy.as("raw"))
+        .withColumn("clean", trim(regexp_replace(regexp_replace(
+          nfc_normalize(col("raw")), "\\p{Cc}", ""), "\\s+", " ")))
+        .select(col("doc_id"), length(col("raw")).as("n_raw"),
+          length(col("clean")).as("n_clean"),
+          md5(col("clean").cast("binary")).as("clean_md5"))
         .orderBy("doc_id")
     }),
     "q_text_tokens" -> ((s, dir) =>
@@ -380,6 +412,52 @@ object TextQueries {
             .as("nll2"))
         .orderBy("doc_id")
     }),
+    // Interpolated KNESER-NEY bigram model — the published upgrade over
+    // q_text_bigram_lm's count interpolation (Kneser & Ney 1995; Chen &
+    // Goodman 1998): instead of backing off to raw unigram FREQUENCY,
+    // back off to CONTINUATION probability — how many distinct contexts
+    // a word follows — which is what separates "Francisco" (frequent but
+    // only ever after "San") from genuinely free words. With absolute
+    // discount d = 0.75:
+    //   P_kn(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    //               + d · N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(·,·)
+    // All four model tables derive from ONE pair-count aggregation
+    // (`cab`) — c(w1·) is its per-w1 sum, N1+(w1,·)/N1+(·,w2) its per-key
+    // ROW counts, N1+(·,·) its total row count — so the fit is one
+    // documents scan + one (w1,w2) shuffle, the q_text_pmi shape; the
+    // emitted model is the min-count-capped table (bounded by Σc/cap
+    // rows, the bigram-LM broadcast-cap contract). Observed counts are
+    // ≥ 1 > d, so the max(c−d, 0) clamp is vacuous on the emitted rows —
+    // no branch to mirror. Numeric determinism: fixed IEEE op sequence
+    // (exact int→double casts, each / and · correctly rounded, identical
+    // association both engines), quantized to integer micro units before
+    // emission — no ln call, so not even an ulp of library slack.
+    "q_text_kneser_ney" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val prs = tbl(s, dir, "documents")
+        .select(explode(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("w1"),
+                element_at(toks, i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
+      val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      val ca = cab.groupBy("w1")
+        .agg(sum("n_ab").as("n_a"), count(lit(1)).as("n1p_a"))
+      val cb = cab.groupBy("w2").agg(count(lit(1)).as("n1p_b"))
+      val tot = cab.agg(count(lit(1)).as("n_types"))
+      cab.filter(col("n_ab") >= BigramMinCount)
+        .join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+        .withColumn("pkn_micro",
+          floor(((col("n_ab").cast("double") - lit(0.75d)) / col("n_a")
+            + lit(0.75d) * col("n1p_a").cast("double") / col("n_a")
+              * (col("n1p_b").cast("double") / col("n_types")))
+            * 1000000d + 0.5d).cast("long"))
+        .select(col("w1"), col("w2"), col("n_ab"), col("pkn_micro"))
+        .orderBy(desc("pkn_micro"), asc("w1"), asc("w2"))
+    }),
     // Multinomial Naive Bayes language classifier (ops.TextModels) —
     // the classifier tier of corpus curation (CCNet-style domain/quality
     // filtering is a linear scorer of exactly this shape), trained and
@@ -615,6 +693,29 @@ object TextQueries {
          CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT) AS n_long_tokens,
          CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
          FROM documents ORDER BY doc_id""",
+    // Replays the noise synthesis with chr() codepoints (769/778/776 are
+    // the combining acute/ring/diaeresis the Spark side injects via \u
+    // escapes; 7/8/9 = BEL/BS/TAB), then the identical clean chain —
+    // DuckDB's utf8proc NFC and the JDK Normalizer both implement UAX #15,
+    // so the md5 over the cleaned text matches byte-for-byte.
+    "q_text_normalize" ->
+      """WITH noisy AS (SELECT doc_id,
+           (CASE WHEN doc_id % 4 = 0 THEN chr(7) ELSE '' END) || text ||
+           (CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END) ||
+           (CASE WHEN doc_id % 3 = 1
+                 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                 ELSE '' END) ||
+           (CASE WHEN doc_id % 2 = 0
+                 THEN chr(9) || '  trailing' || chr(8) || 'junk '
+                 ELSE '' END) AS raw
+         FROM documents),
+         c AS (SELECT doc_id, CAST(length(raw) AS INT) AS n_raw,
+           trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+             '\p{Cc}', '', 'g'), '\s+', ' ', 'g')) AS clean
+         FROM noisy)
+         SELECT doc_id, n_raw, CAST(length(clean) AS INT) AS n_clean,
+           md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
@@ -824,6 +925,32 @@ object TextQueries {
          SELECT doc_id, count(*) AS n_pairs,
            floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) / 1000000 AS nll2
          FROM q GROUP BY doc_id ORDER BY doc_id""",
+    // Re-derives every KN model table from the same single pair-count
+    // aggregation (sums and ROW counts over cab — continuation counts,
+    // not frequencies) and mirrors the discount arithmetic's op sequence
+    // exactly; BIGINT-cast n_a keeps the division operand types clean
+    // (DuckDB sums BIGINT into HUGEINT; the cast is exact at any corpus
+    // size whose pair total fits a long — Spark's own overflow point).
+    "q_text_kneser_ney" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         prs AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+                 FROM toks WHERE len(t) >= 2),
+         pr AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM prs),
+         cab AS MATERIALIZED (
+           SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
+         ca AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a,
+                  count(*) AS n1p_a FROM cab GROUP BY w1),
+         cb AS (SELECT w2, count(*) AS n1p_b FROM cab GROUP BY w2),
+         tot AS (SELECT count(*) AS n_types FROM cab)
+         SELECT cab.w1, cab.w2, cab.n_ab,
+           CAST(floor(((CAST(n_ab AS DOUBLE) - 0.75) / n_a
+             + 0.75 * CAST(n1p_a AS DOUBLE) / n_a
+               * (CAST(n1p_b AS DOUBLE) / n_types)) * 1000000 + 0.5)
+             AS BIGINT) AS pkn_micro
+         FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+         WHERE n_ab >= $BigramMinCount
+         ORDER BY pkn_micro DESC, w1, w2""",
     // Independently re-derives the whole NB model: dense vocab x class
     // grid with Laplace smoothing, micro-nat quantization at each ln,
     // exact BIGINT sums, class-asc tie-break — any Spark drift in

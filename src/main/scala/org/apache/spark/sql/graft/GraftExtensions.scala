@@ -81,6 +81,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(1), "minhash_signature", "shingleN"),
           intLit(args(2), "minhash_signature", "perms"))
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "_FUNC_(str) - Unicode NFC (canonical composition) normalization of a string"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"nfc_normalize expects 1 argument, got ${args.length}")
+        NfcNormalize(args(0))
+      }),
     (FunctionIdentifier("token_shingle_hashes"),
       info("token_shingle_hashes",
         "_FUNC_(text, shingleN) - distinct 64-bit hashes of the text's token shingleN-grams"),

@@ -51,6 +51,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
     ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
+    ("LlmOps.scala", "bl") -> (1, "LITERAL: curated domain blocklist (BlockedDomains — a fixed artifact, never corpus-scale)"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
@@ -81,7 +82,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextQueries.scala", "ca") -> (1, "VOCAB: left unigram marginal"),
     ("TextQueries.scala", "capped") -> (1, "CAPPED: min-count-capped bigram table, <= total-pairs/cap rows (plan-contracted build side)"),
     ("TextQueries.scala", "cb") -> (1, "VOCAB: right unigram marginal"),
-    ("TextQueries.scala", "tot") -> (2, "ONE_ROW: pair total (PMI numerator + normalizer)"),
+    ("TextQueries.scala", "tot") -> (3, "ONE_ROW: pair total / bigram-type total (PMI numerator + LM normalizer + KN continuation normalizer)"),
     ("TextQueries.scala", "vocab") -> (1, "VOCAB: distinct-token table (tf-idf df join)"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 
