@@ -1078,6 +1078,36 @@ object Relational {
       Seq((8L, back.count(), r.getLong(0), r.getLong(1)))
         .toDF("n_files", "n_rows", "n_rows_rect", "rect_key_sum")
     }),
+    // Hilbert-curve clustering key (ops.Hilbert) — the locality upgrade
+    // over q_zorder_layout's Morton interleave: adjacent keys are always
+    // adjacent grid cells, so every contiguous key range is a compact
+    // blob and per-file bounds are uniformly tight (the optimize tier of
+    // modern lakehouse engines). Same quantization domains as the
+    // z-order entry (shared layout-constant memo — one derivation pass
+    // serves both curves, exactly how a real table's clustering config
+    // works); the xy2d recurrence runs as a 12-level fold of pure
+    // bitwise Column ops inside whole-stage codegen. Unlike the z-order
+    // entry's constants oracle, the KEY ARITHMETIC itself is oracled:
+    // the generated CTE chain (Hilbert.chainSql) replays every
+    // rotate-and-accumulate level in DuckDB, and the per-bucket key_sum
+    // hash-mismatches if even one cell's key is off by one. Output =
+    // fixed-width key-range buckets (d div 4^12/16 — map-side, never an
+    // ntile window) with row counts and both dimensions' min/max: the
+    // tight-rectangle evidence data skipping relies on.
+    "q_hilbert_layout" -> ((s, dir) => {
+      val src = tbl(s, dir, "orders")
+        .select("o_custkey", "o_totalprice")
+      val Seq((cLo, cHi), (pLo, pHi)) = zDomainsFor(dir,
+        () => graft.ops.ZOrder.deriveDomains(src, "o_custkey", "o_totalprice"))
+      val qx = graft.ops.ZOrder.quantize(col("o_custkey"), cLo, cHi, 12)
+      val qy = graft.ops.ZOrder.quantize(col("o_totalprice"), pLo, pHi, 12)
+      src.withColumn("__d", graft.ops.Hilbert.dValue(qx, qy, 12))
+        .groupBy(expr("__d div 1048576").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum("__d").as("key_sum"),
+          min("o_custkey").as("c_min"), max("o_custkey").as("c_max"),
+          min("o_totalprice").as("p_min"), max("o_totalprice").as("p_max"))
+        .orderBy("bucket")
+    }),
     // -- sort / limit / top-k ---------------------------------------------
     "q_sort_limit" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -1400,6 +1430,31 @@ object Relational {
          FROM orders, dom
          WHERE CAST(o_custkey AS DOUBLE) <= clo + (chi - clo) / 2
            AND CAST(o_totalprice AS DOUBLE) <= plo + (phi - plo) / 2""",
+    // Full replay of the curve arithmetic: same quantization IEEE ops,
+    // then one generated CTE per xy2d level (Hilbert.chainSql) mirroring
+    // the Column fold's bitwise ops and CASE branches literally.
+    "q_hilbert_layout" ->
+      s"""WITH dom AS (
+           SELECT CAST(min(o_custkey) AS DOUBLE) AS clo,
+                  CAST(max(o_custkey) AS DOUBLE) AS chi,
+                  CAST(min(o_totalprice) AS DOUBLE) AS plo,
+                  CAST(max(o_totalprice) AS DOUBLE) AS phi
+           FROM orders),
+         q AS (SELECT o_custkey, o_totalprice,
+           CAST(0 AS BIGINT) AS d,
+           CAST(least(4095, greatest(0, floor(
+             (CAST(o_custkey AS DOUBLE) - clo) / (chi - clo) * 4095)))
+             AS BIGINT) AS x,
+           CAST(least(4095, greatest(0, floor(
+             (CAST(o_totalprice AS DOUBLE) - plo) / (phi - plo) * 4095)))
+             AS BIGINT) AS y
+         FROM orders, dom),
+         ${graft.ops.Hilbert.chainSql(12, Seq("o_custkey", "o_totalprice"))}
+         SELECT d // 1048576 AS bucket, count(*) AS n_rows,
+           CAST(sum(d) AS BIGINT) AS key_sum,
+           min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+           min(o_totalprice) AS p_min, max(o_totalprice) AS p_max
+         FROM h0 GROUP BY 1 ORDER BY 1""",
     "q_agg_freq_items" ->
       """SELECT DISTINCT o_orderpriority AS heavy_hitter
          FROM orders ORDER BY heavy_hitter""",

@@ -81,6 +81,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(1), "minhash_signature", "shingleN"),
           intLit(args(2), "minhash_signature", "perms"))
       }),
+    (FunctionIdentifier("hilbert_d"),
+      info("hilbert_d",
+        "_FUNC_(x, y, bits) - Hilbert-curve distance of grid cell (x, y) in [0, 2^bits)^2"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, s"hilbert_d expects 3 arguments, got ${args.length}")
+        HilbertDistance(args(0), args(1), intLit(args(2), "hilbert_d", "bits"))
+      }),
     (FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize",
         "_FUNC_(str) - Unicode NFC (canonical composition) normalization of a string"),
