@@ -400,4 +400,60 @@ object RangeJoin {
       .agg(sum("__below").as(countCol))
       .filter(col(countCol) > 0)
   }
+
+  /** Peak concurrency per group: the maximum number of simultaneously
+    * open half-open intervals `[start, end)` at any instant — capacity
+    * planning's core question (peak sessions, peak open connections,
+    * peak concurrent jobs), answered WITHOUT materializing any overlap
+    * pair.
+    *
+    * Start/end columns are integral instants (e.g. `unix_micros`). The
+    * sweep: each interval emits +1 at start and −1 at end; ends order
+    * BEFORE starts at equal instants (`__r` 0 < 1), so an interval
+    * ending exactly when another starts never counts as concurrent —
+    * the half-open contract. Peak = max prefix sum of the delta stream.
+    *
+    * Scale shape (the [[sweepAgg]] chunking): running sums are windowed
+    * per (group, time-shard) — each window's input is that shard's
+    * deltas, never the stream; shard offsets come from per-(group,
+    * shard) totals cumulated by a window PARTITIONED BY GROUP over at
+    * most `nShards` rows per group (schema×shards-bounded, broadcast
+    * back). One shuffle of 2|I| delta rows at any interval density; the
+    * max is invariant to tie order within an equal (t, sign) run, so
+    * the result is deterministic without a total order on ties. */
+  def peakConcurrency(intervals: DataFrame, groupCol: String,
+                      startCol: String, endCol: String,
+                      peakCol: String = "peak",
+                      nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = intervals.agg(min(col(startCol).cast("long")).as("lo"),
+      max(col(endCol).cast("long")).as("hi")).head()
+    val (lo, hi) = if (st.isNullAt(0)) (0L, 0L)
+                   else (st.getLong(0), st.getLong(1))
+    val shardWidth = math.max(1L, (hi - lo) / nShards + 1L)
+    val deltas = intervals.select(col(groupCol).as("__g"),
+        explode(array(
+          struct(col(startCol).cast("long").as("t"),
+            lit(1).as("r"), lit(1L).as("w")),
+          struct(col(endCol).cast("long").as("t"),
+            lit(0).as("r"), lit(-1L).as("w")))).as("b"))
+      .select(col("__g"), col("b.t").as("__t"), col("b.r").as("__r"),
+        col("b.w").as("__w"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__shard", floor((col("__t") - lit(lo)) / lit(shardWidth)))
+    val local = Window.partitionBy("__g", "__shard")
+      .orderBy(col("__t"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = deltas.withColumn("__cum", sum(col("__w")).over(local))
+    val offW = Window.partitionBy("__g").orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("__g", "__shard").agg(sum("__w").as("__stot"))
+      .select(col("__g"), col("__shard"),
+        coalesce(sum("__stot").over(offW), lit(0L)).as("__off"))
+    cum.join(broadcast(offsets), Seq("__g", "__shard"))
+      .groupBy("__g")
+      .agg(max(col("__cum") + col("__off")).as(peakCol),
+        sum(when(col("__r") === 1, 1L).otherwise(0L)).as("n_intervals"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

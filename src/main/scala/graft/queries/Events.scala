@@ -16,6 +16,26 @@ import org.apache.spark.sql.types._
 object Events {
 
   val defs: Map[String, Q] = Map(
+    // Peak concurrency per event type (ops.RangeJoin.peakConcurrency) —
+    // capacity planning's "how many were open AT ONCE" over synthesized
+    // half-open activity intervals [ts, ts + 60..299 s), duration a pure
+    // integer function of event_id so both engines derive identical
+    // micros. The boundary sweep never materializes an overlap pair:
+    // one shuffle of 2|events| delta rows, chunked prefix sums with
+    // group-partitioned shard offsets — the plan that holds when a viral
+    // hour makes pairwise overlap quadratic. Oracle replays the delta
+    // stream with a plain windowed cumsum (DuckDB materializes; sharding
+    // is Spark's scale tax only), max-invariant to tie order within an
+    // equal (t, sign) run.
+    "q_events_concurrency" -> ((s, dir) => {
+      val iv = tbl(s, dir, "events")
+        .select(col("event_type"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (lit(60L) + col("event_id") % 240L) * 1000000L).as("e_us"))
+      graft.ops.RangeJoin.peakConcurrency(iv, "event_type", "s_us", "e_us")
+        .orderBy("event_type")
+    }),
     // For each 'click' event, the most recent 'purchase' (ts <= click ts)
     // by the same user.
     "q_asof_join" -> ((s, dir) => {
@@ -520,6 +540,24 @@ object Events {
     sketchTilesOracleSql.map("q_agg_sketch_tiles" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    // Same delta stream (+1 at start, -1 at end, ends BEFORE starts at
+    // equal instants via r), plain global windowed cumsum per type —
+    // DuckDB materializes, so Spark's shard chunking has no replay step.
+    "q_events_concurrency" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts) AS s_us,
+             epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e_us
+           FROM events),
+         d AS (SELECT event_type, s_us AS t, 1 AS r, 1 AS w FROM iv
+               UNION ALL
+               SELECT event_type, e_us, 0, -1 FROM iv),
+         c AS (SELECT event_type, r,
+             sum(w) OVER (PARTITION BY event_type ORDER BY t, r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT event_type, CAST(max(cum) AS BIGINT) AS peak,
+           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intervals
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q_asof_join" ->
       """SELECT l.event_id AS click_id, l.user_id, r.event_id AS matched_purchase
          FROM (SELECT * FROM events WHERE event_type = 'click') l

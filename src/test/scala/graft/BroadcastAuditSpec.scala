@@ -57,7 +57,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
     ("Mixing.scala", "stats") -> (2, "SCHEMA: one row per mixture domain (joined twice: quota + deficit pass)"),
     ("PageRank.scala", "n1") -> (2, "ONE_ROW: vertex count (seed + per-round dangling redistribution)"),
-    ("RangeJoin.scala", "offsets") -> (2, "SCHEMA: one row per shard (fixed shard count; both join sides aligned)"),
+    ("RangeJoin.scala", "offsets") -> (3, "SCHEMA: one row per shard / per (group, shard) (fixed shard count; sweep + overlap + concurrency sites)"),
     ("Relational.scala", "freq") -> (2, "SCHEMA: brand marginals (p_brand domain; lift numerator + denominator)"),
     ("Relational.scala", "n") -> (2, "SCHEMA: nation dimension (25 rows; two query sites)"),
     ("Relational.scala", "nb") -> (2, "ONE_ROW: basket count (support + confidence normalizers)"),

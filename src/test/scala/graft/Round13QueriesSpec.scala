@@ -82,6 +82,22 @@ class Round13QueriesSpec extends SparkSpec {
     assert(r.getString(3) == expectedMd5)
   }
 
+  test("peakConcurrency: half-open boundary + shard-crossing offsets, hand-traced") {
+    import spark.implicits._
+    // group a: [0,10) [5,15) [10,20) -- peak 2 (at t=10 the first ends
+    // BEFORE the third starts; a closed-interval bug would report 3).
+    // group b: [3,4) alone -- peak 1. nShards=4 over span [0,20) forces
+    // interval spans across shard boundaries, so the per-group offset
+    // cumsum (not just the local windows) carries the count.
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L),
+      ("b", 3L, 4L)).toDF("g", "s", "e")
+    val out = graft.ops.RangeJoin
+      .peakConcurrency(iv, "g", "s", "e", nShards = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map("a" -> ((2L, 3L)), "b" -> ((1L, 1L))), out.toString)
+  }
+
   test("q_embed_pca: planted anisotropic corpus recovers the dominant axis") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pca").toString
