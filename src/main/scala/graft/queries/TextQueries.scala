@@ -444,12 +444,28 @@ object TextQueries {
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .filter(col("w1").isNotNull && col("w2").isNotNull)
       val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      // Continuation counts are ROW counts over cab, but written as
+      // count(1) (or even count(n_ab) — the rewriter normalizes it) the
+      // cb/tot references let column pruning strip n_ab, their cab
+      // subtrees collapse to a keys-only DISTINCT, and that shuffles a
+      // SECOND (countless) exchange — the pair stream scans twice
+      // (measured; the 1-scan shape is pinned in PlanContractSpec). The
+      // semantic no-op `when(n_ab > 0, 1)` — vacuously true, counts are
+      // positive — keeps n_ab referenced in every branch, so all four
+      // cab subtrees canonicalize to ONE exchange (the q_text_pmi
+      // isNotNull move, applied to pruning instead of null inference).
+      val rowCnt = count(when(col("n_ab") > 0, lit(1)))
       val ca = cab.groupBy("w1")
-        .agg(sum("n_ab").as("n_a"), count(lit(1)).as("n1p_a"))
-      val cb = cab.groupBy("w2").agg(count(lit(1)).as("n1p_b"))
-      val tot = cab.agg(count(lit(1)).as("n_types"))
-      cab.filter(col("n_ab") >= BigramMinCount)
-        .join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+        .agg(sum("n_ab").as("n_a"), rowCnt.as("n1p_a"))
+      val cb = cab.groupBy("w2").agg(rowCnt.as("n1p_b"))
+      val tot = cab.agg(rowCnt.as("n_types"))
+      // cap filter AFTER the joins (the q_text_pmi move): written pre-join
+      // it lands only on the capped reference and the four cab subtrees
+      // stop canonicalizing equal — 2 corpus scans instead of 1 (measured;
+      // PlanContractSpec pins the 1-scan shape). The optimizer pushes it
+      // back below the joins either way, so runtime cost is identical.
+      cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+        .filter(col("n_ab") >= BigramMinCount)
         .withColumn("pkn_micro",
           floor(((col("n_ab").cast("double") - lit(0.75d)) / col("n_a")
             + lit(0.75d) * col("n1p_a").cast("double") / col("n_a")

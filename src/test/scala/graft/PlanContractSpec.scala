@@ -620,4 +620,82 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(scans.isEmpty, "result frame must be driver-local")
   }
+
+  test("q_filter_blocklist: anti-join broadcasts the blocklist, corpus never shuffles for it") {
+    // The scale contract: membership in a curated 10^5-row artifact must
+    // be an executor-local hash probe. A regression to a shuffle anti-join
+    // exchanges the 100 TB corpus to test against a 10 MB set.
+    val df = SparkEntry.queries("q_filter_blocklist")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val anti = collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty, s"blocklist anti-join must broadcast:\n$p")
+    val smj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.isEmpty, s"corpus side must not shuffle for the blocklist:\n$p")
+  }
+
+  test("q_text_normalize is map-only: the only exchange is the presentation sort") {
+    val df = SparkEntry.queries("q_text_normalize")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, s"cleanup must not shuffle:\n$p")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.getClass.getSimpleName.contains("RangePartitioning"),
+      s"the single exchange must be the ORDER BY: ${e.outputPartitioning}"))
+    // the native expression is present (no ScalaUDF fallback)
+    assert(p.toString.contains("nfc_normalize"), s"native kernel missing:\n$p")
+    assert(!p.toString.contains("ScalaUDF"), s"UDF fallback in the plan:\n$p")
+  }
+
+  test("q_text_kneser_ney: every model table derives from one pair aggregation") {
+    // cab/ca/cb/tot all re-aggregate the SAME pair-count table — the
+    // corpus-scale pair stream must shuffle once, its exchange reused by
+    // the marginal branches (the q_text_pmi contract).
+    val df = SparkEntry.queries("q_text_kneser_ney")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val docScans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("documents") => s
+    }
+    assert(docScans.distinct.size == 1,
+      s"expected exactly 1 distinct documents scan, got ${docScans.distinct.size}:\n$p")
+    val reused = collectWithSubqueries(p) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec
+        if q.plan.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ReusedExchangeExec] => q
+    }
+    assert(reused.nonEmpty, s"marginal branches must reuse cab's exchange:\n$p")
+  }
+
+  test("q_events_concurrency: sweep plan, never a pair join") {
+    val df = SparkEntry.queries("q_events_concurrency")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val bad = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(bad.isEmpty, s"concurrency degraded to a pair/shuffle join:\n$p")
+  }
+
+  test("q_hilbert_layout: native key kernel in the scan stage, no UDF") {
+    val df = SparkEntry.queries("q_hilbert_layout")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("hilbert_d"), s"native kernel missing:\n$p")
+    assert(!p.toString.contains("ScalaUDF"), s"UDF fallback in the plan:\n$p")
+    // one bucket-agg hash exchange + the ORDER BY range exchange at most
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, s"unexpected extra shuffles (${exchanges.size}):\n$p")
+  }
 }
