@@ -64,15 +64,20 @@ object BloomDedup {
       .head().getAs[Array[Byte]](0)
 
   /** Per-batch-document counts of blocks already present in `corpus`,
-    * probing a [[fitSketch]] artifact. Per-invocation cost: one batch
-    * pass (persisted — the probe and the totals read it) + ONE corpus
-    * pass (the exact-verify stream). */
+    * probing a [[fitSketch]] artifact distributed as a BROADCAST.
+    * Per-invocation cost: one batch pass (persisted — the probe and the
+    * totals read it) + ONE corpus pass (the exact-verify stream). The
+    * sketch rides as a broadcast handle, NOT a plan literal — a 4 MiB
+    * literal ships in every task's serialized plan and is re-hashed by
+    * every plan compare, measured at 4.3× the query's pin before this
+    * shape (BloomBridge.might_contain's scale warning). */
   def seenBlocks(corpus: DataFrame, batch: DataFrame,
-                 idCol: String, textCol: String, sketch: Array[Byte],
+                 idCol: String, textCol: String,
+                 sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]],
                  window: Int = 16): DataFrame = {
     val batchBlocks = blocks(batch, idCol, textCol, window).persist()
     val positives = batchBlocks
-      .filter(BloomBridge.might_contain(sketch, col("h")))
+      .filter(BloomBridge.might_contain_bcast(sketch, col("h")))
     // broadcast() bound: distinct bloom-positive hashes = true-dup volume
     // + the numBits-sized FP rate of the batch, 8 bytes each.
     val candHashes = positives.select("h").distinct()
@@ -93,7 +98,9 @@ object BloomDedup {
     * fits once per corpus and probes every batch against the artifact. */
   def seenBlocks(corpus: DataFrame, batch: DataFrame,
                  idCol: String, textCol: String, window: Int,
-                 estItems: Long, numBits: Long): DataFrame =
+                 estItems: Long, numBits: Long): DataFrame = {
+    val bytes = fitSketch(corpus, idCol, textCol, window, estItems, numBits)
     seenBlocks(corpus, batch, idCol, textCol,
-      fitSketch(corpus, idCol, textCol, window, estItems, numBits), window)
+      corpus.sparkSession.sparkContext.broadcast(bytes), window)
+  }
 }

@@ -107,9 +107,12 @@ object LlmOps {
     String, graft.ops.Pca.PcaModel]()
 
   /** Per-corpus Bloom sketch memo (`q_dedup_bloom`'s fitted filter —
-    * numBits/8 bytes, the fit-once half of the content-seen check). */
-  private val bloomSketches =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    * numBits/8 bytes, the fit-once half of the content-seen check).
+    * Holds the BROADCAST handle, not the bytes: a plan-literal sketch
+    * ships per task and re-hashes per plan compare (measured 4.3× the
+    * pin); the broadcast ships once per executor. */
+  private val bloomSketches = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
 
   /** Recorded LSH CANDIDATE pairs (pre-verification), keyed by corpus dir
     * — consumed by [[oracles]] to GENERATE verify-replay DuckDB oracles
@@ -325,8 +328,10 @@ object LlmOps {
       // fit-once/probe-many: the serialized filter is a corpus artifact
       // memoized per dir (the ivfIndexFor lifecycle); every invocation
       // after the first pays one batch pass + one corpus verify pass
-      val sketch = bloomSketches.computeIfAbsent(dir, _ =>
-        graft.ops.BloomDedup.fitSketch(corpus, "doc_id", "text"))
+      val sketch = bloomSketches.computeIfAbsent(dir, _ => {
+        val bytes = graft.ops.BloomDedup.fitSketch(corpus, "doc_id", "text")
+        s.sparkContext.broadcast(bytes)
+      })
       graft.ops.BloomDedup.seenBlocks(corpus,
           d.filter(col("doc_id") % 5 === 0), "doc_id", "text", sketch)
         .orderBy("doc_id")

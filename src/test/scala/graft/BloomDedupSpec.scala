@@ -58,8 +58,8 @@ class BloomDedupSpec extends SparkSpec {
 
   test("plan: might_contain gates the batch; corpus blocks never shuffle") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val sketch = BloomDedup.fitSketch(
-      d.filter($"doc_id" % 5 =!= 0), "doc_id", "text")
+    val sketch = spark.sparkContext.broadcast(BloomDedup.fitSketch(
+      d.filter($"doc_id" % 5 =!= 0), "doc_id", "text"))
     val out = BloomDedup.seenBlocks(
       d.filter($"doc_id" % 5 =!= 0), d.filter($"doc_id" % 5 === 0),
       "doc_id", "text", sketch)

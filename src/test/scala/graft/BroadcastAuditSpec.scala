@@ -51,6 +51,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
     ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
+    ("BloomDedup.scala", "bytes") -> (1, "SKETCH: serialized bloom filter, numBits/8 bytes (4 MiB default) — corpus-size-independent artifact"),
+    ("LlmOps.scala", "bytes") -> (1, "SKETCH: q_dedup_bloom's fitted filter broadcast — numBits/8 bytes, corpus-size-independent"),
     ("LlmOps.scala", "bl") -> (1, "LITERAL: curated domain blocklist (BlockedDomains — a fixed artifact, never corpus-scale)"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
