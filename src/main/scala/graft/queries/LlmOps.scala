@@ -114,6 +114,17 @@ object LlmOps {
   private val bloomSketches = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
 
+  /** The corpus sketch broadcast for a scale-factor dir (fit-once memo) —
+    * shared by `q_dedup_bloom` and the streaming `q_stream_bloom_gate`,
+    * the way `incrementalIndexFor` serves both ingest paths. */
+  private[queries] def bloomSketchFor(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] =
+    bloomSketches.computeIfAbsent(dir, _ => {
+      val corpus = tbl(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+      val bytes = graft.ops.BloomDedup.fitSketch(corpus, "doc_id", "text")
+      s.sparkContext.broadcast(bytes)
+    })
+
   /** Recorded LSH CANDIDATE pairs (pre-verification), keyed by corpus dir
     * — consumed by [[oracles]] to GENERATE verify-replay DuckDB oracles
     * for the three MinHash-based dedup queries (the q_dedup_semantic
@@ -328,10 +339,7 @@ object LlmOps {
       // fit-once/probe-many: the serialized filter is a corpus artifact
       // memoized per dir (the ivfIndexFor lifecycle); every invocation
       // after the first pays one batch pass + one corpus verify pass
-      val sketch = bloomSketches.computeIfAbsent(dir, _ => {
-        val bytes = graft.ops.BloomDedup.fitSketch(corpus, "doc_id", "text")
-        s.sparkContext.broadcast(bytes)
-      })
+      val sketch = bloomSketchFor(s, dir)
       graft.ops.BloomDedup.seenBlocks(corpus,
           d.filter(col("doc_id") % 5 === 0), "doc_id", "text", sketch)
         .orderBy("doc_id")

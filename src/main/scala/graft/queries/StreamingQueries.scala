@@ -75,6 +75,14 @@ object StreamingQueries {
     // batch attribution: DuckDB recomputes each pair's batch_id from the
     // staged id-range arithmetic, so wrong chunking, a dropped batch, or
     // replay duplication all hash-mismatch.
+    // The bloom content-seen check as a CONTINUOUS ingest gate: each
+    // staged micro-batch probes the fit-once corpus sketch (broadcast
+    // handle — the q_dedup_bloom artifact, shared memo) map-side, then
+    // exact-verifies; output exact per batch, so the oracle is the plain
+    // block join plus the staging's id-range batch arithmetic.
+    "q_stream_bloom_gate" -> ((s, dir) =>
+      StreamOps.bloomGate(s, dir, LlmOps.bloomSketchFor(s, dir))
+        .orderBy("batch_id", "doc_id")),
     "q_stream_dedup_ingest" -> ((s, dir) => {
       val idx = LlmOps.incrementalIndexFor(s, dir)
       LlmOps.incrementalCandidatesFor(dir, () =>
@@ -111,6 +119,39 @@ object StreamingQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // q_dedup_bloom's exact block-join oracle (same 16-token chunking)
+    // plus the doc staging's id-range batch bucket (the dedup_ingest
+    // bounds arithmetic over the %5==0 batch stream).
+    "q_stream_bloom_gate" -> {
+      val n = StreamOps.DefaultChunks
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n FROM documents),
+         c AS (SELECT doc_id, toks, n,
+           CAST(unnest(generate_series(0, CAST(floor((n - 1) / 16.0) AS BIGINT))) AS INT)
+             AS chunk_idx
+         FROM d),
+         x AS (SELECT doc_id, chunk_idx,
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ')
+             AS blk
+         FROM c),
+         corpus AS (SELECT DISTINCT blk FROM x WHERE doc_id % 5 <> 0),
+         batch AS (SELECT doc_id, blk FROM x WHERE doc_id % 5 = 0),
+         bounds AS (SELECT min(doc_id) AS lo,
+           (max(doc_id) - min(doc_id)) // $n AS step
+         FROM documents WHERE doc_id % 5 = 0),
+         seen AS (SELECT doc_id, count(*) AS n_seen_blocks
+                  FROM batch JOIN corpus USING (blk) GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_blocks
+                 FROM batch GROUP BY doc_id)
+         SELECT CAST(CASE WHEN (SELECT step FROM bounds) <= 0 THEN ${n - 1}
+             ELSE least(${n - 1},
+               (t.doc_id - (SELECT lo FROM bounds)) // (SELECT step FROM bounds))
+             END AS BIGINT) AS batch_id,
+           t.doc_id, t.n_blocks, s.n_seen_blocks,
+           CAST(s.n_seen_blocks * 1000000 // t.n_blocks AS BIGINT) AS seen_ppm
+         FROM seen s JOIN tot t USING (doc_id)
+         ORDER BY batch_id, t.doc_id"""
+    },
     "q_stream_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL 6 HOURS, ts)) AS win_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value

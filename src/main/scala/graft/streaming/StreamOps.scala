@@ -349,6 +349,51 @@ object StreamOps {
       .select("batch_id", "id_new", "id_corpus", "jac")
   }
 
+  /** Bloom-gated streaming content-seen check — `q_dedup_bloom`'s probe
+    * run per MICRO-BATCH against the fit-once corpus sketch: each
+    * arriving batch pays a map-side codegen'd `might_contain` filter
+    * (the sketch rides as a broadcast handle — once per executor, never
+    * per task) plus one corpus pass for the exact verify, the documented
+    * per-batch price of the content-seen loop. This is the continuous
+    * shape of the batch query: a crawl frontier streaming in while the
+    * corpus artifact stays fixed between refits. Output is exact (bloom
+    * is a transparent prefilter), keyed by the staged batch ordinal. */
+  def bloomGate(s: SparkSession, dir: String,
+                sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : DataFrame = {
+    val stream = newDocsStream(s, dir, modulus = 5, residue = 0)
+    val sink = graft.io.TempDirs.createDeletedOnExit("graft_stream_bloom_")
+      .getAbsolutePath
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            if (!batch.isEmpty) {
+              val ab = batch.agg(min("arrival_batch")).head().getLong(0)
+              val corpus = s.read.parquet(s"$dir/documents.parquet")
+                .filter(col("doc_id") % 5 =!= 0)
+              graft.ops.BloomDedup.seenBlocks(corpus,
+                  batch.drop("arrival_batch"), "doc_id", "text", sketch)
+                .withColumn("batch_id", lit(ab))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(sink)
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_blocks", LongType),
+        StructField("n_seen_blocks", LongType),
+        StructField("seen_ppm", LongType), StructField("batch_id", LongType))))
+      .parquet(sink)
+      .select("batch_id", "doc_id", "n_blocks", "n_seen_blocks", "seen_ppm")
+  }
+
   /** Tumbling 6h windows: count + sum per (window, event_type). */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)
