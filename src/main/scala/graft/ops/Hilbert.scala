@@ -74,6 +74,76 @@ object Hilbert {
       s"h$lvl AS (${levelSql(prev, lvl, cols)})"
     }.mkString(",\n         ")
 
+  /** Inverse curve walk (d2xy): the cell at Hilbert distance `d`. Used
+    * by [[rectRanges]]' block descent and pinned against [[dValue]] as a
+    * round-trip in HilbertSpec. */
+  def d2xy(d0: Long, bits: Int = 12): (Long, Long) = {
+    var (x, y, t) = (0L, 0L, d0)
+    var s = 1L
+    val n = 1L << bits
+    while (s < n) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  /** READ-side pruning: decompose an inclusive query rectangle
+    * `[xlo, xhi] × [ylo, yhi]` into Hilbert-KEY ranges, so a reader with
+    * per-file (or per-row-group) key min/max stats scans only files
+    * whose key span intersects a range — the query half of clustered
+    * layouts (the write half is [[writeClustered]]).
+    *
+    * The descent exploits the curve's defining alignment property:
+    * every aligned key block `[m·4^k, (m+1)·4^k)` occupies exactly one
+    * axis-aligned `2^k × 2^k` square. Blocks fully inside the rect emit
+    * as whole ranges; disjoint blocks drop; partial blocks split into
+    * their 4 children. `maxRanges` bounds the answer for the planner —
+    * on budget exhaustion a partial block emits whole (an
+    * OVER-approximation: pruning stays correct, merely less tight).
+    * Driver-side, O(output · bits); adjacent ranges merge on emission
+    * (Hilbert continuity is why the count stays small — a Z-curve
+    * decomposition of the same rect fragments at every seam). Returns
+    * inclusive `(lo, hi)` key ranges in ascending order. */
+  def rectRanges(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                 bits: Int = 12, maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(xlo <= xhi && ylo <= yhi, "empty query rectangle")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(lo: Long, hi: Long): Unit =
+      if (out.nonEmpty && out.last._2 + 1 == lo)
+        out(out.size - 1) = (out.last._1, hi) // merge adjacent
+      else out += ((lo, hi))
+    // blocks in ASCENDING key order so emission merges greedily
+    def descend(base: Long, k: Int): Unit = {
+      val side = 1L << k
+      val (cx, cy) = d2xy(base, bits)
+      val (bx, by) = (cx & ~(side - 1), cy & ~(side - 1))
+      val disjoint = bx + side - 1 < xlo || bx > xhi ||
+        by + side - 1 < ylo || by > yhi
+      if (!disjoint) {
+        val inside = bx >= xlo && bx + side - 1 <= xhi &&
+          by >= ylo && by + side - 1 <= yhi
+        if (inside || k == 0 || out.size >= maxRanges)
+          emit(base, base + side * side - 1) // whole block (exact or over-approx)
+        else {
+          val q = side * side / 4
+          var i = 0
+          while (i < 4) { descend(base + i * q, k - 1); i += 1 }
+        }
+      }
+    }
+    descend(0L, bits)
+    out.toSeq
+  }
+
   /** Hilbert-clustered parquet write — same write shape as
     * [[ZOrder.writeZOrdered]], keyed by the Hilbert distance. */
   def writeClustered(df: DataFrame, dir: String, x: Column, y: Column,
