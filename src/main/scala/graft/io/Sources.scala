@@ -102,6 +102,11 @@ object Sources {
                   glob: String = "*"): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      // the driver's sf dirs are flat files, but scaled-up corpora
+      // (ScaleUpMain) stage each table as a dataset DIRECTORY — without
+      // recursion the ingest scan silently matches zero files there
+      // (observed as the sf1 sweep's one empty result)
+      .option("recursiveFileLookup", "true")
       .load(dir)
 
   /** Read the driver's events parquet with `ts` normalized to raw
