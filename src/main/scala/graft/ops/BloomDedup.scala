@@ -55,7 +55,9 @@ object BloomDedup {
     * `numBits` size it: at the default 2²⁵ bits (4 MiB) and 2²² corpus
     * blocks the false-positive rate is ~0.2% — tune both up together
     * for a bigger corpus; [[seenBlocks]]' verify stage keeps the OUTPUT
-    * exact at any rate, false positives only cost verify work. */
+    * exact at any rate, false positives only cost verify work.
+    * Persist the returned bytes with [[graft.io.SketchStore.saveBloom]]
+    * so a JVM restart probes the artifact instead of refitting. */
   def fitSketch(corpus: DataFrame, idCol: String, textCol: String,
                 window: Int = 16, estItems: Long = 1L << 22,
                 numBits: Long = 1L << 25): Array[Byte] =
@@ -94,8 +96,16 @@ object BloomDedup {
         expr("n_seen_blocks * 1000000 div n_blocks").as("seen_ppm"))
   }
 
-  /** Self-contained fit + probe — tests and one-shot use; production
-    * fits once per corpus and probes every batch against the artifact. */
+  /** Self-contained fit + probe — tests and one-shot use ONLY.
+    * Each call fits the sketch and wraps it in a NEW SparkContext
+    * broadcast that is never unpersisted (the returned DataFrame is
+    * lazy, so this method cannot know when the handle is done being
+    * used): a long-lived session calling this in a loop accumulates
+    * one `numBits/8`-byte broadcast block per call. Production fits
+    * once per corpus lifecycle ([[fitSketch]], or load a persisted
+    * artifact via [[SketchStore.loadBloom]]), owns the broadcast
+    * handle, probes every batch against it, and unpersists it when
+    * the corpus rotates. */
   def seenBlocks(corpus: DataFrame, batch: DataFrame,
                  idCol: String, textCol: String, window: Int,
                  estItems: Long, numBits: Long): DataFrame = {

@@ -420,12 +420,19 @@ object RangeJoin {
     * most `nShards` rows per group (schema×shards-bounded, broadcast
     * back). One shuffle of 2|I| delta rows at any interval density; the
     * max is invariant to tie order within an equal (t, sign) run, so
-    * the result is deterministic without a total order on ties. */
-  def peakConcurrency(intervals: DataFrame, groupCol: String,
+    * the result is deterministic without a total order on ties.
+    *
+    * Intervals with a null endpoint are dropped WHOLE before the delta
+    * stream is built: a half-null interval would otherwise leave an
+    * unbalanced +1 or −1 in the sweep (the per-delta null filter only
+    * removes one side), silently skewing every running count after it. */
+  def peakConcurrency(intervals0: DataFrame, groupCol: String,
                       startCol: String, endCol: String,
                       peakCol: String = "peak",
                       nShards: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val intervals = intervals0.filter(
+      col(startCol).isNotNull && col(endCol).isNotNull)
     val st = intervals.agg(min(col(startCol).cast("long")).as("lo"),
       max(col(endCol).cast("long")).as("hi")).head()
     val (lo, hi) = if (st.isNullAt(0)) (0L, 0L)

@@ -137,8 +137,20 @@ object Similarity {
           cents.toIndexedSeq.map(_.map(_.toDouble))).as("list_id"))
       .write.partitionBy("list_id").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(indexDir)
+    // stamp the coarse level next to the lists (data first, sidecar
+    // second — the signature-index crash contract): a fresh JVM then
+    // probes via [[loadIvf]] instead of paying the fit again
+    graft.io.SketchStore.saveIvfCentroids(embeddings.sparkSession, indexDir, cents)
     IvfIndex(indexDir, cents)
   }
+
+  /** Reopen a [[fitIvf]] index from its directory alone — the restart
+    * path of the fit-once/probe-many contract. The centroids come from
+    * the `_ivf_centroids` sidecar bit-exactly, so a probe against the
+    * loaded index is bit-identical to one against the fitting JVM's
+    * in-memory handle (SketchStoreSpec). Refuses a sidecar-less dir. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, indexDir: String): IvfIndex =
+    IvfIndex(indexDir, graft.io.SketchStore.loadIvfCentroids(spark, indexDir))
 
   /** Probe a fitted IVF index: each query scores only the corpus rows in
     * the inverted lists of its `nProbe` nearest centroids. Candidate
@@ -313,7 +325,23 @@ object Similarity {
         col("list_id"))
       .write.partitionBy("list_id")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(coded)
+    // both artifact halves ride as sidecars: coarse centroids were
+    // stamped into coded's dir too (loadIvfPq reopens from one root),
+    // and the codebook lands beside the codes it decodes
+    graft.io.SketchStore.saveIvfCentroids(embeddings.sparkSession, coded,
+      coarse.centroids)
+    graft.io.SketchStore.savePqCodebook(embeddings.sparkSession, coded, cb)
     (IvfIndex(coded, coarse.centroids), cb)
+  }
+
+  /** Reopen a [[fitIvfPq]] index from its root directory — centroids and
+    * codebook from the coded dir's sidecars, bit-exact, probe-identical
+    * across a JVM restart (SketchStoreSpec). */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, indexDir: String)
+      : (IvfIndex, ProductQuantizer.PqCodebook) = {
+    val coded = s"$indexDir/coded"
+    (IvfIndex(coded, graft.io.SketchStore.loadIvfCentroids(spark, coded)),
+      graft.io.SketchStore.loadPqCodebook(spark, coded))
   }
 
   /** Self-contained IVF-PQ demo: fit both index halves to a fresh temp

@@ -41,7 +41,7 @@ case class HilbertDistance(left: Expression, right: Expression, bits: Int)
       val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
       val t = ctx.freshName("t")
       s"""
-        long $x = $a, $y = $b, $d = 0L;
+        long $x = $a & ${(1L << bits) - 1}L, $y = $b & ${(1L << bits) - 1}L, $d = 0L;
         for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
           long $rx = (($x & $s) > 0) ? 1L : 0L;
           long $ry = (($y & $s) > 0) ? 1L : 0L;
@@ -60,9 +60,17 @@ case class HilbertDistance(left: Expression, right: Expression, bits: Int)
 }
 
 object HilbertDistance {
-  /** Interpreted-path / reference kernel (codegen inlines the same loop). */
+  /** Interpreted-path / reference kernel (codegen inlines the same loop).
+    *
+    * Inputs are masked to the grid (`& (2^bits − 1)`): bits above the
+    * level loop are never consumed by the recurrence, so an unmasked
+    * out-of-domain coordinate would silently alias another cell's key.
+    * Masking makes the aliasing explicit and total — callers that need
+    * true clamping (values beyond the grid pinned to the edge rather
+    * than wrapped) should quantize first, as `ZOrder.quantize` does. */
   def xy2d(x0: Long, y0: Long, bits: Int): Long = {
-    var (x, y, d) = (x0, y0, 0L)
+    val mask = (1L << bits) - 1L
+    var (x, y, d) = (x0 & mask, y0 & mask, 0L)
     var s = 1L << (bits - 1)
     while (s > 0) {
       val rx = if ((x & s) > 0) 1L else 0L

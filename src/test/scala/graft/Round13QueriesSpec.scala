@@ -89,8 +89,12 @@ class Round13QueriesSpec extends SparkSpec {
     // group b: [3,4) alone -- peak 1. nShards=4 over span [0,20) forces
     // interval spans across shard boundaries, so the per-group offset
     // cumsum (not just the local windows) carries the count.
-    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 10L, 20L),
-      ("b", 3L, 4L)).toDF("g", "s", "e")
+    // half-null intervals must drop WHOLE: an unpaired +1 from
+    // ("a", 1, null) would lift group a's every running count to 3.
+    val iv = Seq(("a", Some(0L), Some(10L)), ("a", Some(5L), Some(15L)),
+      ("a", Some(10L), Some(20L)), ("b", Some(3L), Some(4L)),
+      ("a", Some(1L), None), ("b", None, Some(9L)))
+      .toDF("g", "s", "e")
     val out = graft.ops.RangeJoin
       .peakConcurrency(iv, "g", "s", "e", nShards = 4)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
