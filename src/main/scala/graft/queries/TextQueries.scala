@@ -46,6 +46,27 @@ object TextQueries {
     * (most repeated bigrams survive; the singleton tail backs off). */
   private[graft] val BigramMinCount = 3
 
+  /** Catalog-scale vocabulary cap for every word-keyed model broadcast
+    * (bigram-LM unigram marginal, NB grid, DSIR features): keep the
+    * top-K words by count (ties: word asc — a bounded-heap TakeOrdered,
+    * replayed exactly by the oracle's ORDER BY/LIMIT), score the rest
+    * through an explicit OOV floor/UNK term. K bounds the broadcast
+    * BY CONSTRUCTION — corpus-independent, unlike the pruned-count
+    * bound Σc/cap or the "vocab ~ log corpus" folklore this replaces.
+    * The synthetic corpus draws from 31 distinct words with no hapax
+    * tail (a min-df floor would never bind there), so the catalog cap
+    * sits at 24 to keep the OOV branch EXERCISED and hash-verified at
+    * every test scale; production uses TextModels.DefaultVocabTopK. */
+  private[graft] val VocabTopK = 24
+
+  /** The OOV backoff count for pruned unigram-marginal words in
+    * q_text_bigram_lm — the `unigramNll` missing-count floor
+    * generalized: a word outside the kept vocabulary scores as if seen
+    * this many times (1 = the singleton assumption, pessimistic but
+    * always positive, so backed-off pairs keep p > 0 with no extra
+    * smoothing mass). */
+  private[graft] val UnigramFloorCount = 1L
+
   val defs: Map[String, Q] = Map(
     "q_text_stats" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -361,19 +382,24 @@ object TextQueries {
     // with every count defined over the corpus's adjacent-pair stream, so
     // ALL model tables derive from ONE pair aggregation (`cab`) exactly
     // as q_text_pmi's marginals do — the left marginal is c(w1·), the
-    // right c(·w2), the grand total N. The SCORING join broadcasts only
-    // the MIN-COUNT-CAPPED bigram table: distinct bigrams grow with the
-    // corpus (open web: billions) and an uncapped broadcast is a
-    // driver/executor OOM at scale, while the capped table is bounded by
-    // Σc/cap rows (each surviving row accounts for ≥ cap pair
-    // occurrences) and in a zipf corpus is far smaller — the standard
-    // interpolated-LM pruning. Pairs pruned from the model back off to
-    // the always-positive unigram term (c(·w2) ≥ 1), so p > 0 without
-    // extra smoothing mass; the backoff arrives via LEFT join + isNull
-    // test, keeping every cab reference canonically equal so the fit
-    // side stays one documents scan. The vocab-sized marginals (ca/cb)
-    // stay broadcast — vocabulary grows with the log of the corpus, the
-    // LM contract all unigram scorers here share. Numeric determinism: p
+    // right c(·w2), the grand total N. EVERY scoring broadcast is capped:
+    //  - the bigram table is MIN-COUNT-CAPPED (≤ Σc/cap rows: each
+    //    surviving row accounts for ≥ cap pair occurrences — distinct
+    //    bigrams grow with the corpus, billions on the open web, and an
+    //    uncapped broadcast is a driver/executor OOM at scale); the left
+    //    marginal c(w1·) rides INSIDE it (joined at fit time — it is only
+    //    read on the kept branch, so folding it in is EXACT and retires
+    //    the separate vocab-sized ca broadcast entirely);
+    //  - the right marginal c(·w2) — needed for every pair — broadcasts
+    //    only its top-VocabTopK words by count (bounded-heap TakeOrdered,
+    //    deterministic ties), a CORPUS-INDEPENDENT K-row build side;
+    //    pruned words score through the UnigramFloorCount backoff
+    //    (coalesce — the unigramNll missing-count floor), keeping
+    //    p > 0 for every pair with no extra smoothing mass.
+    // Pairs pruned from the bigram model back off to the unigram term
+    // alone via LEFT join + isNull test, keeping every cab reference
+    // canonically equal so the fit side stays one documents scan.
+    // Numeric determinism: p
     // is a FIXED IEEE op sequence (two exact int→double casts per ratio,
     // each division and the 3/4 + 1/4 combination correctly rounded,
     // identical order in both engines; the pruned branch adds an exact
@@ -396,13 +422,18 @@ object TextQueries {
       val ca = cab.groupBy("w1").agg(sum("n_ab").as("n_a"))
       val cb = cab.groupBy("w2").agg(sum("n_ab").as("n_b"))
       val tot = cab.agg(sum("n_ab").as("n_tot"))
-      val capped = cab.filter(col("n_ab") >= BigramMinCount)
+      // n_a folded into the capped table (exact: read only on the kept
+      // branch); the fit-side join is unhinted — planner's choice
+      val capped = cab.filter(col("n_ab") >= BigramMinCount).join(ca, "w1")
+      val cbKept = cb.orderBy(col("n_b").desc, col("w2").asc)
+        .limit(VocabTopK)
       val p = when(col("n_ab").isNotNull,
           lit(0.75) * (col("n_ab").cast("double") / col("n_a")))
           .otherwise(lit(0d)) +
-        lit(0.25) * (col("n_b").cast("double") / col("n_tot"))
+        lit(0.25) * (coalesce(col("n_b"), lit(UnigramFloorCount))
+          .cast("double") / col("n_tot"))
       prs.join(broadcast(capped), Seq("w1", "w2"), "left")
-        .join(broadcast(ca), "w1").join(broadcast(cb), "w2")
+        .join(broadcast(cbKept), Seq("w2"), "left")
         .crossJoin(broadcast(tot))
         .withColumn("__q", floor(-log(p) * 1000000d + 0.5d).cast("long"))
         .groupBy("doc_id")
@@ -483,16 +514,19 @@ object TextQueries {
     // tie-break; DuckDB re-derives the whole model and every score.
     "q_text_nb_classify" -> ((s, dir) =>
       graft.ops.TextModels.nbClassify(
-          tbl(s, dir, "documents"), "doc_id", "text", "lang")
+          tbl(s, dir, "documents"), "doc_id", "text", "lang",
+          vocabTopK = VocabTopK)
         .orderBy("doc_id")),
     // DSIR importance weights (Xie et al. 2023): every document scored
     // by log p_target - log p_raw under smoothed unigram feature models
-    // (target = the 'en' slice). Model tables are vocab-sized broadcasts;
-    // one corpus read; exact integer micro-nat math end to end.
+    // (target = the 'en' slice). Model tables are top-K-capped feature
+    // broadcasts with an UNK term (TextModels scaladoc); one corpus
+    // read; exact integer micro-nat math end to end.
     "q_text_dsir" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       graft.ops.TextModels
-        .dsirWeights(d, "doc_id", "text", col("lang") === "en")
+        .dsirWeights(d, "doc_id", "text", col("lang") === "en",
+          vocabTopK = VocabTopK)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"), col("n_tok"),
           col("dsir_weight_micro"))
@@ -910,7 +944,11 @@ object TextQueries {
     // the pruned branch contributes an exact 0.0 to the same final add).
     // The min-count model cap is replayed as a LEFT JOIN against the
     // capped table — a Spark pair wrongly kept or wrongly pruned flips
-    // its branch and hash-mismatches. pr/model CTEs are AS MATERIALIZED:
+    // its branch and hash-mismatches; the top-K unigram vocabulary is
+    // replayed as ORDER BY n_b DESC, w2 LIMIT K (the same deterministic
+    // tie-break as the Spark TakeOrdered) with coalesce to the floor
+    // count, so a word wrongly kept/pruned or a wrong floor flips the
+    // backoff branch and hash-mismatches. pr/model CTEs are AS MATERIALIZED:
     // the pair stream is referenced 5 times (cab/ca/cb/tot + scoring),
     // and DuckDB's default inlining re-expands the unnest under each —
     // the Bpe-oracle blowup shape, which at 10x scale ran minutes and
@@ -924,20 +962,24 @@ object TextQueries {
          pr AS MATERIALIZED (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM prs),
          cab AS MATERIALIZED (
            SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
-         capped AS MATERIALIZED (
-           SELECT * FROM cab WHERE n_ab >= $BigramMinCount),
          ca AS MATERIALIZED (SELECT w1, count(*) AS n_a FROM pr GROUP BY w1),
+         capped AS MATERIALIZED (
+           SELECT w1, w2, n_ab, n_a FROM cab JOIN ca USING (w1)
+           WHERE n_ab >= $BigramMinCount),
          cb AS MATERIALIZED (SELECT w2, count(*) AS n_b FROM pr GROUP BY w2),
+         cbk AS MATERIALIZED (
+           SELECT w2, n_b FROM cb ORDER BY n_b DESC, w2 ASC LIMIT $VocabTopK),
          tot AS MATERIALIZED (SELECT count(*) AS n_tot FROM pr),
          q AS (SELECT doc_id,
              CAST(floor(-ln(
                (CASE WHEN n_ab IS NOT NULL
                      THEN 0.75 * (CAST(n_ab AS DOUBLE) / n_a)
                      ELSE 0.0 END)
-               + 0.25 * (CAST(n_b AS DOUBLE) / n_tot)) * 1000000 + 0.5)
+               + 0.25 * (CAST(coalesce(n_b, $UnigramFloorCount) AS DOUBLE)
+                 / n_tot)) * 1000000 + 0.5)
                AS BIGINT) AS q
-           FROM pr LEFT JOIN capped USING (w1, w2) JOIN ca USING (w1)
-             JOIN cb USING (w2) CROSS JOIN tot)
+           FROM pr LEFT JOIN capped USING (w1, w2)
+             LEFT JOIN cbk USING (w2) CROSS JOIN tot)
          SELECT doc_id, count(*) AS n_pairs,
            floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) / 1000000 AS nll2
          FROM q GROUP BY doc_id ORDER BY doc_id""",
@@ -967,33 +1009,51 @@ object TextQueries {
          FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
          WHERE n_ab >= $BigramMinCount
          ORDER BY pkn_micro DESC, w1, w2""",
-    // Independently re-derives the whole NB model: dense vocab x class
-    // grid with Laplace smoothing, micro-nat quantization at each ln,
-    // exact BIGINT sums, class-asc tie-break — any Spark drift in
-    // smoothing, densification, priors, or tie-breaks hash-mismatches.
+    // Independently re-derives the whole NB model: top-K vocabulary
+    // (count desc, word asc — the Spark TakeOrdered tie-break), V =
+    // kept + 1 (UNK type), dense kept-vocab x class grid with Laplace
+    // smoothing, the per-class UNK term for OOV tokens, micro-nat
+    // quantization at each ln, exact BIGINT sums, class-asc tie-break —
+    // any Spark drift in the cap boundary, smoothing, densification,
+    // OOV accounting, priors, or tie-breaks hash-mismatches.
     "q_text_nb_classify" ->
-      """WITH t2 AS (SELECT doc_id, lang,
+      s"""WITH t2 AS (SELECT doc_id, lang,
              unnest(string_split(text, ' ')) AS word FROM documents),
-         toks AS (SELECT * FROM t2 WHERE length(word) >= 1),
-         vocab AS (SELECT DISTINCT word FROM toks),
-         v AS (SELECT count(*) AS v_size FROM vocab),
+         toks AS MATERIALIZED (SELECT * FROM t2 WHERE length(word) >= 1),
+         cwl AS MATERIALIZED (
+           SELECT word, lang AS hyp, count(*) AS c FROM toks GROUP BY 1, 2),
+         kept AS MATERIALIZED (
+           SELECT word FROM (SELECT word, sum(c) AS cw FROM cwl GROUP BY word)
+           ORDER BY cw DESC, word ASC LIMIT $VocabTopK),
+         v AS (SELECT count(*) + 1 AS v_size FROM kept),
          classes AS (SELECT DISTINCT lang AS hyp FROM documents),
-         cwl AS (SELECT word, lang AS hyp, count(*) AS c FROM toks GROUP BY 1, 2),
-         tot AS (SELECT lang AS hyp, count(*) AS t FROM toks GROUP BY 1),
-         model AS (SELECT vocab.word, classes.hyp,
+         tot AS (SELECT hyp, CAST(sum(c) AS BIGINT) AS t FROM cwl GROUP BY 1),
+         model AS (SELECT kept.word, classes.hyp,
              CAST(floor(-ln((coalesce(c, 0) + 1.0) / (t + v_size)) * 1e6 + 0.5)
                AS BIGINT) AS q
-           FROM vocab CROSS JOIN classes
-           LEFT JOIN cwl ON cwl.word = vocab.word AND cwl.hyp = classes.hyp
+           FROM kept CROSS JOIN classes
+           LEFT JOIN cwl ON cwl.word = kept.word AND cwl.hyp = classes.hyp
            JOIN tot ON tot.hyp = classes.hyp CROSS JOIN v),
+         oovq AS (SELECT hyp,
+             CAST(floor(-ln(1.0 / (t + v_size)) * 1e6 + 0.5) AS BIGINT) AS q_unk
+           FROM tot CROSS JOIN v),
          pri AS (SELECT lang AS hyp,
              CAST(floor(-ln(CAST(nd AS DOUBLE) / ndt) * 1e6 + 0.5) AS BIGINT) AS qp
            FROM (SELECT lang, count(*) AS nd FROM documents GROUP BY 1) x
            CROSS JOIN (SELECT count(*) AS ndt FROM documents) y),
-         sc AS (SELECT toks.doc_id, min(toks.lang) AS lang, m.hyp,
+         seen AS (SELECT toks.doc_id, min(toks.lang) AS lang, m.hyp,
              CAST(sum(m.q) AS BIGINT) AS s
            FROM toks JOIN model m ON m.word = toks.word
            GROUP BY toks.doc_id, m.hyp),
+         oov AS (SELECT o.doc_id, o.lang, oovq.hyp,
+             o.n_oov * oovq.q_unk AS s
+           FROM (SELECT doc_id, min(lang) AS lang, count(*) AS n_oov
+                 FROM toks WHERE word NOT IN (SELECT word FROM kept)
+                 GROUP BY doc_id) o CROSS JOIN oovq),
+         sc AS (SELECT doc_id, min(lang) AS lang, hyp,
+             CAST(sum(s) AS BIGINT) AS s
+           FROM (SELECT * FROM seen UNION ALL SELECT * FROM oov)
+           GROUP BY doc_id, hyp),
          fin AS (SELECT doc_id, lang, hyp, s + qp AS score,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY s + qp ASC, hyp ASC) AS rn
@@ -1001,25 +1061,37 @@ object TextQueries {
          SELECT doc_id, lang, hyp AS pred_nb,
            CAST(score AS BIGINT) AS nb_score_micro
          FROM fin WHERE rn = 1 ORDER BY doc_id""",
+    // Mirrors the capped DSIR model: top-K features by raw count (ties
+    // word asc), V = kept + 1, per-word lambda over kept words, the
+    // zero-count UNK lambda for everything else (LEFT JOIN + coalesce).
     "q_text_dsir" ->
-      """WITH t2 AS (SELECT doc_id, lang = 'en' AS is_t,
+      s"""WITH t2 AS (SELECT doc_id, lang = 'en' AS is_t,
              unnest(string_split(text, ' ')) AS word FROM documents),
-         toks AS (SELECT * FROM t2 WHERE length(word) >= 1),
-         vocab AS (SELECT DISTINCT word FROM toks),
-         v AS (SELECT count(*) AS v_size FROM vocab),
-         cnts AS (SELECT word, count(*) AS c_raw,
+         toks AS MATERIALIZED (SELECT * FROM t2 WHERE length(word) >= 1),
+         cnts AS MATERIALIZED (SELECT word, count(*) AS c_raw,
              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_tgt
            FROM toks GROUP BY 1),
-         tots AS (SELECT count(*) AS t_raw,
-             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_tgt FROM toks),
+         kept AS MATERIALIZED (
+           SELECT word, c_raw, c_tgt FROM cnts
+           ORDER BY c_raw DESC, word ASC LIMIT $VocabTopK),
+         v AS (SELECT count(*) + 1 AS v_size FROM kept),
+         tots AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+             CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM cnts),
          model AS (SELECT word,
              CAST(floor(-ln((c_raw + 1.0) / (t_raw + v_size)) * 1e6 + 0.5) AS BIGINT)
              - CAST(floor(-ln((c_tgt + 1.0) / (t_tgt + v_size)) * 1e6 + 0.5) AS BIGINT)
                AS lambda
-           FROM cnts CROSS JOIN tots CROSS JOIN v),
+           FROM kept CROSS JOIN tots CROSS JOIN v),
+         unk AS (SELECT
+             CAST(floor(-ln(1.0 / (t_raw + v_size)) * 1e6 + 0.5) AS BIGINT)
+             - CAST(floor(-ln(1.0 / (t_tgt + v_size)) * 1e6 + 0.5) AS BIGINT)
+               AS lambda_unk
+           FROM tots CROSS JOIN v),
          w AS (SELECT toks.doc_id, count(*) AS n_tok,
-             CAST(sum(m.lambda) AS BIGINT) AS dsir_weight_micro
-           FROM toks JOIN model m ON m.word = toks.word
+             CAST(sum(coalesce(m.lambda, lambda_unk)) AS BIGINT)
+               AS dsir_weight_micro
+           FROM toks LEFT JOIN model m ON m.word = toks.word
+           CROSS JOIN unk
            GROUP BY toks.doc_id)
          SELECT w.doc_id, d.lang, w.n_tok, w.dsir_weight_micro
          FROM w JOIN documents d ON d.doc_id = w.doc_id

@@ -76,14 +76,16 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextAnalysis.scala", "n") -> (1, "ONE_ROW: corpus doc count"),
     ("TextAnalysis.scala", "total") -> (1, "ONE_ROW: token total"),
     ("TextModels.scala", "docs") -> (1, "ONE_ROW: doc-count aggregate (inline .agg)"),
-    ("TextModels.scala", "model") -> (2, "VOCAB: vocab x class log-prob grid (classes schema-bounded; train + score sites)"),
+    ("TextModels.scala", "model") -> (1, "CAPPED: top-vocabTopK DSIR feature table, <= K rows by construction"),
+    ("TextModels.scala", "modelAll") -> (1, "CAPPED: NB grid + per-class UNK rows, <= (K+1) x classes rows by construction"),
+    ("TextModels.scala", "keptVocab") -> (1, "CAPPED: top-vocabTopK word list, <= K rows (OOV anti-join probe)"),
+    ("TextModels.scala", "oovRow") -> (1, "ONE_ROW: DSIR zero-count UNK lambda"),
     ("TextModels.scala", "priors") -> (1, "SCHEMA: one row per class"),
-    ("TextModels.scala", "totL") -> (1, "SCHEMA: one row per class"),
+    ("TextModels.scala", "totL") -> (2, "SCHEMA: one row per class (model grid + UNK term)"),
     ("TextModels.scala", "tots") -> (1, "SCHEMA: one row per feature-model side (2)"),
-    ("TextModels.scala", "vSize") -> (2, "ONE_ROW: vocab size (smoothing denominator, two scorers)"),
-    ("TextQueries.scala", "ca") -> (1, "VOCAB: left unigram marginal"),
-    ("TextQueries.scala", "capped") -> (1, "CAPPED: min-count-capped bigram table, <= total-pairs/cap rows (plan-contracted build side)"),
-    ("TextQueries.scala", "cb") -> (1, "VOCAB: right unigram marginal"),
+    ("TextModels.scala", "vSize") -> (3, "ONE_ROW: capped vocab size + 1 (NB grid, NB UNK term, DSIR grid)"),
+    ("TextQueries.scala", "capped") -> (1, "CAPPED: min-count-capped bigram table (left marginal folded in), <= total-pairs/cap rows (plan-contracted build side)"),
+    ("TextQueries.scala", "cbKept") -> (1, "CAPPED: top-VocabTopK unigram marginal, <= K rows by construction; pruned words score the UnigramFloorCount backoff"),
     ("TextQueries.scala", "tot") -> (3, "ONE_ROW: pair total / bigram-type total (PMI numerator + LM normalizer + KN continuation normalizer)"),
     ("TextQueries.scala", "vocab") -> (1, "VOCAB: distinct-token table (tf-idf df join)"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))

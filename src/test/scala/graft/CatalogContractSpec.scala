@@ -32,10 +32,14 @@ class CatalogContractSpec extends SparkSpec {
     // additions landed after the last manual true-up; this pins the doc
     // to the code so a drifted count fails the suite instead of the
     // judge's audit. The oracled count is asserted structurally: stated
-    // total − stated oracled must equal the known rows-only tier (the 3
-    // q_multimodal_* queries whose semantics no SQL engine can replay —
-    // generated oracles for the fitted tiers appear only after a run, so
-    // the live oracleSql size is not comparable statically.
+    // total − stated oracled must equal the rows-only tier (now just
+    // q_multimodal_ingest — phash/decode gained verify-replay oracles in
+    // round 14). Those generated oracles exist only after their query
+    // records its literals, so the test FIRST builds the two queries
+    // (recording happens at build time) — otherwise the rows-only count
+    // depends on which suites ran earlier in the same JVM.
+    Seq("q_multimodal_phash", "q_multimodal_decode")
+      .foreach(q => SparkEntry.queries(q)(spark, sf001))
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val m = """\*\*\[EXT\] catalog\*\* \((\d+) queries in `SparkEntry\.queries`; (\d+) with DuckDB oracle"""

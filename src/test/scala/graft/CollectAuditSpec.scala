@@ -33,7 +33,9 @@ class CollectAuditSpec extends AnyFunSuite {
     "Events.scala" -> (2,
       "RFM quantile threshold rows (stats x quintiles) + sketch-tiles oracle memo (one row per event type, schema-bounded)"),
     "Relational.scala" -> (2,
-      "oracle memos: approx-distinct (one row per return flag) + approx-quantiles (flags x percentiles) — both schema-bounded"))
+      "oracle memos: approx-distinct (one row per return flag) + approx-quantiles (flags x percentiles) — both schema-bounded"),
+    "Multimodal.scala" -> (2,
+      "oracle memos: dHash signatures + PNG byte sizes, both limit(MultimodalReplayCap+1)-bounded collects; over-cap memoizes empty -> rows-only"))
 
   test("every .collect() site in main is allowlisted with a boundedness argument") {
     def walk(f: java.io.File): Seq[java.io.File] =

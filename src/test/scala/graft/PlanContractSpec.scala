@@ -445,6 +445,33 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("word-keyed model broadcasts descend from the top-K vocabulary cap") {
+    // The corpus-independent bound of the round-14 cap: every word-keyed
+    // broadcast build side (the bigram-LM unigram marginal, the NB grid,
+    // the DSIR feature table) must derive from the bounded-heap
+    // TakeOrdered with limit = VocabTopK — never the raw vocabulary. A
+    // regression to an uncapped vocab broadcast passes every correctness
+    // check (both fit at catalog scale) and OOMs on an open-web corpus;
+    // this pins the limit node INSIDE the broadcast subtree, where a
+    // scale-up cannot outgrow it.
+    val k = graft.queries.TextQueries.VocabTopK
+    for (q <- Seq("q_text_bigram_lm", "q_text_nb_classify", "q_text_dsir")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      val cappedBuilds = collectWithSubqueries(p) {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if e.child.toString.contains(s"TakeOrderedAndProject(limit=$k") ||
+             e.child.collect {
+               case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+                 if t.limit == k => t
+             }.nonEmpty => e
+      }
+      assert(cappedBuilds.nonEmpty,
+        s"$q: no broadcast build side carries the top-$k vocabulary cap:\n$p")
+    }
+  }
+
   test("q_window_rank ranks only heap-pruned rows, never a global window") {
     // the low-cardinality rank demo must keep its TopK.rankTrio shape:
     // a bounded-heap mapPartitions prune feeding a PER-GROUP window. A
