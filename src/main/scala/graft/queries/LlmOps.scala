@@ -106,6 +106,15 @@ object LlmOps {
   private val pcaFits = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ops.Pca.PcaModel]()
 
+  /** Per-corpus top-k PCA fit memo (`q_embed_pca_k`'s orthogonal-
+    * iteration basis) — same lifecycle as [[pcaFits]]. */
+  private val pcaKFits = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Pca.PcaKModel]()
+
+  /** q_embed_pca_k's component count — ONE definition shared by the
+    * query and its generated oracle. */
+  private val PcaK = 3
+
   /** Per-corpus Bloom sketch memo (`q_dedup_bloom`'s fitted filter —
     * numBits/8 bytes, the fit-once half of the content-seen check).
     * Holds the BROADCAST handle, not the bytes: a plan-literal sketch
@@ -1006,6 +1015,32 @@ object LlmOps {
       e.select(col("vec_id"), col("label"),
           graft.ops.Pca.projectionMicro(col("embedding"), m).as("proj_micro"))
         .orderBy("vec_id")
+    }),
+
+    // Top-k PCA + WHITENING — q_embed_pca's k-component generalization
+    // by orthogonal iteration (same single tree-aggregated moment pass;
+    // the subspace QR loop is driver-side d²·k arithmetic), emitting
+    // per-row coordinates in the top-3 basis plus their unit-variance
+    // whitened twins — the standard embedding preprocessing before ANN
+    // indexing / OPQ rotation. Still no shuffle anywhere: fit is one
+    // pass, scoring is map-side folds against recorded (μ, V, λ)
+    // literals, ORACLED via the generated replay SQL (DuckDB re-folds
+    // every coordinate bit-identically; √λ enters both engines as the
+    // identical driver-computed literal). Orthonormality and planted-
+    // axis recovery are property-tested in PcaKSpec.
+    "q_embed_pca_k" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val m = pcaKFits.computeIfAbsent(dir, _ =>
+        graft.ops.Pca.fitK(e, "embedding", dim = 64, k = PcaK))
+      val cols = (0 until PcaK).flatMap { j =>
+        Seq(
+          graft.ops.Pca.projectionKMicro(col("embedding"), m, j)
+            .as(s"pc${j + 1}_micro"),
+          graft.ops.Pca.whitenedKMicro(col("embedding"), m, j)
+            .as(s"white${j + 1}_micro"))
+      }
+      e.select(col("vec_id") +: col("label") +: cols: _*)
+        .orderBy("vec_id")
     })
   )
 
@@ -1071,6 +1106,11 @@ object LlmOps {
           val pcaF = pcaFits.asScala.values.toSeq
           if (pcaF.size == 1) Map("q_embed_pca" ->
             graft.ops.Pca.projectionOracleSql(pcaF.head))
+          else Map.empty
+        } ++ {
+          val pcaKF = pcaKFits.asScala.values.toSeq
+          if (pcaKF.size == 1) Map("q_embed_pca_k" ->
+            graft.ops.Pca.projectionKOracleSql(pcaKF.head))
           else Map.empty
         } ++
         // static: the hyperplanes regenerate from (dim, bits, seed)
