@@ -507,6 +507,14 @@ object Dedup {
     (ctes, staged)
   }
 
+  /** The candidate-splice CTE block (cand/tk/sh/scored) alone — for
+    * callers that embed the scored pairs inside a LARGER replay chain
+    * (the v2 curation pipeline's one-CTE-chain oracle). */
+  private[graft] def candidateScoreCtes(pairs: Seq[(Option[String], Long, Long)],
+                                        leftCol: String,
+                                        rightCol: String): String =
+    scoredCtes(pairs, leftCol, rightCol)._1
+
   def verifyReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
                             leftCol: String, rightCol: String,
                             threshold: Double,

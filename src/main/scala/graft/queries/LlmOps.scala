@@ -28,6 +28,71 @@ object LlmOps {
     "src3.example.com", "src12.example.com",
     "tracker.example.com", "malware.example.org")
 
+  /** URL synthesis + canonicalization, shared by `q_dedup_url` and the
+    * v2 curation pipeline so the two chains cannot drift. Appends
+    * `canonical_url` from (doc_id, source): deterministic raw-URL
+    * synthesis with the corpus's noise axes (case, default port,
+    * trailing slash, utm params, param order), then native-function
+    * normalization — lowercase scheme/host, strip the scheme's default
+    * port, trim trailing path slashes, drop utm_*, sort survivors.
+    * Everything is map-side (no shuffle in the helper). */
+  private def withCanonicalUrl(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com"),
+      when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), expr("doc_id div 40").cast("string"),
+      when(col("doc_id") % 13 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&utm_sid="), (col("doc_id") % 4).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("&a=1&b=2")).otherwise(lit("&b=2&a=1")),
+      when(col("doc_id") % 11 === 0, lit("&utm_campaign=x")).otherwise(lit("")))
+    df.withColumn("raw", raw)
+      .withColumn("scheme", lower(element_at(split(col("raw"), "://"), 1)))
+      .withColumn("rest", element_at(split(col("raw"), "://"), 2))
+      .withColumn("hostport", element_at(split(col("rest"), "/"), 1))
+      .withColumn("host", lower(
+        when(col("scheme") === "http",
+          regexp_replace(col("hostport"), ":80$", ""))
+        .when(col("scheme") === "https",
+          regexp_replace(col("hostport"), ":443$", ""))
+        .otherwise(col("hostport"))))
+      .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("path0", element_at(split(col("pathq"), "\\?"), 1))
+      .withColumn("query",
+        when(size(split(col("pathq"), "\\?")) >= 2,
+          element_at(split(col("pathq"), "\\?"), 2)).otherwise(lit("")))
+      .withColumn("path",
+        when(regexp_replace(col("path0"), "/+$", "") === "", lit("/"))
+          .otherwise(regexp_replace(col("path0"), "/+$", "")))
+      .withColumn("params", filter(split(col("query"), "&"),
+        p => !p.startsWith("utm_") && p =!= ""))
+      .withColumn("canonical_url",
+        concat(col("scheme"), lit("://"), col("host"), col("path"),
+          when(size(col("params")) > 0,
+            concat(lit("?"), array_join(array_sort(col("params")), "&")))
+            .otherwise(lit(""))))
+      .drop("raw", "scheme", "rest", "hostport", "pathq", "path0", "query",
+        "path", "params")
+  }
+
+  /** The v2 pipeline's content-seen drop threshold: a day's document is
+    * discarded when at least half its 16-token blocks already exist in
+    * the corpus — ONE definition shared with the generated oracle. */
+  private val ContentSeenPpm = 500000L
+
+  /** The v2 pipeline's own day blocklist — a curated artifact like
+    * [[BlockedDomains]], chosen so the gate BITES inside the day slice
+    * at every scale (the corpus assigns source = doc_id mod 20, so the
+    * day's sources are exactly {src0, src5, src10, src15} and the shared
+    * corpus-wide list's src3/src12 never appear there): src15 drops a
+    * quarter of the day, the second entry must match nothing. ONE
+    * definition interpolated into the Spark literal table and the
+    * generated oracle. */
+  private[queries] val DayBlockedDomains: Seq[String] = Seq(
+    "src15.example.com", "phish.example.net")
+
   /** Per-corpus IVF index memo (JVM lifetime — verify/bench are one JVM
     * per pass). Keyed by the scale-factor dir: a different corpus gets its
     * own fit; the same corpus never refits. */
@@ -151,6 +216,11 @@ object LlmOps {
   private val lshCandidates = new CandMemo()
   private val incCandidates = new CandMemo()
   private val fullCandidates = new CandMemo()
+  /** The v2 curation pipeline's within-day MinHash candidates — its own
+    * memo (the day slice differs from q_dedup_minhash_lsh's corpus-wide
+    * candidate set), consumed by [[oracles]] to splice the literal
+    * candidate stage into the one-CTE-chain pipeline replay. */
+  private val pipelineCands = new CandMemo()
   private val ReplayOracleCap = 5000
 
   /** Recorded per-doc SimHash SIGNATURES, keyed by corpus dir — consumed
@@ -256,47 +326,11 @@ object LlmOps {
     // the canonical URL (one vocab-of-resources-sized aggregation, the
     // exact-dedup shape). The oracle replays every normalization step
     // with the literal-split/list_filter/list_sort equivalents.
-    "q_dedup_url" -> ((s, dir) => {
-      val raw = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
-        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".example.com"),
-        when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
-        lit("/p/"), expr("doc_id div 40").cast("string"),
-        when(col("doc_id") % 13 === 0, lit("/")).otherwise(lit("")),
-        lit("?utm_source=feed&utm_sid="), (col("doc_id") % 4).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("&a=1&b=2")).otherwise(lit("&b=2&a=1")),
-        when(col("doc_id") % 11 === 0, lit("&utm_campaign=x")).otherwise(lit("")))
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), raw.as("raw"))
-        .withColumn("scheme", lower(element_at(split(col("raw"), "://"), 1)))
-        .withColumn("rest", element_at(split(col("raw"), "://"), 2))
-        .withColumn("hostport", element_at(split(col("rest"), "/"), 1))
-        .withColumn("host", lower(
-          when(col("scheme") === "http",
-            regexp_replace(col("hostport"), ":80$", ""))
-          .when(col("scheme") === "https",
-            regexp_replace(col("hostport"), ":443$", ""))
-          .otherwise(col("hostport"))))
-        .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
-        .withColumn("path0", element_at(split(col("pathq"), "\\?"), 1))
-        .withColumn("query",
-          when(size(split(col("pathq"), "\\?")) >= 2,
-            element_at(split(col("pathq"), "\\?"), 2)).otherwise(lit("")))
-        .withColumn("path",
-          when(regexp_replace(col("path0"), "/+$", "") === "", lit("/"))
-            .otherwise(regexp_replace(col("path0"), "/+$", "")))
-        .withColumn("params", filter(split(col("query"), "&"),
-          p => !p.startsWith("utm_") && p =!= ""))
-        .select(col("doc_id"),
-          concat(col("scheme"), lit("://"), col("host"), col("path"),
-            when(size(col("params")) > 0,
-              concat(lit("?"), array_join(array_sort(col("params")), "&")))
-              .otherwise(lit(""))).as("canonical_url"))
+    "q_dedup_url" -> ((s, dir) =>
+      withCanonicalUrl(tbl(s, dir, "documents").select("doc_id", "source"))
         .groupBy("canonical_url")
         .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
-        .orderBy("canonical_url")
-    }),
+        .orderBy("canonical_url")),
     // Paragraph-level exact dedup — the C4/CCNet step BETWEEN doc-level
     // exact dedup and fuzzy dedup: boilerplate repeats at sub-document
     // granularity (nav bars, license blocks, templated intros), so the
@@ -831,6 +865,106 @@ object LlmOps {
           sum("words").as("n_tokens"))
         .orderBy("shard", "pack_id")
     }),
+    // CRAWL-DAY pipeline v2 — the full incremental curation chain a web
+    // corpus actually runs per ingest day, in front of v1's stages, as
+    // ONE lazy plan over the day slice (doc_id % 5 = 0, the established
+    // batch convention) against the corpus (the rest):
+    //   1. domain BLOCKLIST gate — broadcast LEFT ANTI on the registered
+    //      domain (q_filter_blocklist's op), map-side;
+    //   2. URL CANONICALIZATION dedup — the shared withCanonicalUrl
+    //      chain, keep-min-id per canonical URL over an xxhash64 window
+    //      key (8-byte shuffle key, never the URL string);
+    //   3. BLOOM CONTENT-SEEN gate — the day probes the corpus sketch
+    //      (bloomSketchFor, the fit-once artifact q_dedup_bloom and the
+    //      streaming gate share); docs with ≥ ContentSeenPpm of their
+    //      blocks already in the corpus drop. Exact output (bloom is a
+    //      transparent prefilter + exact verify), so the oracle replays
+    //      it as the plain block join;
+    //   4. MinHash NEAR-DUP within the day — banded candidates + exact
+    //      Jaccard ≥ VerifyThreshold verify, drop-if-smaller-neighbor
+    //      (the SemanticDedup keep rule: no transitive over-drop);
+    //      candidates are recorded for the spliced replay oracle;
+    //   5-8. v1's funnel → exact dedup → mixture → pack manifest.
+    // Emit-path shuffles stay bounded and text never rides as a shuffle
+    // key (PlanContractSpec pins both); the mixture stats and every gate
+    // table arrive via broadcasts. The one corpus-sized cost is the
+    // bloom verify's corpus block scan — the per-day price the batch
+    // q_dedup_bloom documents.
+    "q_curate_pipeline_v2" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val day = d.filter(col("doc_id") % 5 === 0)
+      // 1. blocklist (same synthesis as q_filter_blocklist)
+      val sub = when(col("doc_id") % 7 === 0, lit("cdn."))
+        .when(col("doc_id") % 7 === 1, lit("www."))
+        .otherwise(lit(""))
+      val hosted = day.withColumn("registered_domain",
+        array_join(slice(split(
+          concat(sub, col("source"), lit(".example.com")), "\\."), -3, 3), "."))
+      val bl = s.createDataFrame(DayBlockedDomains.map(Tuple1(_)))
+        .toDF("blocked_domain")
+      val unblocked = hosted.join(broadcast(bl),
+        hosted("registered_domain") === bl("blocked_domain"), "left_anti")
+      // 2. URL-canonical dedup, keep-min-id, hash-keyed window
+      val byUrl = Window.partitionBy(xxhash64(col("canonical_url")))
+      // persisted: referenced by the bloom probe's batch side AND the
+      // post-gate anti-join — unpersisted, each reference re-runs the
+      // blocklist + canonicalization + window chain (measured ~2× the
+      // stage cost). Day-sized, the price v1's scaladoc concedes for
+      // the multi-pass stages ("persist the deduped corpus between
+      // passes" at 100 TB).
+      val urlKept = withCanonicalUrl(unblocked)
+        .withColumn("_uk", min("doc_id").over(byUrl))
+        .filter(col("doc_id") === col("_uk"))
+        .drop("_uk", "canonical_url", "registered_domain")
+        .persist()
+      // 3. bloom content-seen gate against the corpus sketch
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val seenHigh = graft.ops.BloomDedup
+        .seenBlocks(corpus, urlKept, "doc_id", "text", bloomSketchFor(s, dir))
+        .filter(col("seen_ppm") >= ContentSeenPpm)
+        .select("doc_id")
+      // boundedness: seenHigh ≤ the day's high-overlap dup volume.
+      // fresh fans out three ways (signatures, the verify join's doc
+      // side, the near-dup anti-join) — persisted for the same reason.
+      val fresh = urlKept.join(broadcast(seenHigh), Seq("doc_id"), "left_anti")
+        .persist()
+      // 4. within-day MinHash near-dup, drop-if-smaller-neighbor
+      val sigs = Dedup.minHashSignatures(fresh, "doc_id", "text")
+      val cands = Dedup.lshCandidatePairs(sigs).persist()
+      pipelineCands.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      val dupDrop = Dedup
+        .verifyCandidates(fresh, "doc_id", "text", cands, "id_a", "id_b")
+        .select(col("id_b").as("doc_id")).distinct() // id_a < id_b always
+      // boundedness: dupDrop ≤ verified near-dup volume
+      val neardeduped = fresh.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
+      // 5. curation funnel (v1's rules) over the surviving day
+      val toks = TextAnalysis.tokens(col("text"))
+      val kept = Quality.funnel(
+          neardeduped.select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"), size(toks).as("words"),
+            size(array_distinct(toks)).as("uniq_words")),
+          TextQueries.CurationRules)
+        .filter(col("verdict") === "kept")
+      // 6. exact dedup on the content hash (v1's stage)
+      val byHash = Window.partitionBy(md5(col("text")))
+      val deduped = kept
+        .withColumn("_keep", min("doc_id").over(byHash))
+        .filter(col("doc_id") === col("_keep"))
+        .select("doc_id", "lang", "n_chars", "words")
+      // 7. training mixture + 8. pack manifest (v1's stages)
+      val mixed = Mixing.mixToWeights(deduped, "lang", "doc_id", "n_chars",
+        weights = MixWeights)
+      val byShard = Window.partitionBy("shard").orderBy("doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      mixed
+        .withColumn("shard", pmod(col("doc_id") + col("copy_idx"), lit(8)))
+        .withColumn("cum", coalesce(sum("words").over(byShard), lit(0L)))
+        .withColumn("pack_id", floor(col("cum") / 2048.0))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("doc_id").as("n_docs"),
+          sum("words").as("n_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
     // Embedding-cosine near-dup pairs above a threshold — exact semantics
     // via the chunk-salted pair join (see Similarity.thresholdPairs for why
     // an LSH prefilter cannot be lossless at this threshold): a hot label
@@ -1049,6 +1183,141 @@ object LlmOps {
     * fitted centroids — Verify's single-dir dump order guarantees that
     * for the driver's full runs; see [[semanticCentroids]] for why a
     * multi-corpus session omits the entry instead). */
+  /** q_curate_pipeline_v2's generated one-CTE-chain oracle: the ONLY
+    * literal splice is the MinHash candidate stage (murmur signatures
+    * are not SQL-expressible); every other stage — blocklist,
+    * canonicalization, the bloom gate's exact block join, candidate
+    * Jaccard verify + drop rule, funnel, exact dedup, mixture, packing —
+    * is recomputed by DuckDB from the raw documents table, step for
+    * step. A drift anywhere in the eight-stage chain hash-mismatches. */
+  private def curateV2OracleSql(pairs: Seq[(Option[String], Long, Long)]): String = {
+    val cand = Dedup.candidateScoreCtes(pairs, "id_a", "id_b")
+    val blocked = DayBlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH $cand,
+       day AS (SELECT doc_id, source, text, lang, n_chars
+               FROM documents WHERE doc_id % 5 = 0),
+       bk AS (SELECT *, array_to_string(string_split(
+           (CASE WHEN doc_id % 7 = 0 THEN 'cdn.'
+                 WHEN doc_id % 7 = 1 THEN 'www.' ELSE '' END)
+           || source || '.example.com', '.')[-3:], '.') AS registered_domain
+         FROM day),
+       unb AS (SELECT doc_id, source, text, lang, n_chars FROM bk
+               WHERE registered_domain NOT IN ($blocked)),
+       u0 AS (SELECT doc_id, text, lang, n_chars,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+           '.example.com' ||
+           (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+           '/p/' || CAST(doc_id // 40 AS VARCHAR) ||
+           (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) ||
+           '?utm_source=feed&utm_sid=' || CAST(doc_id % 4 AS VARCHAR) ||
+           (CASE WHEN doc_id % 2 = 0 THEN '&a=1&b=2' ELSE '&b=2&a=1' END) ||
+           (CASE WHEN doc_id % 11 = 0 THEN '&utm_campaign=x' ELSE '' END)
+             AS raw
+         FROM unb),
+       u1 AS (SELECT doc_id, text, lang, n_chars,
+           lower(string_split(raw, '://')[1]) AS scheme,
+           string_split(raw, '://')[2] AS rest FROM u0),
+       u2 AS (SELECT *, string_split(rest, '/')[1] AS hostport FROM u1),
+       u3 AS (SELECT doc_id, text, lang, n_chars, scheme,
+           lower(CASE WHEN scheme = 'http'
+                        THEN regexp_replace(hostport, ':80$$', '')
+                      WHEN scheme = 'https'
+                        THEN regexp_replace(hostport, ':443$$', '')
+                      ELSE hostport END) AS host,
+           substring(rest, length(hostport) + 1) AS pathq FROM u2),
+       u4 AS (SELECT doc_id, text, lang, n_chars, scheme, host,
+           string_split(pathq, '?')[1] AS path0,
+           CASE WHEN len(string_split(pathq, '?')) >= 2
+                THEN string_split(pathq, '?')[2] ELSE '' END AS query
+         FROM u3),
+       u5 AS (SELECT doc_id, text, lang, n_chars, scheme, host,
+           CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+                ELSE regexp_replace(path0, '/+$$', '') END AS path,
+           list_filter(string_split(query, '&'),
+             p -> p NOT LIKE 'utm_%' AND p <> '') AS params
+         FROM u4),
+       u6 AS (SELECT doc_id, text, lang, n_chars,
+           scheme || '://' || host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(list_sort(params), '&')
+                ELSE '' END AS canonical_url
+         FROM u5),
+       urlk AS (SELECT doc_id, text, lang, n_chars FROM (
+           SELECT *, min(doc_id) OVER (PARTITION BY canonical_url) AS uk
+           FROM u6) t
+         WHERE doc_id = uk),
+       cb0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+         FROM documents WHERE doc_id % 5 <> 0),
+       cb1 AS (SELECT doc_id, toks, n,
+           CAST(unnest(generate_series(0, CAST(floor((n - 1) / 16.0) AS BIGINT))) AS INT)
+             AS chunk_idx
+         FROM cb0),
+       corpusb AS (SELECT DISTINCT
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS blk
+         FROM cb1),
+       db0 AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n FROM urlk),
+       db1 AS (SELECT doc_id, toks, n,
+           CAST(unnest(generate_series(0, CAST(floor((n - 1) / 16.0) AS BIGINT))) AS INT)
+             AS chunk_idx
+         FROM db0),
+       dbx AS (SELECT doc_id,
+           array_to_string(toks[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS blk
+         FROM db1),
+       seenb AS (SELECT doc_id, count(*) AS ns
+                 FROM dbx JOIN corpusb USING (blk) GROUP BY doc_id),
+       totb AS (SELECT doc_id, count(*) AS nb FROM dbx GROUP BY doc_id),
+       high AS (SELECT s.doc_id FROM seenb s JOIN totb t USING (doc_id)
+                WHERE s.ns * 1000000 // t.nb >= $ContentSeenPpm),
+       freshd AS (SELECT * FROM urlk
+                  WHERE doc_id NOT IN (SELECT doc_id FROM high)),
+       drp AS (SELECT DISTINCT id_b AS doc_id FROM scored
+               WHERE j >= $VerifyThreshold),
+       nd AS (SELECT * FROM freshd
+              WHERE doc_id NOT IN (SELECT doc_id FROM drp)),
+       f AS (SELECT doc_id, text, lang, n_chars,
+           len(string_split(text, ' ')) AS words,
+           len(list_distinct(string_split(text, ' '))) AS uniq_words
+         FROM nd),
+       kept AS (SELECT * FROM f
+         WHERE NOT (n_chars < 100) AND NOT (words < 20)
+           AND NOT (uniq_words * 3 < words) AND NOT (words > 90)),
+       ded AS (SELECT doc_id, lang, n_chars, words FROM (
+           SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           FROM kept) t
+         WHERE doc_id = keep_id),
+       uu AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS du
+              FROM ded GROUP BY lang),
+       tt AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS tu FROM ded),
+       w(lang, wt) AS (VALUES
+         ('de', CAST(0.25 AS DOUBLE)), ('en', CAST(0.25 AS DOUBLE)),
+         ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.20 AS DOUBLE)),
+         ('zh', CAST(0.10 AS DOUBLE))),
+       rr AS (SELECT d.doc_id, d.words,
+               least(w.wt * tt.tu / uu.du, 16.0) AS rrv,
+               CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':graft-mix'), 1, 4) AS INT)
+                 / 65536.0 AS h
+             FROM ded d JOIN uu USING (lang) JOIN w USING (lang) CROSS JOIN tt),
+       nn AS (SELECT doc_id, words,
+               CAST(floor(rrv) AS BIGINT)
+                 + CASE WHEN h < rrv - floor(rrv) THEN 1 ELSE 0 END AS n_copies
+             FROM rr),
+       xx AS (SELECT doc_id, words,
+               CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+             FROM nn),
+       pp AS (SELECT *, (doc_id + copy_idx) % 8 AS shard FROM xx),
+       cc AS (SELECT *, coalesce(sum(words) OVER (PARTITION BY shard
+               ORDER BY doc_id, copy_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             FROM pp)
+       SELECT shard, CAST(floor(cum / 2048.0) AS BIGINT) AS pack_id,
+         count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+         CAST(sum(words) AS BIGINT) AS n_tokens
+       FROM cc GROUP BY shard, pack_id ORDER BY shard, pack_id"""
+  }
+
   def oracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val fitted = semanticCentroids.asScala.values.toSeq
@@ -1073,7 +1342,12 @@ object LlmOps {
         else Map.empty
       } ++
       replayOracle(incCandidates, "id_new", "id_corpus")
-        .map("q_dedup_incremental" -> _) ++
+        .map("q_dedup_incremental" -> _) ++ {
+        val rec = pipelineCands.asScala.values.toSeq
+        if (rec.size == 1 && rec.head.size <= ReplayOracleCap)
+          Map("q_curate_pipeline_v2" -> curateV2OracleSql(rec.head))
+        else Map.empty
+      } ++
       replayOracle(fullCandidates, "id_a", "id_b")
         .map("q_dedup_incremental_full" -> _) ++ {
         val recorded = simhashSigs.asScala.values.toSeq

@@ -53,7 +53,9 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
     ("BloomDedup.scala", "bytes") -> (1, "SKETCH: serialized bloom filter, numBits/8 bytes (4 MiB default) — corpus-size-independent artifact"),
     ("LlmOps.scala", "bytes") -> (1, "SKETCH: q_dedup_bloom's fitted filter broadcast — numBits/8 bytes, corpus-size-independent"),
-    ("LlmOps.scala", "bl") -> (1, "LITERAL: curated domain blocklist (BlockedDomains — a fixed artifact, never corpus-scale)"),
+    ("LlmOps.scala", "bl") -> (2, "LITERAL: curated domain blocklists (BlockedDomains + the v2 pipeline's DayBlockedDomains — fixed artifacts, never corpus-scale)"),
+    ("LlmOps.scala", "seenHigh") -> (1, "OUTPUT: day docs above the content-seen threshold — high-overlap dup volume, never day-scale"),
+    ("LlmOps.scala", "dupDrop") -> (1, "OUTPUT: verified near-dup drop ids — near-dup volume, never day-scale"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),

@@ -29,7 +29,7 @@ class CollectAuditSpec extends AnyFunSuite {
     "StreamingQueries.scala" -> (1,
       "oracle memo: recorded candidate pairs, emission capped at ReplayOracleCap"),
     "LlmOps.scala" -> (2,
-      "oracle memos: LSH candidate pairs (bounded by near-dup volume) + simhash signatures (limit(ReplayOracleCap+1)-bounded collect; over-cap memoizes empty -> rows-only)"),
+      "oracle memos: the shared pairsOf collect (LSH + incremental + v2-pipeline candidate memos, each bounded by near-dup volume) + simhash signatures (limit(ReplayOracleCap+1)-bounded collect; over-cap memoizes empty -> rows-only)"),
     "Events.scala" -> (2,
       "RFM quantile threshold rows (stats x quintiles) + sketch-tiles oracle memo (one row per event type, schema-bounded)"),
     "Relational.scala" -> (2,

@@ -264,6 +264,53 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "mixture stats should arrive via a broadcast subtree")
   }
 
+  test("curate pipeline v2: emit shuffles only on the three window keys; text never a key") {
+    // The eight-stage crawl-day chain must keep its gates off the emit
+    // path: blocklist/bloom/near-dup arrive as broadcast anti-joins (their
+    // own exchanges live under broadcast subtrees — gate volumes are
+    // dup-sized, never day-sized), so the only row-bearing hash shuffles
+    // the day's rows may cross are the three window families: the
+    // URL-dedup window (xxhash64 key), the exact-dedup window (md5 key),
+    // and the pack shard window — plus one presentation range sort. The
+    // EXACT count is cache-shape-dependent (the pipeline persists its
+    // fan-out points, and exchanges inside a populated InMemoryTableScan
+    // are invisible to plan traversal), so the contract pins the KEY SET:
+    // no emit shuffle may use any other key, the manifest path's shard
+    // shuffle must be present, and raw text must never partition
+    // anything anywhere in the plan.
+    val df = SparkEntry.queries("q_curate_pipeline_v2")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    def shufflesIn(t: org.apache.spark.sql.execution.SparkPlan) =
+      collect(t) { case e: ShuffleExchangeExec => e }
+    val all = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    val underBroadcast = collectWithSubqueries(p) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.flatMap(b => shufflesIn(b.child))
+    val emit = all.filterNot(e => underBroadcast.exists(_ eq e))
+    val (range, hash) = emit.partition(
+      _.outputPartitioning.getClass.getSimpleName.contains("RangePartitioning"))
+    assert(range.length == 1,
+      s"exactly one presentation sort expected, got ${range.length}:\n$p")
+    // normalize: strip expr ids and partition counts
+    def key(e: ShuffleExchangeExec): String =
+      e.outputPartitioning.toString.replaceAll("#\\d+L?", "").replaceAll(", \\d+\\)", ")")
+    val allowed = Set(
+      "hashpartitioning(_w0)",   // URL-dedup / md5-dedup window keys
+      "hashpartitioning(shard)") // pack shard window (manifest agg reuses it)
+    val offenders = hash.map(key).filterNot(allowed)
+    assert(offenders.isEmpty,
+      s"unexpected emit-path shuffle keys ${offenders.distinct}:\n$p")
+    assert(hash.map(key).contains("hashpartitioning(shard)"),
+      s"manifest path must cross the shard window shuffle:\n$p")
+    assert(hash.length <= 4,
+      s"emit path crossed ${hash.length} hash shuffles — a gate left its broadcast:\n$p")
+    all.foreach { e =>
+      assert(!e.outputPartitioning.toString.contains("text#"),
+        s"raw text used as a shuffle key:\n$e")
+    }
+  }
+
   test("perplexity scoring joins the broadcast LM, never a token shuffle") {
     // unigramNll's contract: the per-token scoring join must broadcast
     // the (vocab-sized) LM — a sort-merge join on `term` would shuffle
