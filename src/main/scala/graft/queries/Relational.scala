@@ -23,6 +23,59 @@ object Relational {
     * query keeps oracle and plan contract in lockstep. */
   private[graft] val pagerankIters = 5
 
+  /** Per-corpus CBO catalog memo: the five join-family tables registered
+    * as EXTERNAL catalog tables (temp views carry no statistics — the
+    * cost-based optimizer reads row/column stats from the catalog, so
+    * `ANALYZE TABLE` needs real catalog entries) and ANALYZE'd once per
+    * dir per JVM. Returns the table-name prefix; names embed the dir
+    * hash so scale-factor dirs cannot collide in the shared catalog. */
+  private val cboCatalogs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cboTablesFor(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String =
+    cboCatalogs.computeIfAbsent(dir, _ => {
+      val pfx = f"graft_cbo_${dir.hashCode & 0x7fffffff}%x_"
+      for (t <- Seq("region", "nation", "customer", "orders", "lineitem")) {
+        s.sql(s"CREATE TABLE IF NOT EXISTS $pfx$t USING parquet " +
+          s"LOCATION '$dir/$t.parquet'")
+        s.sql(s"ANALYZE TABLE $pfx$t COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $pfx$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      pfx
+    })
+
+  /** The CBO demo's join, buildable with the cost-based reorder on or
+    * off — the catalog query runs `cbo = true`; PlanContractSpec builds
+    * BOTH and asserts the optimized join orders differ while the results
+    * match (the reorder is a pure plan transform). The syntactic order
+    * is deliberately WORST-first (the two fact tables join before any
+    * filter-carrying dimension): rule-based Catalyst keeps that shape —
+    * it reorders nothing without a cost model — while CBO's
+    * dynamic-programming join enumeration (Selinger) uses the ANALYZE'd
+    * row counts + column histograms to start from the selective
+    * dimension chain. At 100 TB this is the difference between shuffling
+    * the whole lineitem×orders join and shuffling the ~20% that survives
+    * the region filter. */
+  private[graft] def cboJoinOrderQuery(s: org.apache.spark.sql.SparkSession,
+                                       dir: String,
+                                       cbo: Boolean): org.apache.spark.sql.DataFrame = {
+    val pfx = cboTablesFor(s, dir)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", cbo)
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+    s2.sql(s"""
+      SELECT n_name, count(*) AS n_items,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM $pfx${"lineitem"}
+        JOIN $pfx${"orders"} ON l_orderkey = o_orderkey
+        JOIN $pfx${"customer"} ON o_custkey = c_custkey
+        JOIN $pfx${"nation"} ON c_nationkey = n_nationkey
+        JOIN $pfx${"region"} ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
   /** Hot-basket cap for the co-occurrence pair derivations
     * (`Triangles.coPairs`) — ONE definition interpolated into both the
     * Spark queries and their DuckDB oracle SQL so a tune cannot drift
@@ -911,6 +964,59 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Cost-based join reorder (Catalyst CBO): the same five-table join
+    // written fact-first on purpose — without statistics the rule-based
+    // optimizer keeps the syntactic order; with `ANALYZE TABLE` stats in
+    // the catalog and spark.sql.cbo.joinReorder on, the DP join
+    // enumeration starts from the selective dimension chain instead
+    // (cboJoinOrderQuery's scaladoc; both orders plan-pinned in
+    // PlanContractSpec, equal results by construction). Result is
+    // order-invariant, so the oracle is the plain SQL.
+    "q_cbo_join_order" -> ((s, dir) => cboJoinOrderQuery(s, dir, cbo = true)),
+
+    // AQE-NATIVE skew handling — the runtime twin of q_join_skew_salted's
+    // manual salting: the same skewed-key join (events' zipf-hot user_id
+    // against the customer dimension) UNSALTED, with adaptive skew-join
+    // splitting the hot shuffle partition at runtime instead. Tuned
+    // thresholds make the optimization OBSERVABLE at test scale (the
+    // defaults target 256 MB partitions); a fresh newSession() because
+    // AQE reads these at action time (the q_join_runtime_filter stance).
+    // Broadcast is disabled — a broadcast join has no shuffle to skew;
+    // the demo exists for the dim-too-big-to-broadcast regime. The skew
+    // split is pure plan surgery (partitions split + build side
+    // replicated), so results are plan-invariant and the oracle is the
+    // plain join SQL; the isSkewJoin plan flag is pinned in
+    // PlanContractSpec. Salting remains the right tool when ONE KEY
+    // dwarfs a whole partition budget (AQE cannot split a single key's
+    // sort run without salting) — q_skew_profile tells you which regime
+    // you are in.
+    "q_join_skew_aqe" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.shuffle.partitions", "64")
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512b")
+      // the skew SPLIT works at MAPPER granularity (a reduce partition
+      // splits along its map-output blocks), so a fact side read as ONE
+      // map task — the test corpus is one small file — is unsplittable
+      // by construction and the rule silently no-ops (measured). The
+      // repartition stands in for the thousands of fact-scan map tasks a
+      // real deployment has; it is the demo's scaffolding, not a cost
+      // the production plan pays.
+      val e = tbl(s2, dir, "events").repartition(16)
+      val c = tbl(s2, dir, "customer")
+      e.join(c, e("user_id") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Runtime bloom-filter join pruning (Catalyst's InjectRuntimeFilter):
     // a selective dim-side predicate becomes a bloom filter built in a
     // scalar subquery and applied to the FACT side as might_contain()
@@ -1563,6 +1669,23 @@ object Relational {
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Join order is a pure plan choice — the oracle is the same SQL in
+    // DuckDB's own order.
+    "q_cbo_join_order" ->
+      """SELECT n_name, count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+         GROUP BY n_name ORDER BY n_name""",
+    // The AQE skew split is plan surgery, not semantics — plain join SQL.
+    "q_join_skew_aqe" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_composite_shipping" ->
       """SELECT l_orderkey,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -311,6 +311,43 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_cbo_join_order: ANALYZE'd stats provably flip the join order") {
+    // The CBO demo's whole point, asserted both ways on the OPTIMIZED
+    // logical plan's leaf order: rule-based Catalyst keeps the deliberate
+    // fact-first syntactic order (lineitem joins first), the cost-based
+    // DP enumeration with catalog statistics starts from the selective
+    // dimension chain (nation/region first, lineitem LAST). Results are
+    // plan-invariant — the DuckDB oracle covers that; this pins the plan.
+    def leafOrder(cbo: Boolean): Seq[String] =
+      graft.queries.Relational.cboJoinOrderQuery(spark, sfDir, cbo)
+        .queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString.replaceAll("(?s).*graft_cbo_[0-9a-f]+_([a-z]+).*", "$1"))
+    val off = leafOrder(cbo = false)
+    val on = leafOrder(cbo = true)
+    assert(off.head == "lineitem",
+      s"without stats the syntactic fact-first order must survive: $off")
+    assert(Set("nation", "region").contains(on.head) && on.last == "lineitem",
+      s"with stats the dimension chain must join first: $on")
+    assert(on != off, "stats must change the join order")
+  }
+
+  test("q_join_skew_aqe: the hot partition is split by the runtime skew join") {
+    // The AQE twin of the manual salting demo must actually engage: the
+    // executed plan's sort-merge join carries isSkewJoin = true (the hot
+    // user_id partition split along mapper blocks, build side
+    // replicated). A silent no-op — the exact failure mode measured when
+    // the fact side reads as ONE map task — would pass every correctness
+    // check while demonstrating nothing.
+    val df = SparkEntry.queries("q_join_skew_aqe")(spark, sfDir)
+    df.collect()
+    val smj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "skew demo must plan a sort-merge join")
+    assert(smj.exists(_.isSkewJoin),
+      s"AQE skew split did not engage:\n${df.queryExecution.executedPlan}")
+  }
+
   test("perplexity scoring joins the broadcast LM, never a token shuffle") {
     // unigramNll's contract: the per-token scoring join must broadcast
     // the (vocab-sized) LM — a sort-merge join on `term` would shuffle
