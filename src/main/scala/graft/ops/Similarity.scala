@@ -344,6 +344,23 @@ object Similarity {
       graft.io.SketchStore.loadPqCodebook(spark, coded))
   }
 
+  /** Density-aware ADC shortlist length for [[probeIvfPq]] — the dial
+    * the recall ladder proved must scale with the corpus: a FIXED rerank
+    * collapses as density grows (measured recall@3 at rerank = 32:
+    * 0.16 at sf1 → 0.08 at sf10 — more candidates with similar coded
+    * scores crowd the true neighbors out of a fixed-length shortlist),
+    * while a shortlist that is a fixed FRACTION of the probed candidates
+    * holds and even rises with density (candidates/32: 0.33 at sf1 →
+    * 0.42 at sf10, against the nProbe-coverage ceiling of ~0.53 —
+    * RecallLadderSpec asserts the sf1 floor, SCALE.md records the
+    * curve). Cost stays proportional to the probe volume the coarse
+    * level already pays, so the exact-rerank tier remains the cheap
+    * tail of the pipeline. */
+  def adcRerank(corpusRows: Long, nLists: Int, nProbe: Int,
+                shortlistFraction: Int = 32, floor: Int = 32): Int =
+    math.max(floor,
+      (corpusRows * nProbe / nLists / shortlistFraction).toInt)
+
   /** Self-contained IVF-PQ demo: fit both index halves to a fresh temp
     * dir, then probe — the [[ivfTopK]] analogue for tests and one-shot
     * use. Production fits once per corpus and calls [[probeIvfPq]]. */
