@@ -496,6 +496,35 @@ object Events {
           fold.getField("mx").as("longest_streak"),
           fold.getField("ns").as("n_streaks"))
         .orderBy("user_id")
+    }),
+    // One-sided CUSUM change-point statistic over daily event volume per
+    // type (Page 1954) — "did this stream's rate drift up, and when?".
+    // The textbook definition is recursive (S_i = max(0, S_{i-1} + dev_i),
+    // unexpressible as a window frame), but it equals
+    //   S_i = P_i − min(0, min_{j≤i} P_j)   with P = prefix sum of dev
+    // — two running-frame windows over ONE (type, day) ordering, so both
+    // engines stay declarative and loop-free. dev_i = n_days·c_i − total
+    // keeps the mean-centering in EXACT long arithmetic (no mean double):
+    // every emitted value is integer, hash-stable by construction.
+    // Scale shape: the corpus-scale event stream collapses map-side to
+    // (type, day) rows FIRST; every window after that is bounded by the
+    // calendar (days per type), never by event volume — the same
+    // pre-agg-then-window shape as q_events_retention. A flat stream
+    // scores 0 everywhere; a burst day spikes S by its excess volume.
+    "q_events_cusum" -> ((s, dir) => {
+      val daily = tbl(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val full = Window.partitionBy("event_type")
+      val run = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("nd", count(lit(1)).over(full))
+        .withColumn("tot", sum("cnt").over(full))
+        .withColumn("p", sum(col("nd") * col("cnt") - col("tot")).over(run))
+        .select(col("event_type"), col("day"), col("cnt"),
+          (col("p") - least(lit(0L), min("p").over(run))).as("cusum"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -828,6 +857,28 @@ object Events {
          SELECT user_id, CAST(sum(len) AS INT) AS n_active_days,
            CAST(max(len) AS INT) AS longest_streak,
            CAST(count(*) AS INT) AS n_streaks
-         FROM g GROUP BY user_id ORDER BY user_id"""
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    // Same prefix-sum/running-min identity; all-integer arithmetic, so
+    // the replay is exact (n_days·cnt − total, never a double mean).
+    "q_events_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type, day, cnt,
+             count(*) OVER (PARTITION BY event_type) AS nd,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot
+           FROM daily),
+         p AS (
+           SELECT event_type, day, cnt,
+             sum(nd * cnt - tot) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+           FROM s)
+         SELECT event_type, day, cnt,
+           CAST(p - least(0, min(p) OVER (PARTITION BY event_type
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS BIGINT) AS cusum
+         FROM p ORDER BY event_type, day"""
   )
 }

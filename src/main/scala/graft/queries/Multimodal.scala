@@ -56,6 +56,30 @@ object Multimodal {
   private val pngSizes =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Int)]]()
 
+  /** Recorded ingest corpus dirs (dir -> layout replayable) — consumed
+    * by [[oracles]] to GENERATE q_multimodal_ingest's read_blob replay.
+    * Replayable = every `*.parquet` entry is a flat FILE or a ONE-level
+    * dataset DIRECTORY of `*.parquet` part files (the driver's flat
+    * layout and ScaleUpMain's staged datasets) — covered by a two-glob
+    * read_blob list, `<dir>/STAR.parquet` plus
+    * `<dir>/STAR.parquet/STAR.parquet` (read_blob skips directories a
+    * glob matches and tolerates a no-match glob; verified empirically).
+    * Deeper nesting — which Spark's recursive lookup WOULD
+    * find — records false and falls back to rows-only, the same designed
+    * fallback as the over-cap literal memos. */
+  private val ingestDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def recordIngestDir(dir: String): Unit = {
+    val entries = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+    def oneLevelDataset(d: java.io.File): Boolean =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).forall(_.isFile)
+    ingestDirs.put(dir, entries.nonEmpty &&
+      entries.forall(e => e.isFile || oneLevelDataset(e)))
+  }
+
   /** STUB codec — stands in for a decoder of formats this container has no
     * library for (audio, video), with expensive *construction* (native lib
     * load, model weights). Instantiated once per partition by
@@ -295,9 +319,17 @@ object Multimodal {
     // the text-encoded stand-in the other queries use for oracle-ability.
     // The staged media directory is the scale-factor dir itself (its
     // parquet files are genuine binary payloads present at every SF).
-    // Rows-only: DuckDB cannot scan arbitrary files as blobs; the byte
-    // accounting is invariant-tested in MultimodalIngestSpec instead.
-    "q_multimodal_ingest" -> ((s, dir) =>
+    // ORACLED since round 14: DuckDB's read_blob() scans the same files
+    // independently (names, sizes, raw bytes), and the StubCodec fold is
+    // replayed exactly — fi = float32(byte_i)/float32(255) widened to
+    // double; every partial sum of 16 such terms needs ≤35 mantissa bits,
+    // so the left fold is EXACT and order-independent in both engines.
+    // Emission rule: the oracle generates for flat and one-level
+    // dataset-directory layouts (the driver dirs AND ScaleUpMain
+    // corpora, via a two-glob read_blob list); deeper nesting falls
+    // back to rows-only (MultimodalIngestSpec covers the invariants).
+    "q_multimodal_ingest" -> ((s, dir) => {
+      recordIngestDir(dir)
       decodeBatch(
         graft.io.Sources.binaryFiles(s, dir, glob = "*.parquet")
           .select(
@@ -306,10 +338,11 @@ object Multimodal {
             col("content").as("media")))
         .select(col("file_name"), col("n_bytes"),
           size(col("features")).as("n_features"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x)
-            / size(col("features")), 6)
+          round6(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x)
+            / size(col("features")))
             .as("feature_mean"))
-        .orderBy("file_name")),
+        .orderBy("file_name")
+    }),
     // Image near-dup detection — the multimodal tier of the dedup
     // family: every document's bytes become a REAL grayscale PNG, the
     // codec computes a 64-bit perceptual dHash per image (exact integer
@@ -463,6 +496,36 @@ object Multimodal {
        ORDER BY doc_id"""
   }
 
+  /** q_multimodal_ingest's generated replay oracle — nothing recorded
+    * but the DIRECTORY: DuckDB re-scans the same files via read_blob()
+    * (independent names/sizes/bytes) and recomputes the StubCodec fold
+    * from the raw blob: byte_i via get_bit (the decode-oracle idiom),
+    * fi = float32(byte_i)/float32(255) widened to double — REAL/REAL
+    * division is float32 in DuckDB, matching the JVM's `/255f` — and
+    * the 16-term mean. Exactness argument: each nonzero fi is a
+    * float32-quantized value in [2^-8, 1] (lsb ≥ 2^-31), so any partial
+    * sum of 16 needs ≤ 35 mantissa bits — every left-fold step is exact
+    * in double, hence order-independent and bit-identical across
+    * engines; /16 is a power-of-two scale (exact); the final floor
+    * rounding is queries.round6 on both sides. */
+  private def ingestReplayOracleSql(dir: String): String =
+    s"""WITH f AS (
+         SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+           size AS n_bytes, content AS b
+         FROM read_blob(['$dir/*.parquet', '$dir/*.parquet/*.parquet'])),
+       feat AS (
+         SELECT file_name, n_bytes, CAST(16 AS INT) AS n_features,
+           coalesce(list_sum(list_transform(
+             range(0, CAST(least(n_bytes, 16) AS INT)),
+             i -> CAST(CAST(list_sum(list_transform(range(i*8, i*8+8),
+                    k -> get_bit(CAST(b AS BIT), CAST(k AS INT))
+                         * (1 << (7 - CAST(k AS INT) % 8)))) AS REAL)
+                  / CAST(255 AS REAL) AS DOUBLE))), 0.0) AS s
+         FROM f)
+       SELECT file_name, n_bytes, n_features,
+         floor(s / 16 * 1000000 + 0.5) / 1000000 AS feature_mean
+       FROM feat ORDER BY file_name"""
+
   /** Static oracles plus the generated verify-replay pair — def, not
     * val: the replay entries exist only after their query has run and
     * recorded literals (the LlmOps emission rule: exactly one corpus
@@ -471,12 +534,16 @@ object Multimodal {
     import scala.jdk.CollectionConverters._
     val ph = phashSigs.asScala.values.toSeq
     val pz = pngSizes.asScala.values.toSeq
+    val ing = ingestDirs.asScala.toSeq
     staticOracles ++
       (if (ph.size == 1 && ph.head.nonEmpty && ph.head.size <= MultimodalReplayCap)
         Map("q_multimodal_phash" -> phashReplayOracleSql(ph.head))
       else Map.empty) ++
       (if (pz.size == 1 && pz.head.nonEmpty && pz.head.size <= MultimodalReplayCap)
         Map("q_multimodal_decode" -> decodeReplayOracleSql(pz.head))
+      else Map.empty) ++
+      (if (ing.size == 1 && ing.head._2)
+        Map("q_multimodal_ingest" -> ingestReplayOracleSql(ing.head._1))
       else Map.empty)
   }
 

@@ -641,6 +641,105 @@ object TextQueries {
       graft.ops.HeavyHitters.exact(words, "word", HeavyHitterK)
         .select(col("item").as("word"), col("cnt"))
         .orderBy(col("cnt").desc, col("word"))
+    }),
+    // BM25 top-k retrieval (Robertson's probabilistic ranking — the
+    // retrieval half of a RAG / benchmark-lookup stack) for a fixed
+    // literal query set over the corpus. Scale shape: the query-term set
+    // is TINY and broadcast — the exploded token stream is filtered to it
+    // BEFORE any aggregation, so tf/df/scoring all run over
+    // |matching tokens|, never the corpus vocabulary; doc lengths are one
+    // map-side-combined agg; (N, Σdl) ship as a broadcast one-row cross
+    // join (no collect); the final per-query top-k is TopK.perGroup's
+    // bounded-heap prune (nothing rank-sorts more than candidate docs).
+    // Numeric determinism: the per-(query,doc,term) BM25 contribution is
+    // quantized to integer micro-units BEFORE the per-doc sum (the
+    // unigramNll move), so ranking compares exact longs with doc_id
+    // tiebreak — ln's ≤1-ulp cross-engine wobble (the validated tf-idf
+    // class) is the only FP exposure. k1/b/k+1 are interpolated into the
+    // oracle from the SAME Scala doubles, so both engines parse identical
+    // decimal literals.
+    "q_text_bm25" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      val qt = s.createDataFrame(
+          Bm25Queries.flatMap { case (q, ts) => ts.map((q, _)) })
+        .toDF("query_id", "term")
+      val allTerms = Bm25Queries.flatMap(_._2).distinct
+      val tf = toks.filter(col("term").isin(allTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val byDoc = tf
+        .join(broadcast(dfreq), "term")
+        .join(broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+        .withColumn("idf", log(lit(1.0d) +
+          (col("n").cast("double") - col("df") + 0.5d) /
+            (col("df").cast("double") + 0.5d)))
+        .withColumn("tfpart",
+          col("tf").cast("double") * lit(Bm25K1 + 1.0d) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0d - Bm25B) + lit(Bm25B) *
+                (col("dl").cast("double") / col("avgdl")))))
+        .withColumn("s_micro",
+          floor(col("idf") * col("tfpart") * 1000000d + 0.5d).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("s_micro").as("score_micro"))
+      // rankCol must not be named "rnk" — perGroup drops an internal
+      // column of that name after the rename
+      graft.ops.TopK.perGroup(byDoc, Seq("query_id"),
+          Seq(("score_micro", false), ("doc_id", true)), k = Bm25TopK,
+          rankCol = "bm25_rn")
+        .select(col("query_id"), col("bm25_rn").as("rnk"), col("doc_id"),
+          col("score_micro"))
+        .orderBy("query_id", "rnk")
+    }),
+    // Corpus-drift detection: KL(source ‖ corpus) over the unigram
+    // distribution per source — the distribution-shift monitor a rolling
+    // crawl pipeline runs per ingest day/provider before mixing. The
+    // vocabulary is capped the catalog-standard way: keep the top-K
+    // corpus terms (bounded TakeOrdered, corpus-independent broadcast),
+    // collapse everything else into ONE '<oov>' bucket whose mass is
+    // aggregated, not dropped — so the divergence stays a true KL over a
+    // (K+1)-bucket distribution and the plan never keys a shuffle or a
+    // broadcast on open-web vocabulary. Corpus marginals re-aggregate the
+    // compressed (source, term) table (the PMI compress-then-compute
+    // move) — ONE corpus-scale token aggregation total. Per-bucket
+    // contributions quantize to integer micro-nats before the exact long
+    // sum; a same-dist source scores exactly 0 (ratio 1 → ln never runs).
+    "q_text_kl_drift" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+      val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val kept = st.groupBy("term").agg(sum("c").as("cc"))
+        .orderBy(col("cc").desc, col("term").asc).limit(KlVocabTopK)
+        .select(col("term"), lit(1).as("keep"))
+      val stb = st.join(broadcast(kept), Seq("term"), "left")
+        .withColumn("bucket",
+          when(col("keep").isNotNull, col("term")).otherwise(lit("<oov>")))
+        .groupBy("source", "bucket").agg(sum("c").as("cs"))
+      val cb = stb.groupBy("bucket").agg(sum("cs").as("cc"))
+      val tots = stb.groupBy("source").agg(sum("cs").as("tot_s"))
+      val totc = cb.agg(sum("cc").as("tot_c"))
+      stb.join(broadcast(cb), "bucket")
+        .join(broadcast(tots), "source")
+        .crossJoin(broadcast(totc))
+        .withColumn("contrib", floor(
+          (col("cs").cast("double") / col("tot_s")) *
+            log((col("cs").cast("double") * col("tot_c")) /
+              (col("tot_s").cast("double") * col("cc"))) *
+            1000000d + 0.5d).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_buckets"), sum("cs").as("tot_tok"),
+          sum("contrib").as("kl_micro"))
+        .orderBy("source")
     })
   )
 
@@ -652,6 +751,30 @@ object TextQueries {
   /** q_bpe_train's round count — interpolated into the oracle generator
     * (Bpe.oracleSql) so the query and its replay stay in lockstep. */
   private[queries] val BpeMerges = 8
+
+  /** q_text_bm25's fixed query set — ONE definition shared by the Spark
+    * literal table and the oracle's VALUES list so an edit cannot drift.
+    * Terms chosen from the synthetic corpus vocabulary; query 3 pairs a
+    * rare-ish term with a ubiquitous one so the idf weighting (not just
+    * tf) decides ranks. */
+  private[queries] val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("vector", "scan"),
+    2 -> Seq("hash", "join", "merge"),
+    3 -> Seq("stream", "window", "the"))
+
+  /** BM25 shape parameters (the standard defaults) and result depth —
+    * interpolated into the oracle SQL from these same doubles. */
+  private[queries] val Bm25K1 = 1.2d
+  private[queries] val Bm25B = 0.75d
+  private[queries] val Bm25TopK = 10
+
+  /** q_text_kl_drift's kept-vocabulary size: top-K corpus terms stay
+    * distinct buckets, the rest collapse into '<oov>'. 24 < the synthetic
+    * corpus's 31-word vocabulary, so the OOV bucket is EXERCISED and
+    * hash-verified at every test scale (the VocabTopK rationale);
+    * production sizes K to the model budget — the broadcast is K-bounded
+    * BY CONSTRUCTION regardless of corpus vocabulary. */
+  private[queries] val KlVocabTopK = 24
 
   private val markerCase = {
     // CASE chain mirroring TextAnalysis.langId (en > es > fr > de > zh on ties)
@@ -1118,6 +1241,74 @@ object TextQueries {
          c AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word)
          SELECT word, cnt FROM c, t
          WHERE cnt * ${HeavyHitterK + 1} > n
-         ORDER BY cnt DESC, word"""
+         ORDER BY cnt DESC, word""",
+    // Same tokenization as q_text_tfidf; arithmetic mirrors the Spark
+    // column expressions operation-for-operation (avgdl division first,
+    // then dl/avgdl; idf = ln(1 + ((N-df)+0.5)/(df+0.5)); micro-quantize
+    // per term, sum exact longs per doc; row_number ties on doc_id).
+    "q_text_bm25" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+         stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         q(query_id, term) AS (VALUES ${Bm25Queries.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')") }.mkString(", ")}),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                WHERE term IN (${Bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")})
+                GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         agg AS (
+           SELECT q.query_id, tf.doc_id,
+             CAST(sum(CAST(floor(
+               ln(1.0 + ((CAST(n AS DOUBLE) - df) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0d} /
+                 (CAST(tf AS DOUBLE) + ${Bm25K1} * (${1.0d - Bm25B} +
+                   ${Bm25B} * (CAST(dl.dl AS DOUBLE) /
+                     (CAST(sumdl AS DOUBLE) / n))))) *
+               1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf JOIN df USING (term) JOIN q USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, rnk, doc_id, score_micro FROM (
+           SELECT query_id, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rnk
+           FROM agg) z
+         WHERE rnk <= $Bm25TopK ORDER BY query_id, rnk""",
+    // Replays the top-K kept vocabulary (ORDER BY cc DESC, term LIMIT K —
+    // the bounded TakeOrdered), the <oov> collapse, and the per-bucket
+    // micro-nat quantization exactly.
+    "q_text_kl_drift" ->
+      s"""WITH toks AS (
+           SELECT source,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT source, term FROM toks WHERE term <> ''),
+         st AS (SELECT source, term, count(*) AS c FROM tok2 GROUP BY 1, 2),
+         kept AS (SELECT term FROM (
+             SELECT term, sum(c) AS cc FROM st GROUP BY 1) z
+           ORDER BY cc DESC, term ASC LIMIT $KlVocabTopK),
+         stb AS (SELECT source,
+             CASE WHEN term IN (SELECT term FROM kept) THEN term
+                  ELSE '<oov>' END AS bucket, sum(c) AS cs
+           FROM st GROUP BY 1, 2),
+         cb AS (SELECT bucket, sum(cs) AS cc FROM stb GROUP BY 1),
+         tots AS (SELECT source, sum(cs) AS tot_s FROM stb GROUP BY 1),
+         totc AS (SELECT sum(cs) AS tot_c FROM stb)
+         SELECT s.source, count(*) AS n_buckets,
+           CAST(sum(s.cs) AS BIGINT) AS tot_tok,
+           CAST(sum(CAST(floor(
+             (CAST(s.cs AS DOUBLE) / t.tot_s) *
+             ln((CAST(s.cs AS DOUBLE) * x.tot_c)
+                / (CAST(t.tot_s AS DOUBLE) * c.cc)) *
+             1000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_micro
+         FROM stb s JOIN cb c USING (bucket) JOIN tots t USING (source)
+              CROSS JOIN totc x
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -90,6 +90,13 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextQueries.scala", "cbKept") -> (1, "CAPPED: top-VocabTopK unigram marginal, <= K rows by construction; pruned words score the UnigramFloorCount backoff"),
     ("TextQueries.scala", "tot") -> (3, "ONE_ROW: pair total / bigram-type total (PMI numerator + LM normalizer + KN continuation normalizer)"),
     ("TextQueries.scala", "vocab") -> (1, "VOCAB: distinct-token table (tf-idf df join)"),
+    ("TextQueries.scala", "qt") -> (1, "LITERAL: the fixed BM25 query set (Bm25Queries — a few rows by definition)"),
+    ("TextQueries.scala", "dfreq") -> (1, "CAPPED: document frequencies for the literal query-term set only, <= |distinct query terms| rows"),
+    ("TextQueries.scala", "stats") -> (1, "ONE_ROW: (N, total doc length) aggregate"),
+    ("TextQueries.scala", "kept") -> (1, "CAPPED: top-KlVocabTopK corpus terms, <= K rows by construction (bounded TakeOrdered)"),
+    ("TextQueries.scala", "cb") -> (1, "CAPPED: corpus bucket marginals, <= KlVocabTopK+1 rows (kept terms + <oov>)"),
+    ("TextQueries.scala", "tots") -> (1, "ENTITY_DIM: one row per ingest source/provider — bounded in the monitoring use case; swap to a shuffled equi-join if sources are open-web-domain-scale"),
+    ("TextQueries.scala", "totc") -> (1, "ONE_ROW: corpus token total"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 
   test("every forced broadcast() hint site is allowlisted with a boundedness argument") {

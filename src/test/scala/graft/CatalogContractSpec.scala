@@ -32,13 +32,15 @@ class CatalogContractSpec extends SparkSpec {
     // additions landed after the last manual true-up; this pins the doc
     // to the code so a drifted count fails the suite instead of the
     // judge's audit. The oracled count is asserted structurally: stated
-    // total − stated oracled must equal the rows-only tier (now just
-    // q_multimodal_ingest — phash/decode gained verify-replay oracles in
-    // round 14). Those generated oracles exist only after their query
-    // records its literals, so the test FIRST builds the two queries
-    // (recording happens at build time) — otherwise the rows-only count
-    // depends on which suites ran earlier in the same JVM.
-    Seq("q_multimodal_phash", "q_multimodal_decode")
+    // total − stated oracled must equal the rows-only tier (EMPTY since
+    // round 14's read_blob replay oracled q_multimodal_ingest — the
+    // last holdout). The generated oracles exist only after their query
+    // records its literals/dir, so the test FIRST builds the three
+    // queries (recording happens at build time) — otherwise the
+    // rows-only count depends on which suites ran earlier in the same
+    // JVM. (Every suite uses the same sf0.001 dir, so the ingest
+    // oracle's one-flat-dir emission rule holds JVM-wide.)
+    Seq("q_multimodal_phash", "q_multimodal_decode", "q_multimodal_ingest")
       .foreach(q => SparkEntry.queries(q)(spark, sf001))
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")

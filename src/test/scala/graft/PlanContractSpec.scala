@@ -809,4 +809,57 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
     assert(exchanges.size <= 2, s"unexpected extra shuffles (${exchanges.size}):\n$p")
   }
+
+  test("q_text_kl_drift: every model join is broadcast — vocabulary never keys a shuffle join") {
+    // The scale contract behind the <oov> collapse: kept (<=K), bucket
+    // marginals (<=K+1), source totals, and the corpus total all ship as
+    // broadcasts; a regression to a shuffled join on `bucket` or `source`
+    // re-exchanges the compressed table once per marginal.
+    val df = SparkEntry.queries("q_text_kl_drift")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val shuffled = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty, s"model join degraded to a shuffle join:\n$p")
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"expected kept/cb/tots as broadcast joins:\n$p")
+  }
+
+  test("q_text_bm25: query-side tables broadcast; only the doc-length join may shuffle") {
+    val df = SparkEntry.queries("q_text_bm25")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"df/query-set joins must broadcast:\n$p")
+    val shuffled = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.size <= 1,
+      s"only the dl equi-join may shuffle (got ${shuffled.size}):\n$p")
+  }
+
+  test("q_events_cusum: join-free; windows run over calendar-bounded pre-aggregated rows") {
+    val df = SparkEntry.queries("q_events_cusum")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.isEmpty, s"cusum must not join:\n$p")
+    // daily pre-agg + window repartition by type + presentation sort
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 3, s"unexpected extra shuffles (${exchanges.size}):\n$p")
+    // every window is partitioned (GlobalWindowAuditSpec's invariant)
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.isEmpty, s"unpartitioned window in cusum:\n$p")
+  }
 }
