@@ -83,6 +83,12 @@ object StreamingQueries {
     "q_stream_bloom_gate" -> ((s, dir) =>
       StreamOps.bloomGate(s, dir, LlmOps.bloomSketchFor(s, dir))
         .orderBy("batch_id", "doc_id")),
+    // Per-micro-batch KL(batch ‖ reference) drift gate against the
+    // fit-once reference distribution (TextQueries.klRefFor over the
+    // static 4/5ths of the corpus) — one alarm row per ingest batch.
+    "q_stream_drift_gate" -> ((s, dir) =>
+      StreamOps.driftGate(s, dir, TextQueries.klRefFor(s, dir))
+        .orderBy("batch_id")),
     "q_stream_dedup_ingest" -> ((s, dir) => {
       val idx = LlmOps.incrementalIndexFor(s, dir)
       LlmOps.incrementalCandidatesFor(dir, () =>
@@ -119,6 +125,52 @@ object StreamingQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    // q_text_kl_drift's arithmetic with source -> staged batch bucket
+    // (the dedup_ingest id-range formula over the %5==0 stream): the
+    // reference fit (kept top-24, <oov> collapse, marginals) is
+    // RECOMPUTED from the static %5<>0 corpus — nothing recorded — and
+    // each batch's contributions quantize to micro-nats before the
+    // exact long sum, exactly as the Spark fold.
+    "q_stream_drift_gate" ->
+      s"""WITH bounds AS (SELECT min(doc_id) AS lo,
+             (max(doc_id) - min(doc_id)) // ${StreamOps.DefaultChunks} AS step
+           FROM documents WHERE doc_id % 5 = 0),
+         bdocs AS (SELECT CAST(CASE
+               WHEN (SELECT step FROM bounds) <= 0
+                 THEN ${StreamOps.DefaultChunks - 1}
+               ELSE least(${StreamOps.DefaultChunks - 1},
+                 (doc_id - (SELECT lo FROM bounds))
+                   // (SELECT step FROM bounds)) END AS BIGINT) AS batch_id,
+             text FROM documents WHERE doc_id % 5 = 0),
+         rtoks AS (SELECT
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents WHERE doc_id % 5 <> 0),
+         rtc AS (SELECT term, count(*) AS c FROM rtoks
+                 WHERE term <> '' GROUP BY 1),
+         kept AS (SELECT term FROM rtc
+                  ORDER BY c DESC, term ASC LIMIT ${TextQueries.KlVocabTopK}),
+         rb AS (SELECT CASE WHEN term IN (SELECT term FROM kept) THEN term
+                  ELSE '<oov>' END AS bucket, sum(c) AS cc
+                FROM rtc GROUP BY 1),
+         rtot AS (SELECT CAST(sum(cc) AS BIGINT) AS tot_c FROM rb),
+         btoks AS (SELECT batch_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM bdocs),
+         bcs AS (SELECT batch_id,
+             CASE WHEN term IN (SELECT term FROM kept) THEN term
+                  ELSE '<oov>' END AS bucket, count(*) AS cs
+           FROM btoks WHERE term <> '' GROUP BY 1, 2),
+         btot AS (SELECT batch_id, sum(cs) AS tot_b FROM bcs GROUP BY 1)
+         SELECT b.batch_id, count(*) AS n_buckets,
+           CAST(sum(b.cs) AS BIGINT) AS tot_tok,
+           CAST(sum(CAST(floor(
+             (CAST(b.cs AS DOUBLE) / t.tot_b) *
+             ln((CAST(b.cs AS DOUBLE) * x.tot_c)
+                / (CAST(t.tot_b AS DOUBLE) * r.cc)) *
+             1000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_micro
+         FROM bcs b JOIN rb r USING (bucket) JOIN btot t USING (batch_id)
+              CROSS JOIN rtot x
+         GROUP BY 1 ORDER BY 1""",
     // q_dedup_bloom's exact block-join oracle (same 16-token chunking)
     // plus the doc staging's id-range batch bucket (the dedup_ingest
     // bounds arithmetic over the %5==0 batch stream).

@@ -776,6 +776,43 @@ object TextQueries {
     * BY CONSTRUCTION regardless of corpus vocabulary. */
   private[queries] val KlVocabTopK = 24
 
+  /** A fitted KL drift reference: the kept vocabulary plus the
+    * (K+1)-bucket reference distribution — the artifact a production
+    * drift monitor fits once per reference corpus and probes every
+    * ingest batch against. Driver-resident BY CONSTRUCTION (≤ K terms,
+    * ≤ K+1 bucket rows), so it rides a streaming foreachBatch closure. */
+  final case class KlRef(kept: Seq[String], buckets: Seq[(String, Long)],
+                         totC: Long)
+
+  /** Fit-once memo for [[KlRef]] over the static 4/5ths of `documents`
+    * (doc_id % 5 =!= 0 — the corpus side of the catalog's streaming
+    * splits), keyed by corpus dir. One corpus-scale aggregation; the two
+    * collects are K- and (K+1)-bounded (CollectAuditSpec). The reference
+    * <oov> mass is what gives a NOVEL batch token a finite score; a
+    * reference whose vocabulary fits entirely inside K has no <oov> row
+    * and a novel-token batch bucket simply drops from the inner join —
+    * the documented clamp for the infinite-KL case. */
+  private val klRefs =
+    new java.util.concurrent.ConcurrentHashMap[String, KlRef]()
+
+  def klRefFor(s: org.apache.spark.sql.SparkSession, dir: String): KlRef =
+    klRefs.computeIfAbsent(dir, { _ =>
+      val tc = tbl(s, dir, "documents").where(col("doc_id") % 5 =!= 0)
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val kept = tc.orderBy(col("c").desc, col("term").asc)
+        .limit(KlVocabTopK).select("term")
+        .collect().map(_.getString(0)).toSeq
+      val buckets = tc.withColumn("bucket",
+          when(col("term").isin(kept: _*), col("term"))
+            .otherwise(lit("<oov>")))
+        .groupBy("bucket").agg(sum("c").as("cc"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      KlRef(kept, buckets, buckets.map(_._2).sum)
+    })
+
   private val markerCase = {
     // CASE chain mirroring TextAnalysis.langId (en > es > fr > de > zh on ties)
     val m = Map(

@@ -349,6 +349,66 @@ object StreamOps {
       .select("batch_id", "id_new", "id_corpus", "jac")
   }
 
+  /** Streaming distribution-drift gate — `q_text_kl_drift`'s monitor run
+    * per MICRO-BATCH against a fit-once reference distribution: each
+    * arriving batch's unigram distribution is scored as
+    * KL(batch ‖ reference) over the reference's kept-K + '<oov>' buckets
+    * and ONE row per batch is emitted — the alarm feed a crawl pipeline
+    * watches before admitting an ingest day into the mixture. The fitted
+    * reference ([[graft.queries.TextQueries.KlRef]], ≤ K+1 rows) rides
+    * the foreachBatch closure as plain driver data: bucket mapping is a
+    * map-side `isin` against the kept set (no join), the reference
+    * marginal join is a (K+1)-row literal frame (auto-broadcast), and
+    * the only per-batch aggregations are bucket-count sized. Micro-nat
+    * quantization before the exact long sum, as the batch query. */
+  def driftGate(s: SparkSession, dir: String,
+                ref: graft.queries.TextQueries.KlRef): DataFrame = {
+    val stream = newDocsStream(s, dir, modulus = 5, residue = 0)
+    val sink = graft.io.TempDirs.createDeletedOnExit("graft_stream_drift_")
+      .getAbsolutePath
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = stream.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            if (!batch.isEmpty) {
+              val ab = batch.agg(min("arrival_batch")).head().getLong(0)
+              val cs = batch
+                .select(explode(split(lower(col("text")), "[^a-z0-9]+"))
+                  .as("term"))
+                .filter(col("term") =!= "")
+                .withColumn("bucket",
+                  when(col("term").isin(ref.kept: _*), col("term"))
+                    .otherwise(lit("<oov>")))
+                .groupBy("bucket").agg(count(lit(1)).as("cs"))
+              val refDf = s.createDataFrame(ref.buckets).toDF("bucket", "cc")
+              cs.join(refDf, "bucket")
+                .crossJoin(cs.agg(sum("cs").as("tot_b")))
+                .withColumn("contrib", floor(
+                  (col("cs").cast("double") / col("tot_b")) *
+                    log((col("cs").cast("double") * ref.totC) /
+                      (col("tot_b").cast("double") * col("cc"))) *
+                    1000000d + 0.5d).cast("long"))
+                .agg(count(lit(1)).as("n_buckets"),
+                  sum("cs").as("tot_tok"), sum("contrib").as("kl_micro"))
+                .withColumn("batch_id", lit(ab))
+                .write.partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").parquet(sink)
+            }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.schema(StructType(Seq(
+        StructField("n_buckets", LongType), StructField("tot_tok", LongType),
+        StructField("kl_micro", LongType), StructField("batch_id", LongType))))
+      .parquet(sink)
+      .select("batch_id", "n_buckets", "tot_tok", "kl_micro")
+  }
+
   /** Bloom-gated streaming content-seen check — `q_dedup_bloom`'s probe
     * run per MICRO-BATCH against the fit-once corpus sketch: each
     * arriving batch pays a map-side codegen'd `might_contain` filter

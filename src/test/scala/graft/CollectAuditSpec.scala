@@ -35,7 +35,9 @@ class CollectAuditSpec extends AnyFunSuite {
     "Relational.scala" -> (2,
       "oracle memos: approx-distinct (one row per return flag) + approx-quantiles (flags x percentiles) — both schema-bounded"),
     "Multimodal.scala" -> (2,
-      "oracle memos: dHash signatures + PNG byte sizes, both limit(MultimodalReplayCap+1)-bounded collects; over-cap memoizes empty -> rows-only"))
+      "oracle memos: dHash signatures + PNG byte sizes, both limit(MultimodalReplayCap+1)-bounded collects; over-cap memoizes empty -> rows-only"),
+    "TextQueries.scala" -> (2,
+      "KlRef fit memo: kept vocabulary (limit(KlVocabTopK)) + bucket marginals (<= K+1 rows by the <oov> collapse) — both K-bounded by construction"))
 
   test("every .collect() site in main is allowlisted with a boundedness argument") {
     def walk(f: java.io.File): Seq[java.io.File] =

@@ -101,6 +101,147 @@ class Round14QueriesSpec extends SparkSpec {
     assert(out("A") > 0L, out.toString)
   }
 
+  test("q_stream_drift_gate: same-distribution batches score exactly 0 per micro-batch") {
+    import spark.implicits._
+    // ids 0..9, all "x y": the %5==0 stream carries ids 0 and 5 — staged
+    // into batches 0 and 3 by the id-range formula (lo=0, step=(5-0)//4=1,
+    // bucket = min(3, id//1)). Reference (ids %5<>0, 8 docs) has the SAME
+    // distribution as each batch, so every ratio is exactly 1.0 in IEEE
+    // arithmetic -> kl_micro exactly 0, n_buckets=2 (x, y), tot_tok=2.
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    (0L to 9L).map(i => (i, "x y", "A")).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_stream_drift_gate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(0L -> ((2L, 2L, 0L)), 3L -> ((2L, 2L, 0L))), out.toString)
+  }
+
+  test("q_events_cusum equals the textbook recursion on random daily series") {
+    // The catalog query computes S via the prefix-sum/running-min window
+    // identity; this is the INDEPENDENT derivation — the literal Page
+    // recursion S_i = max(0, S_{i-1} + dev_i) folded in plain Scala over
+    // the same daily counts — so an identity bug can't hide behind an
+    // oracle that replays the same rewrite.
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val dir = java.nio.file.Files.createTempDirectory("cusumP").toString
+    val counts: Map[(String, Int), Int] = (for {
+      t <- Seq("a", "b", "c"); d <- 1 to 20
+      c = rnd.nextInt(7) if c > 0
+    } yield (t, d) -> c).toMap
+    val rows = counts.toSeq.flatMap { case ((t, d), c) =>
+      (0 until c).map(i => (d * 1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:${i % 60}%02d"),
+        1L, t, 0.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_events_cusum")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        r.getLong(3)).toMap
+    val expected = Seq("a", "b", "c").flatMap { t =>
+      val ds = counts.collect { case ((`t`, d), c) => (d, c.toLong) }
+        .toSeq.sortBy(_._1)
+      val (nd, tot) = (ds.size.toLong, ds.map(_._2).sum)
+      var s = 0L
+      ds.map { case (d, c) =>
+        s = math.max(0L, s + (nd * c - tot))
+        (t, f"2024-01-$d%02d") -> s
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("q_text_bm25 matches a brute-force reference ranking on a random corpus") {
+    // Straight-line reference: score every (query, doc) with the BM25
+    // formula in plain Scala (same quantization), rank by (score desc,
+    // doc_id asc), take 10 — checks the filtered-aggregation plumbing
+    // and TopK's bounded-heap prune against the obvious implementation.
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("vector", "scan", "hash", "join", "merge", "stream",
+      "window", "the", "table", "row", "batch")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "), "s"))
+    val dir = docsDir(docs)
+    val got = SparkEntry.queries("q_text_bm25")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    // reference
+    val toks = docs.map { case (id, text, _) =>
+      id -> text.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.size }
+    val n = dl.size
+    val avgdl = dl.values.sum.toDouble / n
+    val queries = Seq(1 -> Seq("vector", "scan"),
+      2 -> Seq("hash", "join", "merge"), 3 -> Seq("stream", "window", "the"))
+    val allTerms = queries.flatMap(_._2).distinct
+    val tf = (for { (id, ts) <- toks.toSeq; t <- ts if allTerms.contains(t) }
+      yield (id, t)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val df = tf.keys.toSeq.map(_._2).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val expected = queries.flatMap { case (q, terms) =>
+      val scores = toks.keys.toSeq.flatMap { id =>
+        val s = terms.flatMap { t =>
+          tf.get((id, t)).map { f =>
+            val idf = math.log(1.0 + (n.toDouble - df(t) + 0.5) / (df(t).toDouble + 0.5))
+            val tfp = f.toDouble * 2.2 /
+              (f.toDouble + 1.2 * (0.25 + 0.75 * (dl(id).toDouble / avgdl)))
+            math.floor(idf * tfp * 1000000d + 0.5d).toLong
+          }
+        }
+        if (s.isEmpty) None else Some((id, s.sum))
+      }
+      scores.sortBy { case (id, sc) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, sc), i) => (q, i + 1, id, sc) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
+  test("q_text_kl_drift matches a brute-force reference on a random multi-source corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (1L to 40L).map { i =>
+      val src = s"S${i % 4}"
+      // skew source S0 toward the low vocab ids so drift is non-trivial
+      val draw = () =>
+        if (src == "S0") vocab(rnd.nextInt(8))
+        else vocab(rnd.nextInt(vocab.size))
+      (i, Seq.fill(5 + rnd.nextInt(10))(draw()).mkString(" "), src)
+    }
+    val dir = docsDir(docs)
+    val got = SparkEntry.queries("q_text_kl_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // reference
+    val st = (for { (_, text, src) <- docs
+                    t <- text.split("[^a-z0-9]+") if t.nonEmpty }
+      yield (src, t)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val corpus = st.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val kept = corpus.toSeq.sortBy { case (t, c) => (-c, t) }.take(24)
+      .map(_._1).toSet
+    val stb = st.groupBy { case ((s, t), _) =>
+        (s, if (kept(t)) t else "<oov>") }
+      .map { case (k, m) => k -> m.values.sum }
+    val cb = stb.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val tots = stb.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val totC = cb.values.sum
+    val expected = stb.groupBy(_._1._1).map { case (src, m) =>
+      val totS = tots(src)
+      val kl = m.map { case ((_, b), cs) =>
+        math.floor((cs.toDouble / totS) *
+          math.log((cs.toDouble * totC) / (totS.toDouble * cb(b))) *
+          1000000d + 0.5d).toLong
+      }.sum
+      src -> ((m.size.toLong, totS, kl))
+    }
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
   test("q_text_kl_drift: OOV bucket binds past the top-K vocabulary and conserves mass") {
     // 30 distinct terms from one source: 24 kept + 1 '<oov>' bucket; the
     // pruned tail's tokens must be AGGREGATED (tot_tok = all 30+24=54
