@@ -71,13 +71,28 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   private def recordIngestDir(dir: String): Unit = {
+    // Replayability demands exact FILE-SET parity between Spark's
+    // recursive binaryFile lookup and the oracle's two-glob read_blob
+    // (review catches):
+    //  - a subdirectory NOT named *.parquet is invisible to the globs
+    //    but Spark descends into it -> not replayable;
+    //  - a hidden ('_'/'.'-prefixed) *.parquet file is SKIPPED by
+    //    Spark's file index but MATCHED by read_blob -> not replayable;
+    //  - nesting deeper than one dataset level -> not replayable;
+    //  - a path containing a quote or glob metacharacter would corrupt
+    //    the interpolated SQL string/glob -> not replayable.
+    def hiddenParquet(n: String): Boolean =
+      n.endsWith(".parquet") && (n.startsWith("_") || n.startsWith("."))
+    def entryOk(e: java.io.File): Boolean =
+      if (e.isFile) !hiddenParquet(e.getName)
+      else e.getName.endsWith(".parquet") && !hiddenParquet(e.getName) &&
+        Option(e.listFiles()).toSeq.flatten.forall(c =>
+          c.isFile && !hiddenParquet(c.getName))
     val entries = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet"))
-    def oneLevelDataset(d: java.io.File): Boolean =
-      Option(d.listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).forall(_.isFile)
-    ingestDirs.put(dir, entries.nonEmpty &&
-      entries.forall(e => e.isFile || oneLevelDataset(e)))
+    val pathSafe = !dir.exists(c => "'\"*?[]{}".contains(c))
+    ingestDirs.put(dir, pathSafe &&
+      entries.exists(e => e.getName.endsWith(".parquet") && !hiddenParquet(e.getName)) &&
+      entries.forall(entryOk))
   }
 
   /** STUB codec — stands in for a decoder of formats this container has no
@@ -508,11 +523,14 @@ object Multimodal {
     * in double, hence order-independent and bit-identical across
     * engines; /16 is a power-of-two scale (exact); the final floor
     * rounding is queries.round6 on both sides. */
-  private def ingestReplayOracleSql(dir: String): String =
+  private def ingestReplayOracleSql(dir: String): String = {
+    // recordIngestDir refuses quote/glob-metachar paths, so this escape
+    // is belt-and-braces against a future caller bypassing the memo
+    val d = dir.replace("'", "''")
     s"""WITH f AS (
          SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
            size AS n_bytes, content AS b
-         FROM read_blob(['$dir/*.parquet', '$dir/*.parquet/*.parquet'])),
+         FROM read_blob(['$d/*.parquet', '$d/*.parquet/*.parquet'])),
        feat AS (
          SELECT file_name, n_bytes, CAST(16 AS INT) AS n_features,
            coalesce(list_sum(list_transform(
@@ -525,6 +543,7 @@ object Multimodal {
        SELECT file_name, n_bytes, n_features,
          floor(s / 16 * 1000000 + 0.5) / 1000000 AS feature_mean
        FROM feat ORDER BY file_name"""
+  }
 
   /** Static oracles plus the generated verify-replay pair — def, not
     * val: the replay entries exist only after their query has run and

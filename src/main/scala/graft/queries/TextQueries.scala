@@ -797,20 +797,27 @@ object TextQueries {
 
   def klRefFor(s: org.apache.spark.sql.SparkSession, dir: String): KlRef =
     klRefs.computeIfAbsent(dir, { _ =>
+      // persisted: tc feeds BOTH the kept-vocabulary TakeOrdered and the
+      // bucket-marginal aggregation — one corpus-scale tokenize+aggregate,
+      // then two vocab-sized reads (review catch: without the persist the
+      // corpus pass ran twice)
       val tc = tbl(s, dir, "documents").where(col("doc_id") % 5 =!= 0)
         .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("c"))
-      val kept = tc.orderBy(col("c").desc, col("term").asc)
-        .limit(KlVocabTopK).select("term")
-        .collect().map(_.getString(0)).toSeq
-      val buckets = tc.withColumn("bucket",
-          when(col("term").isin(kept: _*), col("term"))
-            .otherwise(lit("<oov>")))
-        .groupBy("bucket").agg(sum("c").as("cc"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        .sortBy(_._1)
-      KlRef(kept, buckets, buckets.map(_._2).sum)
+        .persist()
+      try {
+        val kept = tc.orderBy(col("c").desc, col("term").asc)
+          .limit(KlVocabTopK).select("term")
+          .collect().map(_.getString(0)).toSeq
+        val buckets = tc.withColumn("bucket",
+            when(col("term").isin(kept: _*), col("term"))
+              .otherwise(lit("<oov>")))
+          .groupBy("bucket").agg(sum("c").as("cc"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .sortBy(_._1)
+        KlRef(kept, buckets, buckets.map(_._2).sum)
+      } finally tc.unpersist()
     })
 
   private val markerCase = {

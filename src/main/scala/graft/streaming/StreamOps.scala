@@ -375,6 +375,10 @@ object StreamOps {
            _: Long) =>
             if (!batch.isEmpty) {
               val ab = batch.agg(min("arrival_batch")).head().getLong(0)
+              // persisted: cs feeds BOTH the marginal join and the tot_b
+              // aggregate — without it each micro-batch tokenizes and
+              // aggregates its documents twice (review catch); it is
+              // bucket-count sized (<= K+1 rows), so the cache is free
               val cs = batch
                 .select(explode(split(lower(col("text")), "[^a-z0-9]+"))
                   .as("term"))
@@ -383,20 +387,29 @@ object StreamOps {
                   when(col("term").isin(ref.kept: _*), col("term"))
                     .otherwise(lit("<oov>")))
                 .groupBy("bucket").agg(count(lit(1)).as("cs"))
-              val refDf = s.createDataFrame(ref.buckets).toDF("bucket", "cc")
-              cs.join(refDf, "bucket")
-                .crossJoin(cs.agg(sum("cs").as("tot_b")))
-                .withColumn("contrib", floor(
-                  (col("cs").cast("double") / col("tot_b")) *
-                    log((col("cs").cast("double") * ref.totC) /
-                      (col("tot_b").cast("double") * col("cc"))) *
-                    1000000d + 0.5d).cast("long"))
-                .agg(count(lit(1)).as("n_buckets"),
-                  sum("cs").as("tot_tok"), sum("contrib").as("kl_micro"))
-                .withColumn("batch_id", lit(ab))
-                .write.partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite").parquet(sink)
+                .persist()
+              try {
+                val refDf = s.createDataFrame(ref.buckets).toDF("bucket", "cc")
+                cs.join(refDf, "bucket")
+                  .crossJoin(cs.agg(sum("cs").as("tot_b")))
+                  .withColumn("contrib", floor(
+                    (col("cs").cast("double") / col("tot_b")) *
+                      log((col("cs").cast("double") * ref.totC) /
+                        (col("tot_b").cast("double") * col("cc"))) *
+                      1000000d + 0.5d).cast("long"))
+                  .agg(count(lit(1)).as("n_buckets"),
+                    sum("cs").as("tot_tok"), sum("contrib").as("kl_micro"))
+                  // a batch whose EVERY bucket misses the reference (all
+                  // novel tokens, no reference <oov> mass) must emit NO
+                  // row — the oracle's GROUP BY over the inner join
+                  // produces none; without this filter the global agg
+                  // still returns one degenerate all-null row
+                  .where(col("n_buckets") > 0)
+                  .withColumn("batch_id", lit(ab))
+                  .write.partitionBy("batch_id")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .mode("overwrite").parquet(sink)
+              } finally cs.unpersist()
             }
         }
         .trigger(Trigger.AvailableNow()).start()

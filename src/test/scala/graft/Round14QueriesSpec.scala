@@ -117,6 +117,21 @@ class Round14QueriesSpec extends SparkSpec {
     assert(out == Map(0L -> ((2L, 2L, 0L)), 3L -> ((2L, 2L, 0L))), out.toString)
   }
 
+  test("q_stream_drift_gate: an all-novel batch with no reference <oov> mass emits NO row") {
+    import spark.implicits._
+    // reference vocabulary {x, y} fits inside K, so KlRef has no '<oov>'
+    // bucket; the streamed docs (ids 0 and 5) are entirely novel tokens.
+    // The inner-join clamp must drop BOTH batches on both engines — a
+    // degenerate all-null row here was the review catch this pins.
+    val dir = java.nio.file.Files.createTempDirectory("driftN").toString
+    (0L to 9L).map(i =>
+        (i, if (i % 5 == 0) "zzz qqq" else "x y", "A"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_stream_drift_gate")(spark, dir).collect()
+    assert(out.isEmpty, out.mkString(","))
+  }
+
   test("q_events_cusum equals the textbook recursion on random daily series") {
     // The catalog query computes S via the prefix-sum/running-min window
     // identity; this is the INDEPENDENT derivation — the literal Page
