@@ -1175,6 +1175,45 @@ object LlmOps {
       }
       e.select(col("vec_id") +: col("label") +: cols: _*)
         .orderBy("vec_id")
+    }),
+    // Embedding-space coherence audit per label: every member's cosine
+    // to its label centroid (mean + worst member) — the cluster-health /
+    // mislabel-screen diagnostic run before trusting labels for
+    // SemDeDup blocking or as classifier supervision. FULLY exact with
+    // NO recorded literals, unlike the fitted-model tier: embeddings
+    // quantize to integer milli-units FIRST, so dot products, norms and
+    // the centroid (kept as the un-normalized SUM vector — cosine is
+    // scale-invariant) are exact longs, and the only float ops are one
+    // IEEE sqrt·sqrt·divide sequence per member (each correctly rounded
+    // by the standard, hence bit-identical across engines — the wobbly
+    // op class is ln, not sqrt). Scale shape: components explode to
+    // |corpus|·d rows but stay narrow; the centroid aggregate is
+    // map-side-combined to |labels|·d rows (a broadcast-sized build the
+    // join auto-broadcasts); per-member and per-label aggregates follow.
+    // Long-overflow bound: nb <= d·(n·1000)² — fine through sf10, go
+    // decimal past ~10⁹ members.
+    "q_embed_coherence" -> ((s, dir) => {
+      val comp = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000d + 0.5d).cast("long"))))
+        .toDF("vec_id", "label", "idx", "q")
+      val cent = comp.groupBy("label", "idx").agg(sum("q").as("cs"))
+      val cn = cent.groupBy("label").agg(sum(col("cs") * col("cs")).as("nb"))
+      val per = comp.join(cent, Seq("label", "idx"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("q") * col("cs")).as("dot"),
+          sum(col("q") * col("q")).as("na"))
+      per.join(cn, "label")
+        .where(col("na") > 0 && col("nb") > 0)
+        .withColumn("cos_ppm", floor(
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) *
+            1000000d + 0.5d).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), min("cos_ppm").as("min_cos_ppm"),
+          expr("sum(cos_ppm) div count(1)").as("mean_cos_ppm"))
+        .orderBy("label")
     })
   )
 
@@ -1397,6 +1436,37 @@ object LlmOps {
   private val staticOracles: Map[String, String] = Map(
     "q_dedup_winnowing" ->
       graft.ops.Winnowing.oracleSql(k = 4, w = 4, maxDf = 50L, minShared = 5L),
+    // Exact static replay (no recorded literals): milli-quantize, exact
+    // integer dots/norms against the sum-vector centroid, then the one
+    // correctly-rounded sqrt·sqrt·divide per member. idx is 1-based here
+    // vs Spark's 0-based posexplode — a join key internal to each
+    // engine, so the offset is immaterial.
+    "q_embed_coherence" ->
+      """WITH comp AS (
+           SELECT vec_id, label, u.s.idx AS idx, u.s.q AS q FROM (
+             SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> {'idx': CAST(i AS INT),
+                       'q': CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                              * 1000 + 0.5) AS BIGINT)})) AS s
+             FROM embeddings) u),
+         cent AS (SELECT label, idx, CAST(sum(q) AS BIGINT) AS cs
+                  FROM comp GROUP BY 1, 2),
+         cn AS (SELECT label, CAST(sum(cs * cs) AS BIGINT) AS nb
+                FROM cent GROUP BY 1),
+         per AS (SELECT c.vec_id, c.label,
+                   CAST(sum(c.q * ce.cs) AS BIGINT) AS dot,
+                   CAST(sum(c.q * c.q) AS BIGINT) AS na
+                 FROM comp c JOIN cent ce USING (label, idx) GROUP BY 1, 2),
+         scored AS (SELECT p.label,
+             CAST(floor(CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(n.nb AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+           FROM per p JOIN cn n USING (label) WHERE p.na > 0 AND n.nb > 0)
+         SELECT label, count(*) AS n_vecs,
+           CAST(min(cos_ppm) AS BIGINT) AS min_cos_ppm,
+           CAST(sum(cos_ppm) // count(*) AS BIGINT) AS mean_cos_ppm
+         FROM scored GROUP BY 1 ORDER BY 1""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash

@@ -919,6 +919,49 @@ object Relational {
       kcoreRoundsRun.put(dir, rounds)
       core.orderBy("id")
     }),
+    // Modularity scoring (Newman-Girvan Q) of a vertex partition over
+    // the same co-purchase graph — the community-QUALITY metric that
+    // grades what LPA/components produce. The partition here is the
+    // deterministic brand attribute (SQL-replayable, unlike LPA's
+    // iteratively-computed labels), which also makes this the classic
+    // "is my catalog taxonomy aligned with purchase behavior"
+    // check. ENTIRELY exact integer arithmetic: per community c the
+    // emitted numerator is 4·m·e_c − d_c² (Q = Σ_c num_c / (2m)²), so
+    // there is no float anywhere — no quantization step needed at all.
+    // Scale shape: one coPairs shuffle builds the edge list (the shared
+    // capped kernel), degrees are one vertex-keyed aggregate, the brand
+    // attribution joins the part dimension (AQE broadcasts it at
+    // catalog scale; shuffles fine beyond), and every post-graph row
+    // set is |brands|-bounded.
+    "q_graph_modularity" -> ((s, dir) => {
+      val edges = graft.ops.Triangles.coPairs(
+          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+        .filter(col("w") >= 2).select("src", "dst")
+      val m = edges.agg(count(lit(1)).as("m"))
+      val deg = edges.select(col("src").as("v"))
+        .unionAll(edges.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val brandOf = tbl(s, dir, "part")
+        .select(col("p_partkey").as("v"), col("p_brand").as("brand"))
+      val dByC = deg.join(brandOf, "v")
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
+      val intra = edges
+        .join(brandOf.select(col("v").as("src"), col("brand").as("b_src")), "src")
+        .join(brandOf.select(col("v").as("dst"), col("brand").as("b_dst")), "dst")
+        .filter(col("b_src") === col("b_dst"))
+        .groupBy(col("b_src").as("brand"))
+        .agg(count(lit(1)).as("intra_edges"))
+      dByC.join(intra, Seq("brand"), "left")
+        .na.fill(0L, Seq("intra_edges"))
+        .crossJoin(m)
+        .select(col("brand"), col("n_nodes"), col("degree_sum"),
+          col("intra_edges"), col("m"),
+          (lit(4L) * col("m") * col("intra_edges") -
+            col("degree_sum") * col("degree_sum")).as("q_contrib_num"))
+        .orderBy("brand")
+    }),
     // Multi-source BFS hop distance over the co-purchase graph
     // (ops.Bfs — the Pregel SSSP shape): every part's hop count from the
     // deterministic seed set (partkey % 50 == 0) — the graph-locality
@@ -1488,6 +1531,38 @@ object Relational {
   /** The co-purchase graph's symmetrized edge list in DuckDB SQL — the
     * shared input of the kcore/bfs round-replay oracles (same derivation
     * the static triangle/components/LPA oracles inline). */
+  /** q_graph_modularity's oracle — the shared capped co-purchase pr CTE
+    * (UNDIRECTED, src<dst — not the symmetrized CoPurchaseEdgesSql),
+    * then the same exact-integer aggregation: no float anywhere. */
+  private val GraphModularityOracle: String =
+    s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         ds AS (SELECT l_orderkey, l_partkey FROM (
+                  SELECT l_orderkey, l_partkey, row_number() OVER
+                    (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+                  FROM ds0) z
+                WHERE rn <= $CoPairsBasketCap),
+         pr AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+                FROM ds a JOIN ds b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         m AS (SELECT count(*) AS m FROM pr),
+         deg AS (SELECT v, count(*) AS deg FROM (
+                   SELECT src AS v FROM pr
+                   UNION ALL SELECT dst AS v FROM pr) u GROUP BY 1),
+         dc AS (SELECT p.p_brand AS brand, count(*) AS n_nodes,
+                  CAST(sum(d.deg) AS BIGINT) AS degree_sum
+                FROM deg d JOIN part p ON p.p_partkey = d.v GROUP BY 1),
+         ie AS (SELECT ps.p_brand AS brand, count(*) AS intra_edges
+                FROM pr JOIN part ps ON ps.p_partkey = pr.src
+                        JOIN part pd ON pd.p_partkey = pr.dst
+                WHERE ps.p_brand = pd.p_brand GROUP BY 1)
+         SELECT dc.brand, dc.n_nodes, dc.degree_sum,
+           coalesce(ie.intra_edges, 0) AS intra_edges,
+           (SELECT m FROM m) AS m,
+           4 * (SELECT m FROM m) * coalesce(ie.intra_edges, 0)
+             - dc.degree_sum * dc.degree_sum AS q_contrib_num
+         FROM dc LEFT JOIN ie USING (brand) ORDER BY brand"""
+
   private val CoPurchaseEdgesSql: String =
     s"""WITH ds0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          ds AS (SELECT l_orderkey, l_partkey FROM (
@@ -1517,6 +1592,7 @@ object Relational {
     countMinOracleSql.map("q_agg_countmin" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "q_graph_modularity" -> GraphModularityOracle,
     "q_sql_recursive_cte" -> RecursiveCteSql,
     "q_compact_layout" ->
       """SELECT CAST(16 AS BIGINT) AS n_files_before,

@@ -72,6 +72,48 @@ class Round14QueriesSpec extends SparkSpec {
     assert(q3.map(x => (x._2, x._3)).toSeq == Seq((1, 3L)), q3.mkString(","))
   }
 
+  test("q_graph_modularity: hand-traced two-community graph scores Q = 0.5 exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mod").toString
+    // Orders o1/o2 both contain parts {1,2}; o3/o4 both contain {3,4}
+    // -> co-purchase edges (w>=2): 1-2 and 3-4. Brands: {1,2}=A, {3,4}=B.
+    // m=2; every degree=1; per community: e_c=1, d_c=2
+    //   -> num_c = 4·2·1 − 4 = 4; Q = (4+4)/(2m)² = 8/16 = 0.5 —
+    // the textbook value for two disconnected intra-community edges.
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+        (12L, 3L), (12L, 4L), (13L, 3L), (13L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = SparkEntry.queries("q_graph_modularity")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out == Map(
+      "A" -> ((2L, 2L, 1L, 2L, 4L)),
+      "B" -> ((2L, 2L, 1L, 2L, 4L))), out.toString)
+  }
+
+  test("q_embed_coherence: hand-traced orthogonal vs identical member pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("coh").toString
+    // label 0: orthogonal members (1,0) and (0,1) -> centroid sum
+    // (1000,1000): cos = 1e6/(√1e6·√2e6) = 0.7071068 -> 707107 ppm.
+    // label 1: identical members (1,1),(1,1) -> cos = 1.0 -> 1000000 ppm.
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+        (3L, Seq(1.0f, 1.0f), 1), (4L, Seq(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_coherence")(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      0 -> ((2L, 707107L, 707107L)),
+      1 -> ((2L, 1000000L, 1000000L))), out.toString)
+  }
+
   test("q_text_kl_drift: identical-distribution sources score exactly 0") {
     // A and B have the SAME unigram distribution, so each equals the
     // corpus distribution -> every ratio is exactly 1.0 in IEEE
