@@ -942,8 +942,13 @@ object Relational {
       val deg = edges.select(col("src").as("v"))
         .unionAll(edges.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-      val brandOf = tbl(s, dir, "part")
-        .select(col("p_partkey").as("v"), col("p_brand").as("brand"))
+      // the attribution dim rides as a forced broadcast (ENTITY_DIM: a
+      // (partkey, brand) projection) — without the hint the sf10 rung
+      // sort-merge-joined the EDGE LIST twice (src + dst attribution),
+      // 28 s; broadcast attribution keeps both joins map-side. Swap to
+      // shuffle joins if the product catalog outgrows executors.
+      val brandOf = broadcast(tbl(s, dir, "part")
+        .select(col("p_partkey").as("v"), col("p_brand").as("brand")))
       val dByC = deg.join(brandOf, "v")
         .groupBy("brand")
         .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))

@@ -67,7 +67,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Relational.scala", "nb") -> (2, "ONE_ROW: basket count (support + confidence normalizers)"),
     ("Relational.scala", "r") -> (1, "SCHEMA: region dimension (5 rows)"),
     ("Relational.scala", "region") -> (1, "SCHEMA: region dimension (5 rows)"),
-    ("Relational.scala", "tbl") -> (1, "ENTITY_DIM: part (p_partkey, p_brand) projection — product catalog; swap to shuffle join past executor memory"),
+    ("Relational.scala", "tbl") -> (2, "ENTITY_DIM: part (p_partkey, p_brand) projections — product catalog (basket-rules + modularity attribution; the latter measured 28 s -> map-side at the sf10 rung); swap to shuffle joins past executor memory"),
     ("Relational.scala", "tot") -> (1, "ONE_ROW: grand total"),
     ("Similarity.scala", "probes") -> (2, "PROBE: ANN query batch (API contract: probe sets are small; coarse + fine stage)"),
     ("Similarity.scala", "q") -> (1, "PROBE: LSH query batch"),
