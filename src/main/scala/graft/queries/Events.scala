@@ -512,8 +512,12 @@ object Events {
     // pre-agg-then-window shape as q_events_retention. A flat stream
     // scores 0 everywhere; a burst day spikes S by its excess volume.
     "q_events_cusum" -> ((s, dir) => {
+      // to_date (not date_trunc, which yields TIMESTAMP) so `day` is
+      // DATE on both engines — DuckDB's date_trunc('day', ts) is DATE,
+      // and a stricter stringify-hash would otherwise see
+      // '2024-01-01' vs '2024-01-01 00:00:00'.
       val daily = tbl(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
       val full = Window.partitionBy("event_type")
       val run = Window.partitionBy("event_type").orderBy("day")

@@ -1190,8 +1190,14 @@ object LlmOps {
     // |corpus|·d rows but stay narrow; the centroid aggregate is
     // map-side-combined to |labels|·d rows (a broadcast-sized build the
     // join auto-broadcasts); per-member and per-label aggregates follow.
-    // Long-overflow bound: nb <= d·(n·1000)² — fine through sf10, go
-    // decimal past ~10⁹ members.
+    // Overflow bounds (n = members per label, d = 64): the centroid
+    // norm nb = Σ cs² would hit signed-64 wrap at d·(n·1000)² ≥ 2^63,
+    // i.e. n ≈ 3.8×10⁵ — Spark's non-ANSI long sum wraps SILENTLY while
+    // DuckDB promotes to HUGEINT, so nb is summed in DECIMAL(38,0)
+    // (cs² ≤ 8.5×10³⁷ fits; the input is only |labels|·d rows, so the
+    // decimal agg costs nothing). The remaining long paths are safe far
+    // beyond that: cs = Σ q wraps at n ≈ 9×10¹⁵, and dot = Σ q·cs at
+    // n ≈ 2^63/(d·10⁶) ≈ 1.4×10¹¹ members per label.
     "q_embed_coherence" -> ((s, dir) => {
       val comp = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -1199,7 +1205,8 @@ object LlmOps {
             x => floor(x.cast("double") * 1000d + 0.5d).cast("long"))))
         .toDF("vec_id", "label", "idx", "q")
       val cent = comp.groupBy("label", "idx").agg(sum("q").as("cs"))
-      val cn = cent.groupBy("label").agg(sum(col("cs") * col("cs")).as("nb"))
+      val cn = cent.groupBy("label")
+        .agg(sum(col("cs").cast("decimal(38,0)") * col("cs")).as("nb"))
       val per = comp.join(cent, Seq("label", "idx"))
         .groupBy("vec_id", "label")
         .agg(sum(col("q") * col("cs")).as("dot"),

@@ -103,9 +103,21 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Array[Float] =
       if (bytes == null) null
       else {
-        val n = math.min(bytes.length, 16)
-        Array.tabulate(16)(i => if (i < n) (bytes(i) & 0xff).toFloat / 255f else 0f)
+        val n = math.min(bytes.length, StubCodec.NumFeatures)
+        Array.tabulate(StubCodec.NumFeatures)(i =>
+          if (i < n) (bytes(i) & 0xff).toFloat / 255f else 0f)
       }
+  }
+
+  /** Single source of truth for the stub feature width — interpolated
+    * into the ingest replay oracle's SQL so a codec change (e.g.
+    * emitting min(n, 16) entries instead of zero-padding) cannot
+    * silently desync the query/oracle pair. Must stay a power of two
+    * ≤ 64: the replay's exactness argument needs every 16-term partial
+    * sum to fit double's mantissa and the final /NumFeatures to be an
+    * exact power-of-two scale. */
+  object StubCodec {
+    val NumFeatures: Int = 16
   }
 
   /** REAL image codec: `javax.imageio` PNG (decoder ships in every JDK).
@@ -527,21 +539,22 @@ object Multimodal {
     // recordIngestDir refuses quote/glob-metachar paths, so this escape
     // is belt-and-braces against a future caller bypassing the memo
     val d = dir.replace("'", "''")
+    val nf = StubCodec.NumFeatures
     s"""WITH f AS (
          SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
            size AS n_bytes, content AS b
          FROM read_blob(['$d/*.parquet', '$d/*.parquet/*.parquet'])),
        feat AS (
-         SELECT file_name, n_bytes, CAST(16 AS INT) AS n_features,
+         SELECT file_name, n_bytes, CAST($nf AS INT) AS n_features,
            coalesce(list_sum(list_transform(
-             range(0, CAST(least(n_bytes, 16) AS INT)),
+             range(0, CAST(least(n_bytes, $nf) AS INT)),
              i -> CAST(CAST(list_sum(list_transform(range(i*8, i*8+8),
                     k -> get_bit(CAST(b AS BIT), CAST(k AS INT))
                          * (1 << (7 - CAST(k AS INT) % 8)))) AS REAL)
                   / CAST(255 AS REAL) AS DOUBLE))), 0.0) AS s
          FROM f)
        SELECT file_name, n_bytes, n_features,
-         floor(s / 16 * 1000000 + 0.5) / 1000000 AS feature_mean
+         floor(s / $nf * 1000000 + 0.5) / 1000000 AS feature_mean
        FROM feat ORDER BY file_name"""
   }
 

@@ -686,6 +686,15 @@ object TextQueries {
             (col("tf").cast("double") + lit(Bm25K1) *
               (lit(1.0d - Bm25B) + lit(Bm25B) *
                 (col("dl").cast("double") / col("avgdl")))))
+        // FP-exposure signature (distinct from the other micro-quantized
+        // queries): idf comes from ln, so a 1-ulp cross-engine wobble at
+        // a floor boundary shifts s_micro by ±1 — and here that ±1 feeds
+        // a RANKING, so a future mismatch on this query will present as
+        // a rank swap / top-k membership flip between two docs whose
+        // score_micro differ by ≤1, not as a ±1 value diff. If one ever
+        // fires, the fix is a coarser secondary quantization band for
+        // ordering (compare at reduced precision, doc_id tiebreak),
+        // keeping the fine score as the emitted value.
         .withColumn("s_micro",
           floor(col("idf") * col("tfpart") * 1000000d + 0.5d).cast("long"))
         .groupBy("query_id", "doc_id")

@@ -36,7 +36,7 @@ class Round14QueriesSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = SparkEntry.queries("q_events_cusum")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
         (r.getLong(2), r.getLong(3))).toMap
     val expected =
       aCounts.zipWithIndex.map { case (c, d) =>
@@ -195,7 +195,7 @@ class Round14QueriesSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = SparkEntry.queries("q_events_cusum")(spark, dir).collect()
-      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
         r.getLong(3)).toMap
     val expected = Seq("a", "b", "c").flatMap { t =>
       val ds = counts.collect { case ((`t`, d), c) => (d, c.toLong) }
