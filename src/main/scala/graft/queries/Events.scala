@@ -529,8 +529,72 @@ object Events {
         .select(col("event_type"), col("day"), col("cnt"),
           (col("p") - least(lit(0L), min("p").over(run))).as("cusum"))
         .orderBy("event_type", "day")
+    }),
+    // Kaplan-Meier time-to-conversion life table (Kaplan & Meier 1958)
+    // — "how many days from a user's first touch to their first
+    // purchase, accounting for users the observation window cut off?".
+    // Observation is administratively truncated at SurvivalObsDays
+    // whole days from corpus start: a user whose first purchase lands
+    // inside the horizon is an EVENT at t = days(first touch → first
+    // purchase); a user with no purchase by the horizon is RIGHT-
+    // CENSORED at t = days(first touch → horizon) — they leave the risk
+    // set without converting, precisely what naive conversion-rate
+    // queries get wrong. Per event time t: n_risk = users still
+    // unconverted and uncensored entering t, d_events = conversions at
+    // exactly t, and the product-limit estimate S(t) = prod (1 - d/n)
+    // is emitted in LOG space as km_nll_micro = cumulative
+    // -ln((n-d)/n) quantized to integer micro-nats BEFORE the windowed
+    // sum (the unigramNll idiom) — exp is NOT correctly rounded
+    // cross-engine; cumulative quantized logs are hash-stable. If every
+    // remaining at-risk user converts at the final t, S hits exact 0
+    // (log undefined): emitted NULL — the only row where n = d is
+    // possible, since censored users keep n > d at every earlier t.
+    // Scale shape: the event stream collapses map-side to one row per
+    // user FIRST; the life table is <= SurvivalObsDays rows (horizon-
+    // bounded), so its two global windows sort dozens of rows, never
+    // users or events.
+    "q_events_survival" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val per = ev.groupBy("user_id").agg(to_date(min("ts")).as("first_day"))
+      val pur = ev.filter(col("event_type") === lit("purchase"))
+        .groupBy("user_id").agg(to_date(min("ts")).as("purch_day"))
+      val horizon = ev.agg(
+        date_add(to_date(min("ts")), SurvivalObsDays - 1).as("h_day"))
+      val usr = per.join(pur, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .where(col("first_day") <= col("h_day"))
+        .withColumn("conv",
+          (col("purch_day").isNotNull && col("purch_day") <= col("h_day"))
+            .cast("long"))
+        .select(
+          when(col("conv") === 1L, datediff(col("purch_day"), col("first_day")))
+            .otherwise(datediff(col("h_day"), col("first_day"))).as("t_days"),
+          col("conv"))
+      val life = usr.groupBy("t_days")
+        .agg(count(lit(1)).as("n_end"), sum("conv").as("d_events"))
+      val atRisk = Window.orderBy("t_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val upTo = Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      life
+        .withColumn("n_risk", sum("n_end").over(atRisk))
+        .withColumn("term", when(col("d_events") < col("n_risk"),
+            floor(-log((col("n_risk") - col("d_events")).cast("double") /
+              col("n_risk")) * 1000000d + 0.5d).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("cum", sum("term").over(upTo))
+        .where(col("d_events") > 0)
+        .select(col("t_days"), col("n_risk"), col("d_events"),
+          when(col("d_events") === col("n_risk"), lit(null).cast("long"))
+            .otherwise(col("cum")).as("km_nll_micro"))
+        .orderBy("t_days")
     })
   )
+
+  /** q_events_survival's observation horizon: whole days of corpus time
+    * a user is followed for conversion before administrative censoring
+    * — interpolated into the DuckDB oracle. */
+  private[graft] val SurvivalObsDays = 7
 
   /** Recorded q_agg_sketch_tiles rows (type, n_tiles, est_users), keyed
     * by corpus dir — its verify-replay oracle's literal side (one row
@@ -883,6 +947,46 @@ object Events {
            CAST(p - least(0, min(p) OVER (PARTITION BY event_type
              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              AS BIGINT) AS cusum
-         FROM p ORDER BY event_type, day"""
+         FROM p ORDER BY event_type, day""",
+    // Same life-table derivation; ln quantizes to micro-nats BEFORE the
+    // windowed sum on both engines (the accepted 1-ulp ln class).
+    "q_events_survival" ->
+      s"""WITH per AS (
+           SELECT user_id, CAST(min(ts) AS DATE) AS fd
+           FROM events GROUP BY user_id),
+         pur AS (
+           SELECT user_id, CAST(min(ts) AS DATE) AS pd
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         hz AS (SELECT CAST(min(ts) AS DATE)
+                  + ${SurvivalObsDays - 1} AS h_day FROM events),
+         usr AS (SELECT
+             CASE WHEN pd IS NOT NULL AND pd <= h_day
+                  THEN CAST(datediff('day', fd, pd) AS INT)
+                  ELSE CAST(datediff('day', fd, h_day) AS INT)
+             END AS t_days,
+             CASE WHEN pd IS NOT NULL AND pd <= h_day THEN 1 ELSE 0
+             END AS conv
+           FROM per LEFT JOIN pur USING (user_id), hz
+           WHERE fd <= h_day),
+         life AS (SELECT t_days, count(*) AS n_end,
+             CAST(sum(conv) AS BIGINT) AS d_events
+           FROM usr GROUP BY t_days),
+         w AS (SELECT t_days, d_events,
+             CAST(sum(n_end) OVER (ORDER BY t_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM life),
+         t AS (SELECT t_days, n_risk, d_events,
+             sum(CASE WHEN d_events < n_risk
+                 THEN CAST(floor(-ln(CAST(n_risk - d_events AS DOUBLE)
+                        / n_risk) * 1000000 + 0.5) AS BIGINT)
+                 ELSE 0 END)
+               OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM w)
+         SELECT t_days, n_risk, d_events,
+           CASE WHEN d_events = n_risk THEN NULL
+                ELSE CAST(cum AS BIGINT) END AS km_nll_micro
+         FROM t WHERE d_events > 0 ORDER BY t_days"""
   )
 }

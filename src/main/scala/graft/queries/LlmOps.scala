@@ -1221,8 +1221,93 @@ object LlmOps {
         .agg(count(lit(1)).as("n_vecs"), min("cos_ppm").as("min_cos_ppm"),
           expr("sum(cos_ppm) div count(1)").as("mean_cos_ppm"))
         .orderBy("label")
+    }),
+    // k-anonymity re-identification audit (Sweeney 2002) over the
+    // customer dimension's quasi-identifier tuple (nation, market
+    // segment, account-balance band): any equivalence class smaller
+    // than KAnonK is a linkage-attack risk the PII tier must generalize
+    // or suppress before release — the census that decides WHERE
+    // q_pii_pseudonymize's treatment is insufficient. All-integer, two
+    // map-side-combined aggregations (rows → quasi classes → nations);
+    // the quasi space is schema-bounded (nations × segments × balance
+    // bands), never row-scale.
+    "q_pii_kanonymity" -> ((s, dir) => {
+      val cls = tbl(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(KAnonBandWidth.toDouble)).as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+      cls.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("n").as("n_rows"),
+          sum(when(col("n") < KAnonK, 1L).otherwise(0L)).as("n_risky_classes"),
+          sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).as("n_risky_rows"),
+          min("n").as("min_class_size"))
+        .orderBy("c_nationkey")
+    }),
+    // kNN classifier audit: a fixed KnnProbeN-probe panel (smallest
+    // vec_ids — deterministic on both engines) is scored against the
+    // FULL corpus by exact integer-quantized cosine, the KnnK nearest
+    // neighbors vote, and the majority label (count desc, label asc
+    // tiebreak) is compared to the probe's own label — the label-noise /
+    // embedding-space-health check run before trusting labels as
+    // supervision (the per-class twin of q_embed_coherence's centroid
+    // view). Numerics: milli-quantized components make dots/norms exact
+    // longs via zip_with/aggregate (codegen-friendly, no explode-join);
+    // the only float op is the correctly-rounded sqrt·sqrt·divide.
+    // Scale shape: probes are a broadcast literal-sized panel, the
+    // corpus side is ONE linear scan (|corpus| × KnnProbeN narrow
+    // rows), and both vote stages are TopK bounded heaps — brute-force
+    // in the probe count, never quadratic in the corpus; the ANN tier
+    // (q_sim_*_ann) is the path when the PANEL is corpus-scale.
+    "q_embed_knn_eval" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+        .withColumn("nq", aggregate(transform(col("q"), v => v * v),
+          lit(0L), (a, v) => a + v))
+      val panel = emb.orderBy("vec_id").limit(KnnProbeN)
+        .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+          col("q").as("p_q"), col("nq").as("p_nq"))
+      val pairs = emb.crossJoin(broadcast(panel))
+        .where(col("vec_id") =!= col("p_id") &&
+          col("nq") > 0L && col("p_nq") > 0L)
+        .withColumn("dot", aggregate(
+          zip_with(col("q"), col("p_q"), (x, y) => x * y),
+          lit(0L), (a, v) => a + v))
+        .withColumn("cos_ppm", floor(
+          col("dot").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("p_nq").cast("double"))) *
+            1000000d + 0.5d).cast("long"))
+      val nn = graft.ops.TopK.perGroup(
+        pairs.select("p_id", "p_label", "vec_id", "label", "cos_ppm"),
+        Seq("p_id"), Seq(("cos_ppm", false), ("vec_id", true)),
+        k = KnnK, rankCol = "knn_rn")
+      val votes = nn.groupBy("p_id", "p_label", "label")
+        .agg(count(lit(1)).as("n_votes"))
+      graft.ops.TopK.perGroup(votes, Seq("p_id"),
+          Seq(("n_votes", false), ("label", true)), k = 1,
+          rankCol = "vote_rn")
+        .select(col("p_id").as("vec_id"), col("p_label").as("true_label"),
+          col("label").as("pred_label"), col("n_votes"),
+          when(col("label") === col("p_label"), 1).otherwise(0).as("correct"))
+        .orderBy("vec_id")
     })
   )
+
+  /** q_pii_kanonymity's minimum safe equivalence-class size and the
+    * account-balance banding width forming the quasi-identifier —
+    * interpolated into the oracle. */
+  private[graft] val KAnonK = 5
+  private[graft] val KAnonBandWidth = 1000
+
+  /** q_embed_knn_eval's probe-panel size and neighbor count —
+    * interpolated into the oracle. The panel is the smallest
+    * KnnProbeN vec_ids: deterministic under ORDER BY on both engines,
+    * corpus-size-independent. */
+  private[graft] val KnnProbeN = 20
+  private[graft] val KnnK = 5
 
   /** Static oracles plus the GENERATED q_dedup_semantic oracle (present
     * once the query has run against exactly one corpus and recorded its
@@ -1478,6 +1563,57 @@ object LlmOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // All-integer; floor (not //, which truncates) so negative balances
+    // band identically to Spark's floor.
+    "q_pii_kanonymity" ->
+      s"""WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / $KAnonBandWidth.0) AS BIGINT) AS bal_band,
+             count(*) AS n
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, count(*) AS n_classes,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS min_class_size
+         FROM cls GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // The coherence replay's milli-quantization (exact integer dots and
+    // norms via 1-based list folds), the same sqrt·sqrt·divide, then
+    // both vote stages as ranking windows.
+    "q_embed_knn_eval" ->
+      s"""WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         n AS (SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
+           FROM e),
+         p AS (SELECT vec_id AS p_id, label AS p_label, q AS p_q, nq AS p_nq
+               FROM n ORDER BY vec_id LIMIT $KnnProbeN),
+         pr AS (SELECT n.vec_id, n.label, p.p_id, p.p_label,
+             CAST(floor(CAST(list_sum(list_transform(
+                 range(1, len(n.q) + 1),
+                 i -> n.q[CAST(i AS INT)] * p.p_q[CAST(i AS INT)]))
+               AS DOUBLE)
+               / (sqrt(CAST(n.nq AS DOUBLE)) * sqrt(CAST(p.p_nq AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+           FROM n, p
+           WHERE n.vec_id <> p.p_id AND n.nq > 0 AND p.p_nq > 0),
+         r AS (SELECT p_id, p_label, label, cos_ppm, row_number() OVER
+                 (PARTITION BY p_id ORDER BY cos_ppm DESC, vec_id ASC) AS rn
+               FROM pr),
+         k AS (SELECT p_id, p_label, label, count(*) AS n_votes
+               FROM r WHERE rn <= $KnnK GROUP BY 1, 2, 3),
+         v AS (SELECT p_id, p_label, label, n_votes, row_number() OVER
+                 (PARTITION BY p_id ORDER BY n_votes DESC, label ASC) AS vr
+               FROM k)
+         SELECT p_id AS vec_id, p_label AS true_label,
+           label AS pred_label, n_votes,
+           CASE WHEN label = p_label THEN 1 ELSE 0 END AS correct
+         FROM v WHERE vr = 1 ORDER BY vec_id""",
     // Independent formulation on purpose: first-occurrence via
     // row_number over block STRINGS (the Spark side keys on xxhash64 —
     // hash = string counts modulo ~n²/2⁶⁵ collisions).

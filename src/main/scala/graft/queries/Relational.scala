@@ -23,6 +23,43 @@ object Relational {
     * query keeps oracle and plan contract in lockstep. */
   private[graft] val pagerankIters = 5
 
+  /** q_agg_histogram's fixed equi-width grid over o_totalprice — width
+    * and bucket count interpolated into BOTH engines (never two copies
+    * of the literal). The last bucket is open-ended (hi = NULL) and
+    * absorbs everything past the grid, so the output schema is bounded
+    * by construction regardless of the price domain. */
+  private[graft] val HistBucketWidth = 50000L
+  private[graft] val HistBuckets = 12
+
+  /** q_quality_benford's expected first-digit distribution, computed
+    * ONCE here (log10) and interpolated into both engines as integer
+    * ppm literals — no cross-engine ln/log10 runs at query time, so the
+    * whole query is exact integer arithmetic. */
+  private[graft] val BenfordExpPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d =>
+      d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
+  /** q_sql_lateral — ONE SQL text for both engines (the RecursiveCteSql
+    * pattern): a correlated LATERAL subquery with ORDER BY + LIMIT, the
+    * SQL-standard spelling of top-N-per-key. Catalyst decorrelates the
+    * limit into a ranked window join — same physical shape as
+    * q_topk_per_group's hand-written variant — while DuckDB executes the
+    * lateral natively; both must produce the identical top-2 rows
+    * because the lateral's ORDER BY carries a full o_orderkey tiebreak.
+    * Price emits as exact integer cents (floor(x*100+0.5), the catalog's
+    * double-price idiom). */
+  private[graft] val LateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+       FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+       WHERE c.c_mktsegment = 'BUILDING'
+       ORDER BY c.c_custkey, price_cents DESC, o.o_orderkey"""
+
   /** Per-corpus CBO catalog memo: the five join-family tables registered
     * as EXTERNAL catalog tables (temp views carry no statistics — the
     * cost-based optimizer reads row/column stats from the catalog, so
@@ -1508,6 +1545,64 @@ object Relational {
           Seq("o_orderkey"), "w_start", "w_end",
           sumCol = "qty_c", countCol = "n_ship")
         .orderBy("o_orderkey")
+    }),
+
+    // Equi-width histogram of order value: ONE map-side-combined
+    // aggregation collapsing the fact stream to <= HistBuckets rows —
+    // the profiling scan a pipeline runs before choosing bucketing /
+    // salting constants. Everything is exact integer arithmetic after
+    // the bucket floor (identical IEEE divide on both engines); sums
+    // are exact integer cents (floor(x*100+0.5)), wrapping only past
+    // ~1.5e11 rows PER BUCKET (9.2e18 / max 6e7 cents) — far beyond the
+    // 100 TB deployment's per-bucket row counts.
+    "q_agg_histogram" -> ((s, dir) => {
+      val w = HistBucketWidth
+      val last = (HistBuckets - 1).toLong
+      tbl(s, dir, "orders")
+        .select(
+          least(floor(col("o_totalprice") / lit(w.toDouble)), lit(last))
+            .as("bucket"),
+          floor(col("o_totalprice") * 100d + 0.5d).as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .select(col("bucket"), (col("bucket") * w).as("lo"),
+          when(col("bucket") === last, lit(null).cast("long"))
+            .otherwise((col("bucket") + 1L) * w).as("hi"),
+          col("n_orders"), col("sum_cents"))
+        .orderBy("bucket")
+    }),
+
+    // Benford first-digit conformance over order values — the
+    // fabricated-data / unit-mixing screen an ingest pipeline runs on
+    // numeric columns. The expected distribution is computed once in
+    // Scala (BenfordExpPpm) and joined as a 9-row literal, so the whole
+    // query is EXACT integer arithmetic: first digit by string head
+    // (never log10, whose 1-ulp wobble at exact powers of ten would
+    // misbucket), observed shares by integer ppm division, and the
+    // per-digit chi-square contribution ((obs-exp)^2 div exp) in longs.
+    // Scale shape: one map-side-combined 9-row aggregation + a one-row
+    // broadcast total — nothing data-sized ever shuffles.
+    "q_quality_benford" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1d)
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val counts = base.groupBy("digit").agg(count(lit(1)).as("n"))
+      val ntot = base.agg(count(lit(1)).as("total"))
+      val expTbl = s.createDataFrame(BenfordExpPpm).toDF("digit", "exp_ppm")
+      counts.crossJoin(broadcast(ntot))
+        .join(broadcast(expTbl), "digit")
+        .withColumn("obs_ppm", expr("n * 1000000 div total"))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm")
+            .as("chi2_micro"))
+        .orderBy("digit")
+    }),
+
+    // SQL entry path: correlated LATERAL subquery (see LateralSql).
+    "q_sql_lateral" -> ((s, dir) => {
+      registerAll(s, dir)
+      s.sql(LateralSql)
     })
   )
 
@@ -1599,6 +1694,36 @@ object Relational {
   private val staticOracles: Map[String, String] = Map(
     "q_graph_modularity" -> GraphModularityOracle,
     "q_sql_recursive_cte" -> RecursiveCteSql,
+    "q_sql_lateral" -> LateralSql,
+    "q_agg_histogram" ->
+      s"""WITH b AS (
+           SELECT least(CAST(floor(o_totalprice / $HistBucketWidth.0)
+                    AS BIGINT), ${HistBuckets - 1}) AS bucket,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+         SELECT bucket, bucket * $HistBucketWidth AS lo,
+           CASE WHEN bucket = ${HistBuckets - 1} THEN NULL
+                ELSE (bucket + 1) * $HistBucketWidth END AS hi,
+           count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_quality_benford" -> {
+      val vals = BenfordExpPpm.map { case (d, p) =>
+        s"($d, CAST($p AS BIGINT))" }.mkString(", ")
+      s"""WITH base AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+         c AS (SELECT digit, count(*) AS n FROM base GROUP BY digit),
+         t AS (SELECT count(*) AS total FROM base),
+         e(digit, exp_ppm) AS (VALUES $vals),
+         j AS (SELECT c.digit, c.n, c.n * 1000000 // t.total AS obs_ppm,
+                 e.exp_ppm
+               FROM c, t, e WHERE e.digit = c.digit)
+         SELECT digit, n, obs_ppm, exp_ppm,
+           (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm
+             AS chi2_micro
+         FROM j ORDER BY digit"""
+    },
     "q_compact_layout" ->
       """SELECT CAST(16 AS BIGINT) AS n_files_before,
          CAST(4 AS BIGINT) AS n_files_after,

@@ -749,6 +749,75 @@ object TextQueries {
         .agg(count(lit(1)).as("n_buckets"), sum("cs").as("tot_tok"),
           sum("contrib").as("kl_micro"))
         .orderBy("source")
+    }),
+    // Heaps-law vocabulary-growth curve: cumulative distinct vocabulary
+    // vs cumulative tokens over the corpus in doc_id order — the
+    // diminishing-returns audit ("is more crawl still buying new
+    // vocabulary?") run before committing another ingest tranche. The
+    // prefix trick keeps it ONE pass and fully exact: a term first
+    // appears at min(doc_id), so cumulative vocabulary at any prefix =
+    // count of terms whose min falls inside it — no order-sensitive
+    // dedup, no ln, pure integer arithmetic (bucket = doc_id*B div
+    // ndocs). Scale shape: the only corpus-scale aggregations are the
+    // per-term min and per-doc count (both map-side combined); the
+    // cumulative windows run over exactly HeapsBuckets rows.
+    "q_text_heaps_law" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+      val nd = docs.agg((max("doc_id") + 1L).as("ndocs"))
+      val B = HeapsBuckets
+      val docB = docs.select("doc_id").crossJoin(broadcast(nd))
+        .select(expr(s"doc_id * $B div ndocs").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("docs_b"))
+      val tokB = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+        .crossJoin(broadcast(nd))
+        .select(expr(s"doc_id * $B div ndocs").as("bucket"), col("ntok"))
+        .groupBy("bucket").agg(sum("ntok").as("toks_b"))
+      val vocB = toks.groupBy("term").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(nd))
+        .select(expr(s"fd * $B div ndocs").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("voc_b"))
+      val upTo = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docB.join(tokB, Seq("bucket"), "left").join(vocB, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(col("docs_b")).over(upTo).as("cum_docs"),
+          sum(coalesce(col("toks_b"), lit(0L))).over(upTo).as("cum_tokens"),
+          sum(coalesce(col("voc_b"), lit(0L))).over(upTo).as("cum_vocab"))
+        .orderBy("bucket")
+    }),
+    // Per-term burstiness (Church & Gale 1995): variance-to-mean ratio
+    // of a term's per-document counts over ALL docs (zeros included) —
+    // VMR 1 = Poisson background, VMR >> 1 = topical/bursty, the signal
+    // separating content words from function words for quality scoring.
+    // The zero-inclusive moments never materialize zeros: over N docs,
+    // mean = tot/N and E[x^2] = ss/N with tot/ss from present rows only,
+    // giving VMR = ss/tot - tot/N — two correctly-rounded IEEE divides
+    // (the deterministic FP class; ln never runs) then one micro-
+    // quantization. Scale shape: one (term, doc) aggregation, one
+    // per-term rollup, and TopK.perGroup's bounded heap caps the output
+    // at BurstTopK — the vocabulary never becomes a sort key.
+    "q_text_burstiness" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+      val td = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      val st = td.groupBy("term").agg(count(lit(1)).as("df"),
+        sum("c").as("tot"), sum(col("c") * col("c")).as("ss"))
+      val nd2 = tbl(s, dir, "documents").agg(count(lit(1)).as("ndocs"))
+      graft.ops.TopK.perGroup(st.withColumn("g", lit(1)), Seq("g"),
+          Seq(("tot", false), ("term", true)), k = BurstTopK,
+          rankCol = "burst_rn")
+        .crossJoin(broadcast(nd2))
+        .select(col("term"), col("df"), col("tot"),
+          floor((col("ss").cast("double") / col("tot") -
+            col("tot").cast("double") / col("ndocs")) * 1000000d + 0.5d)
+            .cast("long").as("vmr_micro"))
+        .orderBy(desc("tot"), asc("term"))
     })
   )
 
@@ -776,6 +845,15 @@ object TextQueries {
   private[queries] val Bm25K1 = 1.2d
   private[queries] val Bm25B = 0.75d
   private[queries] val Bm25TopK = 10
+
+  /** q_text_heaps_law's prefix-bucket count — the cumulative curve's
+    * resolution; the windows it feeds run over exactly this many rows
+    * at any corpus size. Interpolated into the oracle. */
+  private[queries] val HeapsBuckets = 20
+
+  /** q_text_burstiness' output cap (bounded-heap top-K by total count,
+    * term tiebreak) — interpolated into the oracle's ranking window. */
+  private[queries] val BurstTopK = 30
 
   /** q_text_kl_drift's kept-vocabulary size: top-K corpus terms stay
     * distinct buckets, the rest collapse into '<oov>'. 24 < the synthetic
@@ -1362,6 +1440,57 @@ object TextQueries {
              1000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_micro
          FROM stb s JOIN cb c USING (bucket) JOIN tots t USING (source)
               CROSS JOIN totc x
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // Same prefix-bucket derivation; pure integer arithmetic throughout
+    // (min-doc first-appearance, integer-div bucketing), so the replay
+    // is exact with no quantization at all.
+    "q_text_heaps_law" ->
+      s"""WITH nd AS (SELECT max(doc_id) + 1 AS ndocs FROM documents),
+         toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         docb AS (SELECT doc_id * $HeapsBuckets // ndocs AS bucket,
+             count(*) AS docs_b
+           FROM documents, nd GROUP BY 1),
+         tokb AS (SELECT doc_id * $HeapsBuckets // ndocs AS bucket,
+             count(*) AS toks_b
+           FROM tok2, nd GROUP BY 1),
+         vocb AS (SELECT fd * $HeapsBuckets // ndocs AS bucket,
+             count(*) AS voc_b
+           FROM (SELECT term, min(doc_id) AS fd FROM tok2 GROUP BY 1) z,
+                nd GROUP BY 1)
+         SELECT d.bucket,
+           CAST(sum(d.docs_b) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(coalesce(t.toks_b, 0)) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(v.voc_b, 0)) OVER w AS BIGINT) AS cum_vocab
+         FROM docb d LEFT JOIN tokb t USING (bucket)
+              LEFT JOIN vocb v USING (bucket)
+         WINDOW w AS (ORDER BY d.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY d.bucket""",
+    // Replays the bounded heap as a ranking window; the VMR arithmetic
+    // mirrors the Spark expression shape exactly (two IEEE divides,
+    // subtract, micro-quantize — the deterministic FP class).
+    "q_text_burstiness" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         td AS (SELECT term, doc_id, count(*) AS c FROM tok2 GROUP BY 1, 2),
+         st AS (SELECT term, count(*) AS df,
+             CAST(sum(c) AS BIGINT) AS tot,
+             CAST(sum(c * c) AS BIGINT) AS ss
+           FROM td GROUP BY 1),
+         nd AS (SELECT count(*) AS ndocs FROM documents),
+         top AS (SELECT term, df, tot, ss FROM (
+             SELECT st.*, row_number() OVER
+               (ORDER BY tot DESC, term ASC) AS rn FROM st) z
+           WHERE rn <= $BurstTopK)
+         SELECT term, df, tot,
+           CAST(floor((CAST(ss AS DOUBLE) / tot
+             - CAST(tot AS DOUBLE) / ndocs) * 1000000 + 0.5) AS BIGINT)
+             AS vmr_micro
+         FROM top, nd ORDER BY tot DESC, term"""
   )
 }

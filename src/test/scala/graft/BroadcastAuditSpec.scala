@@ -49,6 +49,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Dedup.scala", "ids") -> (1, "OUTPUT: candidate-pair doc ids (near-dup volume, not corpus); production fallback = shuffle semi-join"),
     ("Dedup.scala", "newBanded") -> (1, "PROBE: incremental day-batch signatures; broadcastNew=false opt-out for large batches"),
     ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
+    ("Events.scala", "horizon") -> (1, "ONE_ROW: survival observation-horizon date (administrative censoring anchor)"),
     ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
     ("BloomDedup.scala", "bytes") -> (1, "SKETCH: serialized bloom filter, numBits/8 bytes (4 MiB default) — corpus-size-independent artifact"),
@@ -57,6 +58,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("LlmOps.scala", "seenHigh") -> (1, "OUTPUT: day docs above the content-seen threshold — high-overlap dup volume, never day-scale"),
     ("LlmOps.scala", "dupDrop") -> (1, "OUTPUT: verified near-dup drop ids — near-dup volume, never day-scale"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
+    ("LlmOps.scala", "panel") -> (1, "CAPPED: KnnProbeN-row probe panel (bounded TakeOrdered by construction)"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
     ("Mixing.scala", "stats") -> (2, "SCHEMA: one row per mixture domain (joined twice: quota + deficit pass)"),
@@ -69,6 +71,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Relational.scala", "region") -> (1, "SCHEMA: region dimension (5 rows)"),
     ("Relational.scala", "tbl") -> (2, "ENTITY_DIM: part (p_partkey, p_brand) projections — product catalog (basket-rules + modularity attribution; the latter measured 28 s -> map-side at the sf10 rung); swap to shuffle joins past executor memory"),
     ("Relational.scala", "tot") -> (1, "ONE_ROW: grand total"),
+    ("Relational.scala", "ntot") -> (1, "ONE_ROW: Benford base-row count"),
+    ("Relational.scala", "expTbl") -> (1, "LITERAL: Benford expected-distribution table (9 rows by definition)"),
     ("Similarity.scala", "probes") -> (2, "PROBE: ANN query batch (API contract: probe sets are small; coarse + fine stage)"),
     ("Similarity.scala", "q") -> (1, "PROBE: LSH query batch"),
     ("Similarity.scala", "queries") -> (2, "PROBE: brute-force/HOF query batch (native + HOF variants)"),
@@ -97,6 +101,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextQueries.scala", "cb") -> (1, "CAPPED: corpus bucket marginals, <= KlVocabTopK+1 rows (kept terms + <oov>)"),
     ("TextQueries.scala", "tots") -> (1, "ENTITY_DIM: one row per ingest source/provider — bounded in the monitoring use case; swap to a shuffled equi-join if sources are open-web-domain-scale"),
     ("TextQueries.scala", "totc") -> (1, "ONE_ROW: corpus token total"),
+    ("TextQueries.scala", "nd") -> (3, "ONE_ROW: doc-id max + 1 (Heaps bucket modulus; doc/token/vocab sites)"),
+    ("TextQueries.scala", "nd2") -> (1, "ONE_ROW: corpus doc count (burstiness zero-inclusive mean)"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 
   test("every forced broadcast() hint site is allowlisted with a boundedness argument") {

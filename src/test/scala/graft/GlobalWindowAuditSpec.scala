@@ -26,7 +26,11 @@ class GlobalWindowAuditSpec extends AnyFunSuite {
     "HeavyHitters.scala" -> (1,
       "Misra-Gries candidate total — <= k rows per partition merged, never data-sized"),
     "Mixing.scala" -> (1,
-      "temperature-renormalization sums over the per-domain stats table — one row per mixture domain (schema-bounded)"))
+      "temperature-renormalization sums over the per-domain stats table — one row per mixture domain (schema-bounded)"),
+    "Events.scala" -> (2,
+      "Kaplan-Meier life table — rows are distinct whole-day durations (calendar-bounded), aggregated per-user then per-duration BEFORE either window"),
+    "TextQueries.scala" -> (1,
+      "Heaps-law cumulative curve — exactly HeapsBuckets rows by construction (prefix buckets, not data-sized)"))
 
   test("every global (unpartitioned) window in main is allowlisted with a boundedness argument") {
     val pat = java.util.regex.Pattern.compile(

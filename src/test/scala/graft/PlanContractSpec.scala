@@ -862,4 +862,111 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(wins.isEmpty, s"unpartitioned window in cusum:\n$p")
   }
+
+  test("q_sql_lateral: decorrelates to a pre-shuffle WindowGroupLimit prune + broadcast join") {
+    val df = SparkEntry.queries("q_sql_lateral")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the correlated LIMIT must become a rank prune with a PARTIAL
+    // (map-side, pre-shuffle) stage — at 100 TB this is what keeps the
+    // shuffle at <= 2 rows per customer instead of every order
+    val wgl = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wgl.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"missing map-side WindowGroupLimit prune:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"filtered customer side should broadcast:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"lateral must not sort-merge at this selectivity:\n$p")
+  }
+
+  test("q_agg_histogram: join-free single aggregation, projection-pruned scan") {
+    val df = SparkEntry.queries("q_agg_histogram")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"histogram must not join:\n$p")
+    // partial agg shuffle (<= HistBuckets keys) + presentation sort only
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, s"unexpected extra shuffles:\n$p")
+    val scans = collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+    assert(scans.forall(_.schema.fieldNames.toSet == Set("o_totalprice")),
+      s"scan must read only o_totalprice:\n$p")
+  }
+
+  test("q_quality_benford: totals and expected table ride broadcasts, never a shuffle join") {
+    val df = SparkEntry.queries("q_quality_benford")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"benford joins 9-row/1-row sides — must broadcast:\n$p")
+  }
+
+  test("q_events_survival: corpus collapses per-user before any window; horizon is a broadcast row") {
+    val df = SparkEntry.queries("q_events_survival")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the only non-broadcast join allowed is the user-keyed first-touch
+    // x first-purchase join (user-dimension scale — correctly shuffled)
+    val shuffled = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.size <= 1,
+      s"only the per-user left join may shuffle (got ${shuffled.size}):\n$p")
+    val bnlj = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size == 1, s"horizon must ride ONE broadcast row:\n$p")
+    // both global windows consume the life table: their input subtree
+    // must contain an aggregate (events never reach a window raw)
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty && wins.forall(w => collectWithSubqueries(w.child) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty), s"global windows must sit above the life-table agg:\n$p")
+  }
+
+  test("q_embed_knn_eval: corpus is ONE linear scan against a broadcast panel — no shuffle join") {
+    val df = SparkEntry.queries("q_embed_knn_eval")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.size == 1, s"panel cross join must broadcast:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"knn eval must never shuffle-join the corpus:\n$p")
+  }
+
+  test("q_text_heaps_law: joins and windows run over the bucket table, after corpus-scale aggs") {
+    val df = SparkEntry.queries("q_text_heaps_law")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // every join key is the HeapsBuckets-sized bucket column
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.forall(_.forall(_.toString.contains("bucket"))),
+      s"heaps joins must key on the bounded bucket column:\n$p")
+    // exactly one (allowlisted) global window, fed by aggregated buckets
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.size == 1, s"one bounded cumulative window expected:\n$p")
+  }
 }
