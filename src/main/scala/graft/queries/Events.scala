@@ -588,6 +588,94 @@ object Events {
           when(col("d_events") === col("n_risk"), lit(null).cast("long"))
             .otherwise(col("cum")).as("km_nll_micro"))
         .orderBy("t_days")
+    }),
+    // Linear interpolation across series gaps (the q_timeseries_gapfill
+    // twin for VALUE series, where zero-fill would fabricate drops):
+    // per-user hourly cent sums on the observed min..max spine, interior
+    // gaps filled as pv + (nv-pv)·(h-ph)/(nh-ph) between the bracketing
+    // observations — ALL integer arithmetic (truncating div, Spark `div`
+    // ≡ DuckDB `//` — the q_events_trend precedent), so the replay is
+    // exact with zero quantization. Gap arithmetic runs on HOUR indexes,
+    // not micros, so the (value-delta × gap) product stays ≤ ~2^40 where
+    // the micros formulation would court 64-bit wrap on month-long gaps.
+    // Spine edges are observed by construction (min/max come from
+    // observations), so every gap has both neighbors. Scale shape: the
+    // event stream collapses to (user, hour) map-side; the spine is
+    // calendar-bounded per user; all four carry-forward/backward windows
+    // share ONE user_id exchange.
+    "q_timeseries_interpolate" -> ((s, dir) => {
+      val obs = tbl(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("cents"))
+        .groupBy("user_id", "h").agg(sum("cents").as("v"))
+      val spine = obs.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            make_dt_interval(lit(0), lit(1)))).as("h"))
+      // hk is materialized BEFORE the windows (not inlined as
+      // when(...) inside last/first): inline non-trivial window
+      // arguments each force a Project between Window operators, which
+      // blocks CollapseWindow and fragments the four carries into three
+      // passes — with hk projected up front they fuse into exactly two
+      // WindowExecs (one per frame direction) over ONE user_id exchange
+      // (pinned in PlanContractSpec).
+      val ser = spine.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("hour_us", unix_micros(col("h")))
+        .withColumn("hi", expr("hour_us div 3600000000"))
+        .withColumn("hk", when(col("v").isNotNull, col("hi")))
+      val back = Window.partitionBy("user_id").orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy("hi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ser
+        .withColumn("pv", last("v", ignoreNulls = true).over(back))
+        .withColumn("ph", last("hk", ignoreNulls = true).over(back))
+        .withColumn("nv", first("v", ignoreNulls = true).over(fwd))
+        .withColumn("nh", first("hk", ignoreNulls = true).over(fwd))
+        .select(col("user_id"), col("hour_us"),
+          col("v").isNotNull.cast("int").as("is_observed"),
+          coalesce(col("v"),
+            expr("pv + (nv - pv) * (hi - ph) div (nh - ph)")).as("value_cents"))
+        .orderBy("user_id", "hour_us")
+    }),
+    // Weekly seasonality profile + chi-square uniformity test per event
+    // type over the 168-cell (day-of-week × hour) grid — "is this stream
+    // actually diurnal, and where is its peak?", the load-shaping /
+    // anomaly-baseline question. Absent cells contribute to the
+    // statistic WITHOUT materializing: each contributes exactly t/168,
+    // so the grid never needs densifying ((168c−t)²/(168t) per observed
+    // cell + (168−n_obs)·t/168 for the rest — the burstiness
+    // zeros-without-zeros move). Per-cell terms micro-quantize BEFORE
+    // the exact long sum; dow uses Spark's 1=Sunday convention (DuckDB's
+    // 0-based dayofweek is shifted in the oracle). Scale shape: the
+    // stream collapses map-side to ≤ |types|·168 cells; everything after
+    // is schema-bounded.
+    "q_events_seasonality" -> ((s, dir) => {
+      val cells = tbl(s, dir, "events")
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("hod"))
+        .groupBy("event_type", "dow", "hod").agg(count(lit(1)).as("c"))
+      val tots = cells.groupBy("event_type")
+        .agg(sum("c").as("t"), count(lit(1)).as("n_cells"))
+      val obsPart = cells.join(broadcast(tots), "event_type")
+        .withColumn("dev", lit(168L) * col("c") - col("t"))
+        .withColumn("cell_micro", floor(
+          col("dev").cast("double") * col("dev").cast("double") /
+            (lit(168d) * col("t").cast("double")) * 1000000d + 0.5d).cast("long"))
+        .groupBy("event_type").agg(sum("cell_micro").as("obs_micro"))
+      val peak = graft.ops.TopK.perGroup(cells, Seq("event_type"),
+        Seq(("c", false), ("dow", true), ("hod", true)), k = 1,
+        rankCol = "peak_rn")
+      tots.join(obsPart, "event_type")
+        .join(peak.select(col("event_type"), col("dow").as("peak_dow"),
+          col("hod").as("peak_hod"), col("c").as("peak_n")), "event_type")
+        .select(col("event_type"), col("t").as("n_events"), col("n_cells"),
+          (col("obs_micro") + (lit(168L) - col("n_cells")) *
+            floor(col("t").cast("double") / 168d * 1000000d + 0.5d).cast("long"))
+            .as("chi2_micro"),
+          col("peak_dow"), col("peak_hod"), col("peak_n"))
+        .orderBy("event_type")
     })
   )
 
@@ -987,6 +1075,73 @@ object Events {
          SELECT t_days, n_risk, d_events,
            CASE WHEN d_events = n_risk THEN NULL
                 ELSE CAST(cum AS BIGINT) END AS km_nll_micro
-         FROM t WHERE d_events > 0 ORDER BY t_days"""
+         FROM t WHERE d_events > 0 ORDER BY t_days""",
+    // Same spine + carry windows; `//` ≡ Spark `div` (truncating) on the
+    // possibly-negative interpolation numerator.
+    "q_timeseries_interpolate" ->
+      """WITH obs AS (
+           SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(generate_series(min(h), max(h),
+             INTERVAL 1 HOUR)) AS h
+           FROM obs GROUP BY user_id),
+         ser AS (
+           SELECT s.user_id, epoch_us(s.h) AS hour_us,
+             epoch_us(s.h) // 3600000000 AS hi, o.v
+           FROM spine s LEFT JOIN obs o
+             ON s.user_id = o.user_id AND s.h = o.h),
+         w AS (
+           SELECT user_id, hour_us, hi, v,
+             last_value(v IGNORE NULLS) OVER cb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+               OVER cb AS ph,
+             first_value(v IGNORE NULLS) OVER cf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+               OVER cf AS nh
+           FROM ser
+           WINDOW cb AS (PARTITION BY user_id ORDER BY hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             cf AS (PARTITION BY user_id ORDER BY hi
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, hour_us,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed,
+           CAST(coalesce(v, pv + (nv - pv) * (hi - ph) // (nh - ph))
+             AS BIGINT) AS value_cents
+         FROM w ORDER BY user_id, hour_us""",
+    // Same grid; DuckDB's dayofweek is 0-based Sunday, Spark's is
+    // 1-based — shifted here so both engines emit identical cells.
+    "q_events_seasonality" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hod, count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+         tots AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS t,
+             count(*) AS n_cells
+           FROM cells GROUP BY 1),
+         obsp AS (
+           SELECT c.event_type,
+             CAST(sum(CAST(floor(
+               CAST(168 * c.c - t.t AS DOUBLE)
+                 * CAST(168 * c.c - t.t AS DOUBLE)
+                 / (168 * CAST(t.t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+               AS BIGINT) AS obs_micro
+           FROM cells c JOIN tots t USING (event_type) GROUP BY 1),
+         peak AS (
+           SELECT event_type, dow AS peak_dow, hod AS peak_hod,
+             c AS peak_n
+           FROM (SELECT cells.*, row_number() OVER (PARTITION BY event_type
+                   ORDER BY c DESC, dow ASC, hod ASC) AS rn FROM cells) z
+           WHERE rn = 1)
+         SELECT t.event_type, t.t AS n_events, t.n_cells,
+           CAST(o.obs_micro + (168 - t.n_cells) *
+             CAST(floor(CAST(t.t AS DOUBLE) / 168 * 1000000 + 0.5)
+               AS BIGINT) AS BIGINT) AS chi2_micro,
+           p.peak_dow, p.peak_hod, p.peak_n
+         FROM tots t JOIN obsp o USING (event_type)
+              JOIN peak p USING (event_type)
+         ORDER BY t.event_type"""
   )
 }

@@ -1293,8 +1293,28 @@ object LlmOps {
           col("label").as("pred_label"), col("n_votes"),
           when(col("label") === col("p_label"), 1).otherwise(0).as("correct"))
         .orderBy("vec_id")
+    }),
+    // Greedy k-center coreset / diverse-seed selection (Gonzalez 1985 —
+    // see graft.ops.Coreset): CoresetK maximally-spread exemplars for
+    // eval panels, deterministic clustering inits, or annotation batches
+    // where near-duplicate picks waste labeling budget. Fully integer
+    // (exact squared distances over milli-quantized components, no
+    // sqrt), zero recorded literals — the DuckDB oracle replays the
+    // identical k-stage argmax chain from the raw table. Scale shape: k
+    // narrow passes over the cached corpus + one-row argmaxes, never a
+    // pairwise join.
+    "q_sample_coreset" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+      graft.ops.Coreset.kCenter(emb, CoresetK).orderBy("sel_order")
     })
   )
+
+  /** q_sample_coreset's selection count — interpolated into the oracle
+    * generator so query and replay stay in lockstep. */
+  private[graft] val CoresetK = 8
 
   /** q_pii_kanonymity's minimum safe equivalence-class size and the
     * account-balance banding width forming the quasi-identifier —
@@ -1563,6 +1583,7 @@ object LlmOps {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          sha256(text) AS content_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_sample_coreset" -> graft.ops.Coreset.oracleSql(CoresetK),
     // All-integer; floor (not //, which truncates) so negative balances
     // band identically to Spark's floor.
     "q_pii_kanonymity" ->

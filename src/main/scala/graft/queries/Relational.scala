@@ -1603,6 +1603,28 @@ object Relational {
     "q_sql_lateral" -> ((s, dir) => {
       registerAll(s, dir)
       s.sql(LateralSql)
+    }),
+
+    // Per-group statistical mode with a deterministic tiebreak (count
+    // desc, value asc) + its share of the group — the categorical
+    // profiling twin of q_agg_percentiles. Spark has no mode() aggregate
+    // worth trusting for ties; this derives it from the (group, value)
+    // count table via TopK's bounded heap, so the value domain never
+    // becomes a sort key. Exact integer ppm share.
+    "q_agg_mode" -> ((s, dir) => {
+      val cnt = tbl(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val totByS = cnt.groupBy("o_orderstatus").agg(sum("n").as("t"))
+      graft.ops.TopK.perGroup(cnt, Seq("o_orderstatus"),
+          Seq(("n", false), ("o_orderpriority", true)), k = 1,
+          rankCol = "mode_rn")
+        .join(totByS, "o_orderstatus")
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"),
+          col("n").as("mode_n"), col("t").as("n_rows"),
+          expr("n * 1000000 div t").as("share_ppm"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1695,6 +1717,20 @@ object Relational {
     "q_graph_modularity" -> GraphModularityOracle,
     "q_sql_recursive_cte" -> RecursiveCteSql,
     "q_sql_lateral" -> LateralSql,
+    "q_agg_mode" ->
+      """WITH cnt AS (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY 1, 2),
+         tot AS (SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS t
+                 FROM cnt GROUP BY 1),
+         m AS (SELECT o_orderstatus, o_orderpriority, n FROM (
+                 SELECT cnt.*, row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY n DESC, o_orderpriority ASC) AS rn FROM cnt) z
+               WHERE rn = 1)
+         SELECT m.o_orderstatus, m.o_orderpriority AS mode_priority,
+           m.n AS mode_n, t.t AS n_rows, m.n * 1000000 // t.t AS share_ppm
+         FROM m JOIN tot t USING (o_orderstatus)
+         ORDER BY m.o_orderstatus""",
     "q_agg_histogram" ->
       s"""WITH b AS (
            SELECT least(CAST(floor(o_totalprice / $HistBucketWidth.0)

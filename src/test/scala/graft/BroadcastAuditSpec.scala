@@ -50,6 +50,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Dedup.scala", "newBanded") -> (1, "PROBE: incremental day-batch signatures; broadcastNew=false opt-out for large batches"),
     ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
     ("Events.scala", "horizon") -> (1, "ONE_ROW: survival observation-horizon date (administrative censoring anchor)"),
+    ("Events.scala", "tots") -> (1, "SCHEMA: one row per event type (seasonality totals)"),
     ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
     ("BloomDedup.scala", "bytes") -> (1, "SKETCH: serialized bloom filter, numBits/8 bytes (4 MiB default) — corpus-size-independent artifact"),

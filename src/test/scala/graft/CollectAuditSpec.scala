@@ -18,6 +18,8 @@ class CollectAuditSpec extends AnyFunSuite {
   private val allow: Map[String, (Int, String)] = Map(
     "Bucketing.scala" -> (1,
       "DESCRIBE EXTENDED rows — table-metadata-sized"),
+    "Coreset.scala" -> (2,
+      "k-center seed + per-round farthest-point argmax — both limit(1)-bounded, k rounds total"),
     "OrderStats.scala" -> (1,
       "histogram counter cells <= brackets x bins per round (documented inline)"),
     "Bpe.scala" -> (2,

@@ -950,6 +950,34 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, s"knn eval must never shuffle-join the corpus:\n$p")
   }
 
+  test("q_timeseries_interpolate: every carry window is partitioned; spine join keys on (user, hour)") {
+    val df = SparkEntry.queries("q_timeseries_interpolate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val globalWins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWins.isEmpty, s"carry windows must partition by user:\n$p")
+    // all four carry columns ride at most two WindowExecs (one per
+    // frame direction) over ONE user_id ordering
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size <= 2, s"carry windows fragmented (${wins.size}):\n$p")
+  }
+
+  test("q_events_seasonality: everything after the cell collapse is schema-bounded broadcast work") {
+    val df = SparkEntry.queries("q_events_seasonality")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty,
+      s"per-type joins are <= |types| rows — must broadcast:\n$p")
+  }
+
   test("q_text_heaps_law: joins and windows run over the bucket table, after corpus-scale aggs") {
     val df = SparkEntry.queries("q_text_heaps_law")(spark, sfDir)
     df.collect()

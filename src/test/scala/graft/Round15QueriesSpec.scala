@@ -212,6 +212,91 @@ class Round15QueriesSpec extends SparkSpec {
     assert(out(8L) == ((1, 0, 4L, 0)), "mislabel flagged: 4 A votes, wrong")
   }
 
+  test("q_sample_coreset: farthest-point traversal, exact distances, vec_id ties") {
+    val dir = tmp("r15coreset")
+    // 1-D layout on the first axis (second axis 0): ids 0..4 at
+    // positions 0, 1, 10, 100, 101 (milli-quantized: x1000).
+    // seed = id 0 (smallest id). Farthest from {0} = id 4 (at 101).
+    // Min-dists then: id1 -> 1 (to seed), id2 -> 10 (to seed, nearer
+    // than 91 to id4), id3 -> 1 (to id4) => pick id2 at d2 = 10².
+    // Then id1 and id3 tie at d2 = 1 -> smaller vec_id (id1) first,
+    // id3 last.
+    writeEmb(dir, Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(10.0f, 0.0f), 0), (3L, Seq(100.0f, 0.0f), 1),
+      (4L, Seq(101.0f, 0.0f), 1)))
+    val out = SparkEntry.queries("q_sample_coreset")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val M = 1000000L // milli² scale: (1.0f -> 1000)²
+    assert(out.toSeq == Seq(
+      (0, 0L, 0L),
+      (1, 4L, 101L * 101L * M),
+      (2, 2L, 10L * 10L * M),
+      (3, 1L, 1L * M),
+      (4, 3L, 1L * M)))
+  }
+
+  test("q_timeseries_interpolate: interior gaps fill linearly, exact integer division") {
+    val dir = tmp("r15interp")
+    // one user, observations at hours 0 and 3: 100.00 and 400.00 ->
+    // gap hours 1,2 interpolate to 200.00, 300.00. Second gap with
+    // truncating division: hours 3..5, 400.00 -> 399.99 at h5:
+    // delta=-1 cent over 2h -> h4 = 40000 + (-1*1 div 2) = 40000.
+    writeEvents2(dir, Seq(
+      (7L, "2024-01-01 00:10:00", 100.0), (7L, "2024-01-01 03:20:00", 400.0),
+      (7L, "2024-01-01 05:30:00", 399.99)))
+    val raw = SparkEntry.queries("q_timeseries_interpolate")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    val base = raw.map(_._1).min
+    val out = raw.map(t => ((t._1 - base) / 3600000000L, t._2, t._3))
+    assert(out.toSeq == Seq(
+      (0L, 1, 10000L), (1L, 0, 20000L), (2L, 0, 30000L),
+      (3L, 1, 40000L), (4L, 0, 40000L), (5L, 1, 39999L)))
+  }
+
+  private def writeEvents2(dir: String,
+                           rows: Seq[(Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((u, ts, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts), u, "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("q_events_seasonality: chi2 counts absent cells without materializing them") {
+    val dir = tmp("r15season")
+    // type a: 4 events all in ONE cell (2024-01-01 is a Monday, dow=2,
+    // hour 5). t=4, n_cells=1. Observed cell: (168·4−4)²/(168·4) =
+    // 668²/672 = 664.0238095... -> 664023810 micro (floor(...*1e6+.5));
+    // absent cells: 167 · floor(4/168·1e6+.5) = 167 · 23810.
+    writeEvents2(dir, (1 to 4).map(i => (i.toLong, "2024-01-01 05:15:00", 1.0)))
+    val out = SparkEntry.queries("q_events_seasonality")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val cell = math.floor(668.0 * 668.0 / (168.0 * 4.0) * 1e6 + 0.5).toLong
+    val absent = math.floor(4.0 / 168.0 * 1e6 + 0.5).toLong
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getInt(4), r.getInt(5), r.getLong(6)) ==
+      (("view", 4L, 1L, cell + 167L * absent, 2, 5, 4L)))
+  }
+
+  test("q_agg_mode: deterministic tiebreak on equal counts") {
+    import spark.implicits._
+    val dir = tmp("r15mode")
+    // status F: LOW x3, HIGH x3 (tie -> HIGH < LOW lexically), MED x1
+    val rows = Seq.fill(3)(("F", "LOW")) ++ Seq.fill(3)(("F", "HIGH")) ++
+      Seq(("F", "MED")) ++ Seq.fill(2)(("O", "MED"))
+    rows.zipWithIndex.map { case ((st, pr), i) => (i.toLong, st, pr) }
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_agg_mode")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      "F" -> (("HIGH", 3L, 7L, 3L * 1000000L / 7L)),
+      "O" -> (("MED", 2L, 2L, 1000000L))))
+  }
+
   test("q_embed_knn_eval: vote tie resolves to the smaller label") {
     val dir = tmp("r15knntie")
     // probe 0 has exactly 4 neighbors (k=5 heap under-full): two label 2,
