@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational envelope: scans, filters, the join family, aggregations.
@@ -1625,6 +1626,71 @@ object Relational {
           col("n").as("mode_n"), col("t").as("n_rows"),
           expr("n * 1000000 div t").as("share_ppm"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Referential-integrity audit over the schema's two FK edges
+    // (orders→customer, lineitem→orders): orphan children + parent
+    // coverage, the trust-but-verify scan run before any join-based
+    // metric is believed (an orphan rate > 0 silently deflates every
+    // inner join downstream). One left join + one aggregate per edge —
+    // the child stream never shuffles twice; parent-side distinct is
+    // map-side combined. All-integer ppm.
+    "q_quality_referential" -> ((s, dir) => {
+      def audit(child: org.apache.spark.sql.DataFrame, fk: String,
+                parent: org.apache.spark.sql.DataFrame, pk: String,
+                name: String) = {
+        val par = parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1))
+        val ptot = par.agg(count(lit(1)).as("n_parents"))
+        child.select(col(fk).as("k"))
+          .join(par, Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            countDistinct(when(col("hit").isNotNull, col("k")))
+              .as("n_parents_hit"))
+          .crossJoin(broadcast(ptot))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+            expr("n_orphans * 1000000 div n_child").as("orphan_ppm"),
+            col("n_parents_hit"), col("n_parents"),
+            expr("n_parents_hit * 1000000 div n_parents").as("coverage_ppm"))
+      }
+      audit(tbl(s, dir, "orders"), "o_custkey",
+          tbl(s, dir, "customer"), "c_custkey", "orders->customer")
+        .unionAll(audit(tbl(s, dir, "lineitem"), "l_orderkey",
+          tbl(s, dir, "orders"), "o_orderkey", "lineitem->orders"))
+        .orderBy("fk_edge")
+    }),
+
+    // Pareto concentration per nation — "how few customers carry 80% of
+    // revenue?", the skew diagnostic that decides salting constants and
+    // account-tier cutoffs. Customer revenue collapses map-side to one
+    // row per customer; the ranking windows run per nation (bounded by
+    // the customer dimension, partitioned — never global). The crossing
+    // count is exact integer arithmetic: a row is in the top-80 set iff
+    // the cumulative mass BEFORE it is under the line (5·cum_before <
+    // 4·tot) — that includes the row that crosses it and nothing after.
+    "q_window_pareto" -> ((s, dir) => {
+      val rev = tbl(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100d + 0.5d).as("cents"))
+        .groupBy("o_custkey").agg(sum("cents").as("rev"))
+      val cust = rev.join(tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      val byN = Window.partitionBy("c_nationkey")
+      val ord = Window.partitionBy("c_nationkey")
+        .orderBy(col("rev").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cust
+        .withColumn("tot", sum("rev").over(byN))
+        .withColumn("cum", sum("rev").over(ord))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          max("tot").as("total_cents"),
+          (sum(when((col("cum") - col("rev")) * 5L < col("tot") * 4L, 1L)
+            .otherwise(0L))).as("n_top80"))
+        .withColumn("top80_ppm", expr("n_top80 * 1000000 div n_customers"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -1717,6 +1783,56 @@ object Relational {
     "q_graph_modularity" -> GraphModularityOracle,
     "q_sql_recursive_cte" -> RecursiveCteSql,
     "q_sql_lateral" -> LateralSql,
+    "q_quality_referential" ->
+      """WITH e1 AS (
+           SELECT 'orders->customer' AS fk_edge,
+             count(*) AS n_child,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphans,
+             count(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+               THEN o.o_custkey END) AS n_parents_hit
+           FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+         p1 AS (SELECT count(DISTINCT c_custkey) AS n_parents FROM customer),
+         e2 AS (
+           SELECT 'lineitem->orders' AS fk_edge,
+             count(*) AS n_child,
+             CAST(sum(CASE WHEN oo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_orphans,
+             count(DISTINCT CASE WHEN oo.o_orderkey IS NOT NULL
+               THEN l.l_orderkey END) AS n_parents_hit
+           FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo
+             ON l.l_orderkey = oo.o_orderkey),
+         p2 AS (SELECT count(DISTINCT o_orderkey) AS n_parents FROM orders)
+         SELECT fk_edge, n_child, n_orphans,
+           n_orphans * 1000000 // n_child AS orphan_ppm,
+           n_parents_hit, n_parents,
+           n_parents_hit * 1000000 // n_parents AS coverage_ppm
+         FROM (SELECT e1.*, p1.n_parents FROM e1, p1
+               UNION ALL SELECT e2.*, p2.n_parents FROM e2, p2) u
+         ORDER BY fk_edge""",
+    "q_window_pareto" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM orders GROUP BY 1),
+         j AS (SELECT c.c_nationkey, c.c_custkey, r.rev
+               FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+         w AS (SELECT c_nationkey, rev,
+             CAST(sum(rev) OVER (PARTITION BY c_nationkey) AS BIGINT) AS tot,
+             CAST(sum(rev) OVER (PARTITION BY c_nationkey
+               ORDER BY rev DESC, c_custkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM j)
+         SELECT c_nationkey, count(*) AS n_customers,
+           CAST(max(tot) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN (cum - rev) * 5 < tot * 4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_top80,
+           CAST(sum(CASE WHEN (cum - rev) * 5 < tot * 4 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000 // count(*) AS top80_ppm
+         FROM w GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_agg_mode" ->
       """WITH cnt AS (
            SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -818,8 +818,67 @@ object TextQueries {
             col("tot").cast("double") / col("ndocs")) * 1000000d + 0.5d)
             .cast("long").as("vmr_micro"))
         .orderBy(desc("tot"), asc("term"))
+    }),
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases =
+    // maximal stopword-free token runs; each word scores degree/freq
+    // where freq counts its phrase-instance occurrences and degree sums
+    // the lengths of the phrases it occurs in (co-occurrence incl.
+    // self); a phrase scores the sum of its words' scores. The unsuper-
+    // vised keyword baseline for corpus triage / dedup-cluster naming.
+    // Determinism: degree/freq is one correctly-rounded IEEE divide of
+    // two exact longs (the ratio is bounded by max phrase length, so no
+    // precision cliff), micro-quantized per WORD before the exact long
+    // sum per phrase — identical fold on both engines. Scale shape:
+    // phrase segmentation is two windows sharing ONE doc_id exchange
+    // (running stopword count, then per-phrase length — both bounded by
+    // doc length); the word-score table is VOCAB-sized and broadcast
+    // (the tf-idf contract); output is a bounded TopK heap over
+    // distinct phrases.
+    "q_text_rake" -> ((s, dir) => {
+      val stops = RakeStopwords
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")))
+        .toDF("doc_id", "pos", "w")
+        .filter(col("w") =!= "")
+      val seg = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tagged = toks
+        .withColumn("ph",
+          sum(when(col("w").isInCollection(stops), 1L).otherwise(0L)).over(seg))
+        .filter(!col("w").isInCollection(stops))
+      val withLen = tagged.withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "ph")))
+      val wordScore = withLen.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+        .withColumn("wscore_micro", floor(
+          col("degree").cast("double") / col("freq") * 1000000d + 0.5d)
+          .cast("long"))
+      val phrases = withLen
+        .join(broadcast(wordScore.select("w", "wscore_micro")), "w")
+        .groupBy("doc_id", "ph")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"),
+            col("w")))), e => e.getField("w")), " ").as("phrase"),
+          count(lit(1)).as("n_words"),
+          sum("wscore_micro").as("score_micro"))
+      val dedup = phrases.groupBy("phrase")
+        .agg(max("n_words").as("n_words"), max("score_micro").as("score_micro"),
+          count(lit(1)).as("n_occ"))
+      graft.ops.TopK.perGroup(dedup.withColumn("g", lit(1)), Seq("g"),
+          Seq(("score_micro", false), ("phrase", true)), k = RakeTopK,
+          rankCol = "rake_rn")
+        .select(col("phrase"), col("n_words"), col("score_micro"), col("n_occ"))
+        .orderBy(desc("score_micro"), asc("phrase"))
     })
   )
+
+  /** q_text_rake's stopword set and output cap — ONE definition shared
+    * with the oracle's interpolated literals. The synthetic corpus's
+    * function words; production swaps in a real list (the set size only
+    * affects the broadcast-free segmentation scan). */
+  private[queries] val RakeStopwords: Seq[String] = Seq("a", "the")
+  private[queries] val RakeTopK = 15
 
   /** q_text_heavy_hitters' counter budget — threshold φ = 1/(k+1) of all
     * running tokens. Interpolated into the oracle SQL so the threshold
@@ -1491,6 +1550,51 @@ object TextQueries {
            CAST(floor((CAST(ss AS DOUBLE) / tot
              - CAST(tot AS DOUBLE) / ndocs) * 1000000 + 0.5) AS BIGINT)
              AS vmr_micro
-         FROM top, nd ORDER BY tot DESC, term"""
+         FROM top, nd ORDER BY tot DESC, term""",
+    // Same segmentation (running stopword count partitions each doc
+    // into phrases), same per-word micro-quantization before the exact
+    // per-phrase sum. DuckDB's parallel unnests zip, giving 1-based
+    // positions vs Spark's 0-based posexplode — positions only ever
+    // order/segment, never surface, so the offset is immaterial.
+    "q_text_rake" -> {
+      val sw = RakeStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+             unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+           FROM documents),
+         t2 AS (SELECT * FROM toks WHERE w <> ''),
+         tagged AS (SELECT doc_id, pos, w,
+             sum(CASE WHEN w IN ($sw) THEN 1 ELSE 0 END) OVER
+               (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+           FROM t2),
+         body AS (SELECT doc_id, pos, w, ph FROM tagged
+                  WHERE w NOT IN ($sw)),
+         wl AS (SELECT body.*, count(*) OVER (PARTITION BY doc_id, ph)
+                  AS plen
+                FROM body),
+         ws AS (SELECT w, count(*) AS freq,
+                  CAST(sum(plen) AS BIGINT) AS degree
+                FROM wl GROUP BY 1),
+         ws2 AS (SELECT w, CAST(floor(CAST(degree AS DOUBLE) / freq
+                   * 1000000 + 0.5) AS BIGINT) AS wscore_micro
+                 FROM ws),
+         phr AS (SELECT wl.doc_id, wl.ph,
+             string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+             count(*) AS n_words,
+             CAST(sum(ws2.wscore_micro) AS BIGINT) AS score_micro
+           FROM wl JOIN ws2 USING (w) GROUP BY 1, 2),
+         ded AS (SELECT phrase,
+             CAST(max(n_words) AS BIGINT) AS n_words,
+             CAST(max(score_micro) AS BIGINT) AS score_micro,
+             count(*) AS n_occ
+           FROM phr GROUP BY 1),
+         top AS (SELECT phrase, n_words, score_micro, n_occ FROM (
+             SELECT ded.*, row_number() OVER
+               (ORDER BY score_micro DESC, phrase ASC) AS rn FROM ded) z
+           WHERE rn <= $RakeTopK)
+         SELECT phrase, n_words, score_micro, n_occ
+         FROM top ORDER BY score_micro DESC, phrase"""
+    }
   )
 }

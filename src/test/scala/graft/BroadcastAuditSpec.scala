@@ -73,6 +73,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Relational.scala", "tbl") -> (2, "ENTITY_DIM: part (p_partkey, p_brand) projections — product catalog (basket-rules + modularity attribution; the latter measured 28 s -> map-side at the sf10 rung); swap to shuffle joins past executor memory"),
     ("Relational.scala", "tot") -> (1, "ONE_ROW: grand total"),
     ("Relational.scala", "ntot") -> (1, "ONE_ROW: Benford base-row count"),
+    ("Relational.scala", "ptot") -> (1, "ONE_ROW: FK parent distinct count (referential audit)"),
     ("Relational.scala", "expTbl") -> (1, "LITERAL: Benford expected-distribution table (9 rows by definition)"),
     ("Similarity.scala", "probes") -> (2, "PROBE: ANN query batch (API contract: probe sets are small; coarse + fine stage)"),
     ("Similarity.scala", "q") -> (1, "PROBE: LSH query batch"),
@@ -104,6 +105,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextQueries.scala", "totc") -> (1, "ONE_ROW: corpus token total"),
     ("TextQueries.scala", "nd") -> (3, "ONE_ROW: doc-id max + 1 (Heaps bucket modulus; doc/token/vocab sites)"),
     ("TextQueries.scala", "nd2") -> (1, "ONE_ROW: corpus doc count (burstiness zero-inclusive mean)"),
+    ("TextQueries.scala", "wordScore") -> (1, "VOCAB: RAKE word-score table (the tf-idf vocabulary contract)"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 
   test("every forced broadcast() hint site is allowlisted with a boundedness argument") {

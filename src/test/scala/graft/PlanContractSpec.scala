@@ -978,6 +978,29 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"per-type joins are <= |types| rows — must broadcast:\n$p")
   }
 
+  test("q_text_rake: segmentation windows are doc-partitioned; word scores ride a broadcast") {
+    val df = SparkEntry.queries("q_text_rake")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"phrase segmentation must partition by doc:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"the vocabulary-sized word-score table must broadcast:\n$p")
+  }
+
+  test("q_window_pareto: concentration windows are nation-partitioned, never global") {
+    val df = SparkEntry.queries("q_window_pareto")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.isEmpty, s"pareto windows must partition by nation:\n$p")
+  }
+
   test("q_text_heaps_law: joins and windows run over the bucket table, after corpus-scale aggs") {
     val df = SparkEntry.queries("q_text_heaps_law")(spark, sfDir)
     df.collect()

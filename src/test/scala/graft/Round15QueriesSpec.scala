@@ -297,6 +297,71 @@ class Round15QueriesSpec extends SparkSpec {
       "O" -> (("MED", 2L, 2L, 1000000L))))
   }
 
+  test("q_quality_referential: orphans counted, parent coverage exact") {
+    import spark.implicits._
+    val dir = tmp("r15ref")
+    // customers 1..4; orders reference 1,1,2,9(orphan),8(orphan);
+    // lineitems reference orders 10,10,11,99(orphan)
+    (1 to 4).map(i => (i.toLong, "x")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 5.0), (11L, 1L, 5.0), (12L, 2L, 5.0), (13L, 9L, 5.0),
+        (14L, 8L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1), (10L, 2), (11L, 1), (99L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_quality_referential")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out == Map(
+      // 5 orders, 2 orphans (400000 ppm); parents hit 1,2 of 4 (500000)
+      "orders->customer" -> ((5L, 2L, 400000L, 2L, 4L, 500000L)),
+      // 4 items, 1 orphan (250000 ppm); orders hit 10,11 of 5 (400000)
+      "lineitem->orders" -> ((4L, 1L, 250000L, 2L, 5L, 400000L))))
+  }
+
+  test("q_window_pareto: the exactly-80% boundary excludes the next row") {
+    import spark.implicits._
+    val dir = tmp("r15pareto")
+    // nation 1: revenues 50, 30, 15, 5 (cents x100) -> cum-before
+    // 0/50/80/95 of tot=100: rows with cum_before*5 < 400 are the first
+    // TWO (0, 50) — the 80-cum row starts AT the line and is excluded.
+    // nation 2: single customer -> n_top80 = 1.
+    Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 2))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 0.50), (11L, 2L, 0.30), (12L, 3L, 0.15), (13L, 4L, 0.05),
+        (14L, 5L, 7.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_window_pareto")(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == Map(
+      1 -> ((4L, 100L, 2L, 500000L)),
+      2 -> ((1L, 700L, 1L, 1000000L))))
+  }
+
+  test("q_text_rake: phrase segmentation at stopwords, exact degree/freq scores") {
+    val dir = tmp("r15rake")
+    // doc0: phrases "deep learning model" + "deep learning"
+    //   freq: deep 2, learning 2, model 1
+    //   degree: deep 3+2=5, learning 5, model 3
+    //   scores (micro): deep/learning 2.5e6, model 3e6
+    //   -> "deep learning model" = 8e6; "deep learning" = 5e6
+    // doc1: leading/consecutive stopwords collapse to one phrase "graph"
+    writeDocs(dir, Seq(
+      "deep learning model the deep learning",
+      "the a graph"))
+    val out = SparkEntry.queries("q_text_rake")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("deep learning model", 3L, 8000000L, 1L),
+      ("deep learning", 2L, 5000000L, 1L),
+      ("graph", 1L, 1000000L, 1L)))
+  }
+
   test("q_embed_knn_eval: vote tie resolves to the smaller label") {
     val dir = tmp("r15knntie")
     // probe 0 has exactly 4 neighbors (k=5 heap under-full): two label 2,
