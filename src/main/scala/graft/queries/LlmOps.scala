@@ -1309,12 +1309,34 @@ object LlmOps {
           transform(col("embedding"),
             x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
       graft.ops.Coreset.kCenter(emb, CoresetK).orderBy("sel_order")
+    }),
+    // MMR diversified top-k retrieval (Carbonell & Goldstein 1998 —
+    // graft.ops.Mmr): re-rank the MmrShortlist most query-relevant
+    // vectors so the final MmrK cover the neighborhood instead of
+    // repeating near-duplicates — the retrieval-page twin of the
+    // k-center traversal, and the dedup-aware serving stage of a RAG
+    // stack. Zero recorded literals: the query point is the smallest
+    // vec_id, every similarity is the exact milli-quantized integer
+    // cosine, and λ=7/10 keeps the objective in longs, so DuckDB
+    // replays the identical greedy chain from the raw table.
+    "q_sim_mmr" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+      graft.ops.Mmr.diversifiedTopK(emb, MmrK, MmrShortlist)
+        .orderBy("sel_order")
     })
   )
 
   /** q_sample_coreset's selection count — interpolated into the oracle
     * generator so query and replay stay in lockstep. */
   private[graft] val CoresetK = 8
+
+  /** q_sim_mmr's result depth and relevance-shortlist size —
+    * interpolated into the oracle generator. */
+  private[graft] val MmrK = 8
+  private[graft] val MmrShortlist = 32
 
   /** q_pii_kanonymity's minimum safe equivalence-class size and the
     * account-balance banding width forming the quasi-identifier —
@@ -1584,6 +1606,7 @@ object LlmOps {
          sha256(text) AS content_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
     "q_sample_coreset" -> graft.ops.Coreset.oracleSql(CoresetK),
+    "q_sim_mmr" -> graft.ops.Mmr.oracleSql(MmrK, MmrShortlist),
     // All-integer; floor (not //, which truncates) so negative balances
     // band identically to Spark's floor.
     "q_pii_kanonymity" ->

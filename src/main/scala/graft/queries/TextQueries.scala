@@ -126,6 +126,23 @@ object TextQueries {
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
+    // Language-ID classifier audit: confusion matrix of labeled vs
+    // predicted language + per-true-language row shares — the
+    // label-noise screen for the heuristic the curation tier routes on
+    // (q_text_quality_by_lang, the mixing quotas). Cells are
+    // schema-bounded (|langs|²); exact integer ppm.
+    "q_text_langid_eval" -> ((s, dir) => {
+      val pred = tbl(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      val cells = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val ltot = cells.groupBy("lang").agg(sum("n").as("t"))
+      cells.join(broadcast(ltot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000 div t").as("row_ppm"),
+          when(col("lang") === col("pred_lang"), 1).otherwise(0)
+            .as("is_correct"))
+        .orderBy("lang", "pred_lang")
+    }),
     "q_text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1086,6 +1103,13 @@ object TextQueries {
          FROM documents ORDER BY doc_id""",
     "q_text_lang_id" ->
       s"SELECT doc_id, lang, $markerCase AS pred_lang FROM documents ORDER BY doc_id",
+    "q_text_langid_eval" ->
+      s"""WITH p AS (SELECT lang, $markerCase AS pred_lang FROM documents),
+         c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+         t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+         SELECT c.lang, c.pred_lang, c.n, c.n * 1000000 // t.t AS row_ppm,
+           CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END AS is_correct
+         FROM c JOIN t USING (lang) ORDER BY c.lang, c.pred_lang""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
          CAST(list_reduce(

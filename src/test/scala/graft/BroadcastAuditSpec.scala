@@ -106,6 +106,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextQueries.scala", "nd") -> (3, "ONE_ROW: doc-id max + 1 (Heaps bucket modulus; doc/token/vocab sites)"),
     ("TextQueries.scala", "nd2") -> (1, "ONE_ROW: corpus doc count (burstiness zero-inclusive mean)"),
     ("TextQueries.scala", "wordScore") -> (1, "VOCAB: RAKE word-score table (the tf-idf vocabulary contract)"),
+    ("TextQueries.scala", "ltot") -> (1, "SCHEMA: one row per labeled language (confusion-matrix row totals)"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 
   test("every forced broadcast() hint site is allowlisted with a boundedness argument") {

@@ -18,6 +18,8 @@ class CollectAuditSpec extends AnyFunSuite {
   private val allow: Map[String, (Int, String)] = Map(
     "Bucketing.scala" -> (1,
       "DESCRIBE EXTENDED rows — table-metadata-sized"),
+    "Mmr.scala" -> (2,
+      "query-point seed (limit(1)) + the TopK-bounded relevance shortlist (<= MmrShortlist rows) the driver greedy runs over"),
     "Coreset.scala" -> (2,
       "k-center seed + per-round farthest-point argmax — both limit(1)-bounded, k rounds total"),
     "OrderStats.scala" -> (1,

@@ -362,6 +362,43 @@ class Round15QueriesSpec extends SparkSpec {
       ("graph", 1L, 1000000L, 1L)))
   }
 
+  test("q_sim_mmr: diversity flips the relevance-order tie; exact integer chain") {
+    val dir = tmp("r15mmr")
+    // Query = vec 0 = (1, 0). All vectors have EXACT norm 1000 after
+    // milli-quantization, so every cosine is integer-exact (dot/1e6):
+    //   id1 (0.96, 0.28): rel 960000 — picked first.
+    //   id2 (0.8, 0.6):  rel 800000, sim to id1 = 936000
+    //   id3 (0.8, -0.6): rel 800000, sim to id1 = 600000
+    // Pure relevance (vec_id tiebreak) would pick id2 second; MMR picks
+    // id3: 7·800000 - 3·600000 = 3800000 > 7·800000 - 3·936000.
+    writeEmb(dir, Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.96f, 0.28f), 0),
+      (2L, Seq(0.8f, 0.6f), 0), (3L, Seq(0.8f, -0.6f), 0)))
+    val out = SparkEntry.queries("q_sim_mmr")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, 1L, 960000L, 0L, 6720000L),
+      (1, 3L, 800000L, 600000L, 3800000L),
+      (2, 2L, 800000L, 936000L, 2792000L)))
+  }
+
+  test("q_text_langid_eval confusion matrix re-derives from q_text_lang_id's per-doc output") {
+    val dir = "/root/testdata/sf0.001"
+    val perDoc = SparkEntry.queries("q_text_lang_id")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = perDoc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = n.map { case ((lang, pred), c) =>
+      (lang, pred) -> ((c, c * 1000000L / rowTot(lang),
+        if (lang == pred) 1 else 0))
+    }
+    val got = SparkEntry.queries("q_text_langid_eval")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got == expected)
+  }
+
   test("q_embed_knn_eval: vote tie resolves to the smaller label") {
     val dir = tmp("r15knntie")
     // probe 0 has exactly 4 neighbors (k=5 heap under-full): two label 2,
