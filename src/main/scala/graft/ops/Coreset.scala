@@ -46,6 +46,15 @@ object Coreset {
     * hits 0 — rather than re-selecting covered points. */
   def kCenter(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // The carried `md` column re-derives i distance folds per row on
+    // round i (O(k²·|corpus|) total) because each round's action
+    // recomputes the whole withColumn chain from the cached corpus.
+    // Fine for seed-selection k's (the documented envelope); enforce it
+    // as a contract so a large k can't quietly go quadratic — past this,
+    // checkpoint/localCheckpoint `cur` every few rounds instead.
+    require(k <= 64,
+      s"kCenter's lineage re-derive is O(k²·corpus); k=$k exceeds the " +
+        "supported envelope of 64 — checkpoint cur per round for larger k")
     val spark = emb.sparkSession
     import spark.implicits._
     val cached = emb.select("vec_id", "label", "q").persist()

@@ -53,6 +53,12 @@ object Mmr {
     val qRow = emb.orderBy("vec_id").limit(1).select("vec_id", "q").collect()
     require(qRow.nonEmpty, "MMR needs a non-empty corpus")
     val (qid, qv) = (qRow(0).getLong(0), qRow(0).getSeq[Long](1).toArray)
+    // A zero-vector query makes rel_ppm = dot/0 (NaN→NULL in Spark, and
+    // DuckDB may error casting floor(nan) to BIGINT) — fail fast instead
+    // of letting the two engines diverge on a degenerate corpus. Mirrors
+    // the candidate-side nq > 0 filter below.
+    require(qv.exists(_ != 0L),
+      s"MMR query vector (vec_id=$qid) is all-zero: relevance undefined")
     val withNorm = emb.filter(col("vec_id") =!= qid)
       .withColumn("dot", aggregate(
         zip_with(col("q"), typedlit(qv.toSeq), (x, y) => x * y),
@@ -110,7 +116,7 @@ object Mmr {
              ORDER BY vec_id LIMIT 1),
       rel AS (SELECT n.vec_id, n.q, n.nq,
           ${cos("n.q", "p.qq", "n.nq", "p.qn")} AS rel_ppm
-        FROM n, qv p WHERE n.vec_id <> p.qid AND n.nq > 0),
+        FROM n, qv p WHERE n.vec_id <> p.qid AND n.nq > 0 AND p.qn > 0),
       sl AS (SELECT vec_id, q, nq, rel_ppm FROM rel
              ORDER BY rel_ppm DESC, vec_id LIMIT $shortlist),
       m0 AS (SELECT vec_id, q, nq, rel_ppm, CAST(0 AS BIGINT) AS ms

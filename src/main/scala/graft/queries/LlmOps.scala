@@ -1193,9 +1193,13 @@ object LlmOps {
     // Overflow bounds (n = members per label, d = 64): the centroid
     // norm nb = Σ cs² would hit signed-64 wrap at d·(n·1000)² ≥ 2^63,
     // i.e. n ≈ 3.8×10⁵ — Spark's non-ANSI long sum wraps SILENTLY while
-    // DuckDB promotes to HUGEINT, so nb is summed in DECIMAL(38,0)
-    // (cs² ≤ 8.5×10³⁷ fits; the input is only |labels|·d rows, so the
-    // decimal agg costs nothing). The remaining long paths are safe far
+    // DuckDB promotes to HUGEINT, so nb is summed in DECIMAL(38,0).
+    // Bound on the SUM (not the term): nb = Σ_{d=64} cs² ≤ d·(n·1000)²,
+    // which stays under the decimal(38,0) ceiling of 10³⁸ (past which
+    // Spark's non-ANSI decimal sum returns silent NULL) for
+    // n ≲ 1.2×10¹⁵ members per label — unreachable. The input is only
+    // |labels|·d rows, so the decimal agg costs nothing. The remaining
+    // long paths are safe far
     // beyond that: cs = Σ q wraps at n ≈ 9×10¹⁵, and dot = Σ q·cs at
     // n ≈ 2^63/(d·10⁶) ≈ 1.4×10¹¹ members per label.
     "q_embed_coherence" -> ((s, dir) => {

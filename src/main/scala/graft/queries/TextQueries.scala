@@ -845,7 +845,16 @@ object TextQueries {
     // Determinism: degree/freq is one correctly-rounded IEEE divide of
     // two exact longs (the ratio is bounded by max phrase length, so no
     // precision cliff), micro-quantized per WORD before the exact long
-    // sum per phrase — identical fold on both engines. Scale shape:
+    // sum per phrase — identical fold on both engines. Tokenization:
+    // the SPACE split is intentional (RAKE is position-sensitive —
+    // phrases are maximal adjacent runs, so tokens must keep their
+    // in-document adjacency), but unlike the tier's '[^a-z0-9]+'
+    // queries a punctuation-bearing token ("model.") is not silently
+    // kept: RAKE breaks candidate phrases at punctuation as well as at
+    // stopwords (Rose et al. §1.2.1), so any token containing a
+    // non-[a-z0-9] character acts as a phrase BREAKER and never enters
+    // the vocabulary — the emitted words stay consistent with the rest
+    // of the text tier. Scale shape:
     // phrase segmentation is two windows sharing ONE doc_id exchange
     // (running stopword count, then per-phrase length — both bounded by
     // doc length); the word-score table is VOCAB-sized and broadcast
@@ -860,10 +869,12 @@ object TextQueries {
         .filter(col("w") =!= "")
       val seg = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val breaker = col("w").isInCollection(stops) ||
+        col("w").rlike("[^a-z0-9]")
       val tagged = toks
         .withColumn("ph",
-          sum(when(col("w").isInCollection(stops), 1L).otherwise(0L)).over(seg))
-        .filter(!col("w").isInCollection(stops))
+          sum(when(breaker, 1L).otherwise(0L)).over(seg))
+        .filter(!breaker)
       val withLen = tagged.withColumn("plen",
         count(lit(1)).over(Window.partitionBy("doc_id", "ph")))
       val wordScore = withLen.groupBy("w")
@@ -1588,12 +1599,15 @@ object TextQueries {
            FROM documents),
          t2 AS (SELECT * FROM toks WHERE w <> ''),
          tagged AS (SELECT doc_id, pos, w,
-             sum(CASE WHEN w IN ($sw) THEN 1 ELSE 0 END) OVER
+             sum(CASE WHEN w IN ($sw)
+                   OR regexp_matches(w, '[^a-z0-9]')
+                 THEN 1 ELSE 0 END) OVER
                (PARTITION BY doc_id ORDER BY pos
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
            FROM t2),
          body AS (SELECT doc_id, pos, w, ph FROM tagged
-                  WHERE w NOT IN ($sw)),
+                  WHERE w NOT IN ($sw)
+                    AND NOT regexp_matches(w, '[^a-z0-9]')),
          wl AS (SELECT body.*, count(*) OVER (PARTITION BY doc_id, ph)
                   AS plen
                 FROM body),

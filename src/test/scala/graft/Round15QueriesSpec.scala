@@ -351,14 +351,22 @@ class Round15QueriesSpec extends SparkSpec {
     //   scores (micro): deep/learning 2.5e6, model 3e6
     //   -> "deep learning model" = 8e6; "deep learning" = 5e6
     // doc1: leading/consecutive stopwords collapse to one phrase "graph"
+    // doc2: a punctuation-bearing token ("scan.") BREAKS the phrase and
+    //   never enters the vocabulary (Rose et al. break candidates at
+    //   punctuation too): phrases = "fast" (ph0) and "fast scan" (ph1).
+    //   fast: freq 2, degree 1+2=3 -> 1.5e6; scan: freq 1, degree 2 -> 2e6
+    //   -> "fast scan" = 3.5e6, "fast" = 1.5e6
     writeDocs(dir, Seq(
       "deep learning model the deep learning",
-      "the a graph"))
+      "the a graph",
+      "fast scan. fast scan"))
     val out = SparkEntry.queries("q_text_rake")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
       ("deep learning model", 3L, 8000000L, 1L),
       ("deep learning", 2L, 5000000L, 1L),
+      ("fast scan", 2L, 3500000L, 1L),
+      ("fast", 1L, 1500000L, 1L),
       ("graph", 1L, 1000000L, 1L)))
   }
 
