@@ -28,6 +28,14 @@ object LlmOps {
     "src3.example.com", "src12.example.com",
     "tracker.example.com", "malware.example.org")
 
+  /** `q_contamination`'s shingle width and overlap floor — ONE definition
+    * interpolated into both the Spark call and the DuckDB oracle so a
+    * retune cannot drift. 3-grams (not 5): the driver corpus has no
+    * cross-doc 5-gram collisions at sf0.01, so the 5-gram sweep verified
+    * on an empty result; 3-grams keep the sweep non-empty at every SF. */
+  private[queries] val ContamShingleN = 3
+  private[queries] val ContamMinOverlap = 3
+
   /** URL synthesis + canonicalization, shared by `q_dedup_url` and the
     * v2 curation pipeline so the two chains cannot drift. Appends
     * `canonical_url` from (doc_id, source): deterministic raw-URL
@@ -725,17 +733,22 @@ object LlmOps {
         .withColumn("shard", col("global_idx") % 16)
         .orderBy("doc_id")),
     // Benchmark-contamination sweep: which training docs share token
-    // 5-grams with an eval doc? Codegen'd shingle hashes + a broadcast
+    // n-grams with an eval doc? Codegen'd shingle hashes + a broadcast
     // benchmark-shingle index — linear in shingle volume, never doc-pairs,
     // zero caching (ops.Contamination documents the 100 TB shape). Eval
     // set = doc_id % 100 == 0, a stand-in benchmark table. maxShingleDf
     // sits far above the test corpus's max DF (measured 4 at sf0.1), so the
     // hot-gram cap is inactive here and the oracle's exact all-pairs
-    // list-intersect semantics are preserved bit-for-bit.
+    // list-intersect semantics are preserved bit-for-bit. Shingle width is
+    // [[ContamShingleN]] = 3 (the high-recall screen): the driver corpus
+    // has ZERO cross-doc 5-gram collisions at sf0.01, so the previous
+    // 5-gram sweep verified on an EMPTY result — a degenerate oracle. At
+    // 3-grams the sweep stays non-empty at every test SF (3 / 2 / 201
+    // hits at sf0.001 / 0.01 / 0.1).
     "q_contamination" -> ((s, dir) =>
       graft.ops.Contamination.sweep(tbl(s, dir, "documents"), "doc_id", "text",
-          isEval = id => id % 100 === 0, shingleN = 5, minOverlap = 3,
-          maxShingleDf = 100000L)
+          isEval = id => id % 100 === 0, shingleN = ContamShingleN,
+          minOverlap = ContamMinOverlap, maxShingleDf = 100000L)
         .orderBy("doc_id", "eval_id")),
     // Crawl blocklist filtering — the first gate of a web-corpus pipeline:
     // drop every document whose REGISTERED domain is on a curated
@@ -2030,15 +2043,16 @@ object LlmOps {
            CAST(sum(words) AS BIGINT) AS n_tokens
          FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
     "q_contamination" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(
-                  range(1, greatest(len(t) - 4, 1) + 1),
-                  i -> array_to_string(list_slice(t, i, i + 4), ' '))) s
+                  range(1, greatest(len(t) - ${ContamShingleN - 1}, 1) + 1),
+                  i -> array_to_string(
+                    list_slice(t, i, i + ${ContamShingleN - 1}), ' '))) s
                 FROM toks)
          SELECT t.doc_id, e.doc_id AS eval_id,
            CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS overlap
          FROM sh t JOIN sh e ON t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
-         WHERE len(list_intersect(t.s, e.s)) >= 3
+         WHERE len(list_intersect(t.s, e.s)) >= $ContamMinOverlap
          ORDER BY t.doc_id, eval_id""",
     // Step-for-step replay: same host synthesis, same last-3-label
     // registered-domain slice, LEFT JOIN ... IS NULL as the anti form.

@@ -640,9 +640,15 @@ object Relational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     }),
+    // Anti-join against PREMIUM orders (>300k): every customer has at
+    // least one order at the driver scale factors, so the unfiltered
+    // anti-join returned 0 rows there — a zero-row hash match is a
+    // degenerate oracle. "Customers with no premium order" keeps the
+    // anti semantics and is non-empty at every test SF (3 / 30 / 308
+    // rows at sf0.001 / 0.01 / 0.1).
     "q_join_anti" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
-      val o = tbl(s, dir, "orders")
+      val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 300000)
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -2327,7 +2333,9 @@ object Relational {
          ORDER BY c_custkey""",
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000)
          ORDER BY c_custkey""",
     "q_join_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

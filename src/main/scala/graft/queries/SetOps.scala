@@ -17,6 +17,18 @@ object SetOps {
     tbl(s, dir, "orders").filter(col("o_totalprice") > 150000)
       .select(col("o_custkey").as("k"))
 
+  /** EXCEPT's subtrahend uses a premium threshold ([[PremiumPrice]]):
+    * every customer places a >150k order at the driver scale factors, so
+    * highBal EXCEPT bigSpenders is EMPTY there — a zero-row hash match is
+    * a degenerate oracle (any bug that empties the output still passes).
+    * 300k keeps the subtraction non-trivial at every test SF (1 / 14 /
+    * 134 survivors at sf0.001 / 0.01 / 0.1). */
+  private def premiumSpenders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").filter(col("o_totalprice") > PremiumPrice)
+      .select(col("o_custkey").as("k"))
+
+  private[queries] val PremiumPrice = 300000
+
   val defs: Map[String, Q] = Map(
     "q_set_union_all" -> ((s, dir) =>
       highBalCustomers(s, dir).union(bigSpenders(s, dir)).orderBy("k")),
@@ -31,7 +43,7 @@ object SetOps {
     "q_set_intersect" -> ((s, dir) =>
       highBalCustomers(s, dir).intersect(bigSpenders(s, dir)).orderBy("k")),
     "q_set_except" -> ((s, dir) =>
-      highBalCustomers(s, dir).except(bigSpenders(s, dir)).orderBy("k")),
+      highBalCustomers(s, dir).except(premiumSpenders(s, dir)).orderBy("k")),
     "q_set_intersect_all" -> ((s, dir) =>
       highBalCustomers(s, dir).intersectAll(bigSpenders(s, dir)).orderBy("k")),
     "q_set_except_all" -> ((s, dir) =>
@@ -40,6 +52,8 @@ object SetOps {
 
   private val a = "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000"
   private val b = "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000"
+  private val p =
+    s"SELECT o_custkey AS k FROM orders WHERE o_totalprice > $PremiumPrice"
 
   val oracles: Map[String, String] = Map(
     "q_set_union_all" -> s"SELECT k FROM ($a UNION ALL $b) ORDER BY k",
@@ -51,7 +65,7 @@ object SetOps {
            SELECT s_suppkey AS k, s_name AS name FROM supplier)
          ORDER BY k, name""",
     "q_set_intersect" -> s"SELECT k FROM ($a INTERSECT $b) ORDER BY k",
-    "q_set_except" -> s"SELECT k FROM ($a EXCEPT $b) ORDER BY k",
+    "q_set_except" -> s"SELECT k FROM ($a EXCEPT $p) ORDER BY k",
     "q_set_intersect_all" -> s"SELECT k FROM ($a INTERSECT ALL $b) ORDER BY k",
     "q_set_except_all" -> s"SELECT k FROM ($b EXCEPT ALL $a) ORDER BY k"
   )
