@@ -354,6 +354,42 @@ object Dedup {
        ORDER BY id_a, id_b"""
   }
 
+  /** Verify-replay DuckDB oracle for [[simHashPairs]] over a SIDECAR
+    * parquet of recorded signatures (the over-cap spillover —
+    * [[graft.io.ReplaySidecar]]): same trust boundary as the literal
+    * variant, but the replay must scale past the all-pairs form, so
+    * candidates come from a banded join. Independence is preserved by
+    * banding on a DIFFERENT disjoint 64-bit partition than Spark's
+    * contiguous bytes: band j gathers bits {i : i mod 8 = j}
+    * (bit-interleaved). The pigeonhole theorem holds for ANY disjoint
+    * 8-way partition — a pair within `maxHamming` ≤ 7 flips leaves some
+    * band untouched — so the candidate set still covers every qualifying
+    * pair while being generated by arithmetic Spark never ran: a Spark
+    * band-extraction bug that silently drops pairs cannot be mirrored
+    * here. Hamming, threshold, and ordering are recomputed as in the
+    * brute-force variant. */
+  def simHashSidecarOracleSql(path: String, maxHamming: Int): String = {
+    val p = graft.io.ReplaySidecar.sqlPath(path)
+    // bv = Σ_k ((h >> (8k + band)) & 1) << k, unrolled — bit k of the
+    // interleaved band value is signature bit 8k+band (two's-complement
+    // arithmetic shift keeps (h >> m) & 1 = bit m for negative h too)
+    val bv = (0 until 8)
+      .map(k => s"(((h >> (${8 * k} + b.band)) & 1) << $k)")
+      .mkString(" + ")
+    s"""WITH sigs AS (SELECT doc_id, h FROM read_parquet('$p/*.parquet')),
+       bands AS (
+         SELECT doc_id, h, CAST(b.band AS INT) AS band, $bv AS bv
+         FROM sigs, (SELECT unnest(range(0, 8)) AS band) b),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           x.h AS ha, y.h AS hb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming
+       ORDER BY id_a, id_b"""
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. NOTE: evaluates
     * `array_intersect` twice (no let-binding in the Column DSL) — in
     * per-pair hot paths use [[withJaccard]], which materializes the

@@ -234,13 +234,15 @@ object LlmOps {
   /** Recorded per-doc SimHash SIGNATURES, keyed by corpus dir — consumed
     * by [[oracles]] to GENERATE q_dedup_simhash's verify-replay oracle
     * (the signatures are xxhash64-based and not SQL-expressible, so they
-    * enter as literals while DuckDB recomputes the entire pairing stage
-    * BRUTE-FORCE: all-pairs hamming + threshold + ordering — which
-    * verifies the banding's pigeonhole recall along with everything
-    * downstream). Same one-dir emission rule and literal cap as
-    * [[lshCandidates]]. */
-  private val simhashSigs =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+    * enter as recorded artifacts while DuckDB recomputes the entire
+    * pairing stage — brute-force all-pairs below the literal cap, an
+    * independently-partitioned banded join above it). Same one-dir
+    * emission rule as [[lshCandidates]]. `Right(sigs)` = inline literals
+    * (≤ [[ReplayOracleCap]] docs, self-contained SQL); `Left(path)` =
+    * the over-cap parquet spillover ([[graft.io.ReplaySidecar]]) the
+    * generated oracle reads back — zero rows-only at any corpus size. */
+  private val simhashSigs = new java.util.concurrent.ConcurrentHashMap[
+    String, Either[String, Seq[(Long, Long)]]]()
 
   /** q_dedup_simhash's hamming budget — ONE definition shared by the
     * query and its generated oracle. 7 is the 8-band pigeonhole maximum
@@ -558,16 +560,20 @@ object LlmOps {
     // recorded. The signature frame persists: the band self-join reads
     // it twice and the memo collect pays once per corpus per JVM. The
     // memo collect is itself capped: limit(cap+1) bounds the driver
-    // transfer to ReplayOracleCap+1 rows regardless of corpus size, and
-    // an over-cap corpus memoizes empty (→ rows-only fallback) instead
-    // of shipping one row per document to the driver.
+    // transfer to ReplayOracleCap+1 rows regardless of corpus size; an
+    // over-cap corpus records the signature frame as a parquet SIDECAR
+    // instead (executor write, no driver collect at all) so the replay
+    // oracle stays exact at any scale — the round-15 rows-only fallback
+    // is gone.
     "q_dedup_simhash" -> ((s, dir) => {
       val sigs = Dedup.simHashes(tbl(s, dir, "documents"), "doc_id", "text")
         .persist()
       simhashSigs.computeIfAbsent(dir, _ => {
         val rec = sigs.limit(ReplayOracleCap + 1).collect().toSeq
-        if (rec.size > ReplayOracleCap) Seq.empty
-        else rec.map(r => (r.getLong(0), r.getLong(1)))
+        if (rec.size > ReplayOracleCap)
+          Left(graft.io.ReplaySidecar.writeOnce(dir, "simhash_sigs")(
+            sigs.select(col("doc_id"), col("simhash").as("h"))))
+        else Right(rec.map(r => (r.getLong(0), r.getLong(1))))
       })
       Dedup.simHashPairs(sigs, SimHashMaxHamming)
         .orderBy("id_a", "id_b")
@@ -1541,14 +1547,18 @@ object LlmOps {
       replayOracle(fullCandidates, "id_a", "id_b")
         .map("q_dedup_incremental_full" -> _) ++ {
         val recorded = simhashSigs.asScala.values.toSeq
-        // nonEmpty: an over-cap corpus memoizes Seq.empty (see the query's
-        // bounded collect) — emitting a zero-signature oracle would wrongly
-        // assert zero pairs, so empty falls back to rows-only.
-        if (recorded.size == 1 && recorded.head.nonEmpty &&
-            recorded.head.size <= ReplayOracleCap)
-          Map("q_dedup_simhash" -> graft.ops.Dedup.simHashReplayOracleSql(
-            recorded.head, SimHashMaxHamming))
-        else Map.empty
+        recorded match {
+          // inline literals: brute-force all-pairs replay (self-contained)
+          case Seq(Right(sigs))
+              if sigs.nonEmpty && sigs.size <= ReplayOracleCap =>
+            Map("q_dedup_simhash" -> graft.ops.Dedup.simHashReplayOracleSql(
+              sigs, SimHashMaxHamming))
+          // over-cap sidecar: independently-banded join replay
+          case Seq(Left(path)) =>
+            Map("q_dedup_simhash" -> graft.ops.Dedup.simHashSidecarOracleSql(
+              path, SimHashMaxHamming))
+          case _ => Map.empty
+        }
       } ++ {
         // ANN tier: recorded fitted artifacts (centroids / codebooks —
         // driver-tiny, never corpus-sized) replay the whole index in

@@ -27,9 +27,11 @@ object Multimodal {
 
   /** Literal cap for the generated verify-replay oracles (the LlmOps
     * ReplayOracleCap stance): recording is bounded to cap+1 rows
-    * regardless of corpus size; an over-cap corpus memoizes empty and
-    * the query falls back to rows-only instead of shipping one literal
-    * per document to the driver. */
+    * regardless of corpus size; an over-cap corpus records the frame as
+    * a parquet SIDECAR ([[graft.io.ReplaySidecar]] — executor write, no
+    * driver collect) that the generated oracle reads back, so the
+    * replay stays exact at any scale instead of falling back to
+    * rows-only. `Right` = inline literals, `Left` = sidecar path. */
   private val MultimodalReplayCap = 5000
 
   /** Recorded per-doc dHashes, keyed by corpus dir — consumed by
@@ -40,8 +42,8 @@ object Multimodal {
     * bit_count(xor) hamming verify, the per-doc counts, null-handling,
     * ordering — replays in DuckDB from the recorded literals, exactly as
     * q_dedup_simhash replays its signatures. */
-  private val phashSigs =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
+  private val phashSigs = new java.util.concurrent.ConcurrentHashMap[
+    String, Either[String, Seq[(Long, Long)]]]()
 
   /** Recorded per-doc PNG byte sizes (the one decode output that is
     * genuinely codec-private — DEFLATE's compressed length), keyed by
@@ -53,8 +55,8 @@ object Multimodal {
     * over the blob) — so a decoder that misreads the PNG header or
     * mis-walks pixels hash-mismatches against arithmetic DuckDB did
     * from scratch. */
-  private val pngSizes =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Int)]]()
+  private val pngSizes = new java.util.concurrent.ConcurrentHashMap[
+    String, Either[String, Seq[(Long, Int)]]]()
 
   /** Recorded ingest corpus dirs (dir -> layout replayable) — consumed
     * by [[oracles]] to GENERATE q_multimodal_ingest's read_blob replay.
@@ -402,8 +404,10 @@ object Multimodal {
       phashSigs.computeIfAbsent(dir, _ => {
         val rec = hashed.select(col("doc_id"), col("dhash"))
           .limit(MultimodalReplayCap + 1).collect().toSeq
-        if (rec.size > MultimodalReplayCap) Seq.empty
-        else rec.map(r => (r.getLong(0), r.getLong(1)))
+        if (rec.size > MultimodalReplayCap)
+          Left(graft.io.ReplaySidecar.writeOnce(dir, "phash_sigs")(
+            hashed.select(col("doc_id"), col("dhash").as("h"))))
+        else Right(rec.map(r => (r.getLong(0), r.getLong(1))))
       })
       val bands = hashed.select(col("doc_id"), col("dhash"),
           posexplode(expr("transform(sequence(0, 7), b -> (dhash >> (b * 8)) & 255)")))
@@ -455,8 +459,10 @@ object Multimodal {
       pngSizes.computeIfAbsent(dir, _ => {
         val rec = decoded.select(col("doc_id"), col("png_bytes"))
           .limit(MultimodalReplayCap + 1).collect().toSeq
-        if (rec.size > MultimodalReplayCap) Seq.empty
-        else rec.map(r => (r.getLong(0), r.getInt(1)))
+        if (rec.size > MultimodalReplayCap)
+          Left(graft.io.ReplaySidecar.writeOnce(dir, "png_sizes")(
+            decoded.select(col("doc_id"), col("png_bytes"))))
+        else Right(rec.map(r => (r.getLong(0), r.getInt(1))))
       })
       decoded.orderBy("doc_id")
     })
@@ -469,27 +475,54 @@ object Multimodal {
     * threshold, per-doc counts and the zero-candidate coalesce. */
   private def phashReplayOracleSql(sigs: Seq[(Long, Long)]): String = {
     val vals = sigs.map { case (id, h) => s"($id, $h)" }.mkString(", ")
-    s"""WITH sigs(doc_id, h) AS (
+    phashOracleFrom(s"""
          SELECT CAST(i AS BIGINT), CAST(h AS BIGINT)
-         FROM (VALUES $vals) v(i, h)),
+         FROM (VALUES $vals) v(i, h)""")
+  }
+
+  /** Over-cap variant: same replay, signatures from the parquet sidecar
+    * instead of inline literals (same trust boundary — only the codec's
+    * dHash output is recorded; pairing replays below). */
+  private def phashSidecarOracleSql(path: String): String =
+    phashOracleFrom(s"""
+         SELECT doc_id, h
+         FROM read_parquet('${graft.io.ReplaySidecar.sqlPath(path)}/*.parquet')""")
+
+  /** The shared pairing replay: candidates from a banded self-join on
+    * the SAME contiguous-byte bands Spark uses — n_candidates is
+    * banding-DEFINED output, so the oracle must mirror the partition
+    * (unlike q_dedup_simhash's hamming-verified pairs, where the sidecar
+    * oracle bands independently) — then DISTINCT pairs, bit_count(xor)
+    * hamming, the ≤6 near-dup threshold, per-doc counts, and the
+    * zero-candidate coalesce. The banded-join form is algebraically the
+    * pigeonhole candidate set (a pair joins iff ≥1 band collides) and,
+    * unlike the previous all-pairs + list_filter form, scales to
+    * corpus-sized sidecars. */
+  private def phashOracleFrom(sigsSrc: String): String =
+    s"""WITH sigs(doc_id, h) AS ($sigsSrc),
+       bands AS (
+         SELECT doc_id, h, CAST(b.band AS INT) AS band,
+           (h >> (b.band * 8)) & 255 AS bv
+         FROM sigs, (SELECT unnest(range(0, 8)) AS band) b),
        cand AS (
-         SELECT x.doc_id AS da, y.doc_id AS db,
-           CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
-         FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
-         WHERE len(list_filter(range(0, 8),
-           b -> ((x.h >> (b * 8)) & 255) = ((y.h >> (b * 8)) & 255))) > 0),
+         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+           x.h AS ha, y.h AS hb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       ch AS (
+         SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand),
        per AS (
          SELECT doc_id, count(*) AS n_candidates,
            count(*) FILTER (hamming <= 6) AS n_near_dups
-         FROM (SELECT da AS doc_id, hamming FROM cand
-               UNION ALL SELECT db AS doc_id, hamming FROM cand)
+         FROM (SELECT da AS doc_id, hamming FROM ch
+               UNION ALL SELECT db AS doc_id, hamming FROM ch)
          GROUP BY doc_id)
        SELECT s.doc_id, s.h AS dhash,
          coalesce(n_candidates, 0) AS n_candidates,
          coalesce(n_near_dups, 0) AS n_near_dups
        FROM sigs s LEFT JOIN per USING (doc_id)
        ORDER BY doc_id"""
-  }
 
   /** q_multimodal_decode's generated replay oracle: png_bytes from the
     * recorded literals; everything else recomputed from scratch —
@@ -499,9 +532,21 @@ object Multimodal {
     * payloads coalesce to the all-zero 1×1 frame's sum, 0). */
   private def decodeReplayOracleSql(sizes: Seq[(Long, Int)]): String = {
     val vals = sizes.map { case (id, n) => s"($id, $n)" }.mkString(", ")
-    s"""WITH png(doc_id, png_bytes) AS (
+    decodeOracleFrom(s"""
          SELECT CAST(i AS BIGINT), CAST(n AS INT)
-         FROM (VALUES $vals) v(i, n)),
+         FROM (VALUES $vals) v(i, n)""")
+  }
+
+  /** Over-cap variant: png_bytes from the parquet sidecar (the one
+    * codec-private column); everything else still recomputed from
+    * scratch by DuckDB, exactly as in the literal form. */
+  private def decodeSidecarOracleSql(path: String): String =
+    decodeOracleFrom(s"""
+         SELECT doc_id, png_bytes
+         FROM read_parquet('${graft.io.ReplaySidecar.sqlPath(path)}/*.parquet')""")
+
+  private def decodeOracleFrom(pngSrc: String): String =
+    s"""WITH png(doc_id, png_bytes) AS ($pngSrc),
        base AS (SELECT doc_id, encode(text) AS b FROM documents),
        stats AS (SELECT doc_id,
            CAST(octet_length(b) AS INT) AS payload_bytes,
@@ -521,7 +566,6 @@ object Multimodal {
          g.px_sum
        FROM geom g JOIN png p USING (doc_id)
        ORDER BY doc_id"""
-  }
 
   /** q_multimodal_ingest's generated replay oracle — nothing recorded
     * but the DIRECTORY: DuckDB re-scans the same files via read_blob()
@@ -568,12 +612,22 @@ object Multimodal {
     val pz = pngSizes.asScala.values.toSeq
     val ing = ingestDirs.asScala.toSeq
     staticOracles ++
-      (if (ph.size == 1 && ph.head.nonEmpty && ph.head.size <= MultimodalReplayCap)
-        Map("q_multimodal_phash" -> phashReplayOracleSql(ph.head))
-      else Map.empty) ++
-      (if (pz.size == 1 && pz.head.nonEmpty && pz.head.size <= MultimodalReplayCap)
-        Map("q_multimodal_decode" -> decodeReplayOracleSql(pz.head))
-      else Map.empty) ++
+      (ph match {
+        case Seq(Right(sigs))
+            if sigs.nonEmpty && sigs.size <= MultimodalReplayCap =>
+          Map("q_multimodal_phash" -> phashReplayOracleSql(sigs))
+        case Seq(Left(path)) =>
+          Map("q_multimodal_phash" -> phashSidecarOracleSql(path))
+        case _ => Map.empty
+      }) ++
+      (pz match {
+        case Seq(Right(sizes))
+            if sizes.nonEmpty && sizes.size <= MultimodalReplayCap =>
+          Map("q_multimodal_decode" -> decodeReplayOracleSql(sizes))
+        case Seq(Left(path)) =>
+          Map("q_multimodal_decode" -> decodeSidecarOracleSql(path))
+        case _ => Map.empty
+      }) ++
       (if (ing.size == 1 && ing.head._2)
         Map("q_multimodal_ingest" -> ingestReplayOracleSql(ing.head._1))
       else Map.empty)
