@@ -123,6 +123,36 @@ object Relational {
     * cap²/2 (the zipf rung measured the uncapped explode at 31× wall). */
   private[graft] val CoPairsBasketCap = 64
 
+  /** The two persisted co-occurrence backbones (GraphBackbone — the
+    * fitIvf/SketchStore corpus-artifact lifecycle applied to edges):
+    * built ONCE per corpus per JVM, parquet-persisted with a params
+    * sidecar, and every graph-tier consumer executes against the
+    * read-back artifact scan instead of re-running the basket collapse +
+    * pair explode over the fact table. At 100 TB the edge build is each
+    * graph query's dominant cost; persisting it amortizes one
+    * corpus-scale shuffle across the whole tier. Oracles keep deriving
+    * the edges from the raw fact table, so the artifact's CONTENT is
+    * hash-verified on every gate run. */
+  private def coSupplierPairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    graft.io.GraphBackbone.pairsFor(s, dir, "co_supplier",
+      Map("fact" -> "lineitem", "basket" -> "l_orderkey",
+        "item" -> "l_suppkey", "maxBasket" -> CoPairsBasketCap.toString)) {
+      graft.ops.Triangles.coPairs(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey", "l_suppkey", maxBasket = CoPairsBasketCap)
+    }
+
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    graft.io.GraphBackbone.pairsFor(s, dir, "co_purchase",
+      Map("fact" -> "lineitem", "basket" -> "l_orderkey",
+        "item" -> "l_partkey", "maxBasket" -> CoPairsBasketCap.toString)) {
+      graft.ops.Triangles.coPairs(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+    }
+
   /** The two snapshot versions q_cdc_diff recovers a changelog between and
     * q_agg_incremental maintains an aggregate across — ONE derivation so
     * the two queries (and both oracles, which embed the same rule) cannot
@@ -794,14 +824,11 @@ object Relational {
     // sf0.1's is 453k edges over 1000 suppliers, 91% of complete, where a
     // triangle listing is Θ(n³) and carries no structure.
     "q_graph_triangles" -> ((s, dir) => {
-      // co-supplier weights via Triangles.coPairs (per-order supplier-set
-      // arrays + map-side pair explode, hot-basket cap 64 — one corpus
-      // shuffle instead of a distinct + row-bearing self-join; the cap
-      // is the zipf-measured quadratic guard and never engages on
-      // ordinary order sizes)
-      val pairs = graft.ops.Triangles.coPairs(
-        tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        "l_orderkey", "l_suppkey", maxBasket = CoPairsBasketCap)
+      // co-supplier weights from the persisted backbone artifact
+      // (coSupplierPairs — per-order supplier-set arrays + map-side pair
+      // explode, hot-basket cap 64, built once per corpus and scanned
+      // here instead of re-shuffling lineitem)
+      val pairs = coSupplierPairs(s, dir)
       graft.ops.Triangles.perNode(graft.ops.Triangles.backbone(pairs, k = 5))
         .orderBy("node")
     }),
@@ -817,9 +844,7 @@ object Relational {
     // backbone via row_number and counts wedges with a relational
     // self-join.
     "q_graph_linkpred" -> ((s, dir) => {
-      val pairs = graft.ops.Triangles.coPairs(
-        tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        "l_orderkey", "l_suppkey", maxBasket = CoPairsBasketCap)
+      val pairs = coSupplierPairs(s, dir)
       graft.ops.Triangles
         .linkPredict(graft.ops.Triangles.backbone(pairs, k = 5))
         .orderBy(desc("jaccard_ppm"), asc("x"), asc("y"))
@@ -909,12 +934,9 @@ object Relational {
     // quadratic reach table still fits; the Spark side is the shape that
     // survives when it does not.
     "q_graph_components" -> ((s, dir) => {
-      // per-order part-set arrays + map-side pair explode via
-      // Triangles.coPairs (one corpus shuffle, no row-bearing self-join,
-      // hot-basket cap 64 — the zipf-measured quadratic guard)
-      val edges = graft.ops.Triangles.coPairs(
-          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+      // per-order part-set pairs from the persisted backbone artifact
+      // (coPurchasePairs — built once per corpus, scanned per consumer)
+      val edges = coPurchasePairs(s, dir)
         .filter(col("w") >= 2)
       graft.ops.Components.connectedComponents(edges, "src", "dst")
         .orderBy("id")
@@ -928,9 +950,7 @@ object Relational {
     // shuffle after round 0. Fully oracled — determinism makes the
     // 3-round vote/argmax recurrence replayable as DuckDB CTEs.
     "q_graph_lpa" -> ((s, dir) => {
-      val pairs = graft.ops.Triangles.coPairs(
-          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+      val pairs = coPurchasePairs(s, dir)
         .filter(col("w") >= 2).select("src", "dst")
       val sym = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -953,9 +973,7 @@ object Relational {
     // the once-partitioned edge list + one combiner-backed degree
     // aggregation — edges never reshuffle.
     "q_graph_kcore" -> ((s, dir) => {
-      val pairs = graft.ops.Triangles.coPairs(
-          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+      val pairs = coPurchasePairs(s, dir)
         .filter(col("w") >= 2).select("src", "dst")
       val sym = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -978,9 +996,7 @@ object Relational {
     // catalog scale; shuffles fine beyond), and every post-graph row
     // set is |brands|-bounded.
     "q_graph_modularity" -> ((s, dir) => {
-      val edges = graft.ops.Triangles.coPairs(
-          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+      val edges = coPurchasePairs(s, dir)
         .filter(col("w") >= 2).select("src", "dst")
       val m = edges.agg(count(lit(1)).as("m"))
       val deg = edges.select(col("src").as("v"))
@@ -1025,9 +1041,7 @@ object Relational {
     // edge list, localCheckpointed (the KCore doubled-reference
     // contract).
     "q_graph_bfs" -> ((s, dir) => {
-      val pairs = graft.ops.Triangles.coPairs(
-          tbl(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-          "l_orderkey", "l_partkey", maxBasket = CoPairsBasketCap)
+      val pairs = coPurchasePairs(s, dir)
         .filter(col("w") >= 2).select("src", "dst")
       val sym = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))

