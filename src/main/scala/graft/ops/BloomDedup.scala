@@ -96,21 +96,23 @@ object BloomDedup {
         expr("n_seen_blocks * 1000000 div n_blocks").as("seen_ppm"))
   }
 
-  /** Self-contained fit + probe — tests and one-shot use ONLY.
-    * Each call fits the sketch and wraps it in a NEW SparkContext
-    * broadcast that is never unpersisted (the returned DataFrame is
-    * lazy, so this method cannot know when the handle is done being
-    * used): a long-lived session calling this in a loop accumulates
-    * one `numBits/8`-byte broadcast block per call. Production fits
-    * once per corpus lifecycle ([[fitSketch]], or load a persisted
-    * artifact via [[SketchStore.loadBloom]]), owns the broadcast
-    * handle, probes every batch against it, and unpersists it when
-    * the corpus rotates. */
-  def seenBlocks(corpus: DataFrame, batch: DataFrame,
-                 idCol: String, textCol: String, window: Int,
-                 estItems: Long, numBits: Long): DataFrame = {
+  /** Self-contained fit + probe that RETURNS the broadcast handle it
+    * created, making per-call broadcast accumulation impossible to
+    * overlook by construction: the previous DataFrame-only convenience
+    * overload fit a sketch and wrapped it in a SparkContext broadcast it
+    * could never unpersist (the frame is lazy), so a long-lived session
+    * calling it in a loop leaked one `numBits/8`-byte broadcast block
+    * per call — the documented foot-gun this signature retires. Callers
+    * OWN the handle: probe (possibly many batches), then
+    * `handle.unpersist()` when the corpus rotates. Production fits once
+    * per corpus lifecycle ([[fitSketch]], or a persisted artifact via
+    * `SketchStore.loadBloom`) and holds the handle the same way. */
+  def fitAndProbe(corpus: DataFrame, batch: DataFrame,
+                  idCol: String, textCol: String, window: Int,
+                  estItems: Long, numBits: Long)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Byte]]) = {
     val bytes = fitSketch(corpus, idCol, textCol, window, estItems, numBits)
-    seenBlocks(corpus, batch, idCol, textCol,
-      corpus.sparkSession.sparkContext.broadcast(bytes), window)
+    val handle = corpus.sparkSession.sparkContext.broadcast(bytes)
+    (seenBlocks(corpus, batch, idCol, textCol, handle, window), handle)
   }
 }

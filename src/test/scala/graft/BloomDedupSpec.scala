@@ -25,10 +25,12 @@ class BloomDedupSpec extends SparkSpec {
       (1L, cdoc), (2L, tok(16, "z")),
       (10L, s"$a ${tok(16, "c")}"), (15L, s"${tok(16, "d")} ${tok(16, "e")}"))
       .toDF("doc_id", "text")
-    val out = BloomDedup.seenBlocks(
+    val (df, handle) = BloomDedup.fitAndProbe(
         docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
         "doc_id", "text", window = 16, estItems = 1L << 22, numBits = 1L << 25)
+    val out = df
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    handle.unpersist()
     assert(out.toSeq == Seq((10L, 2L, 1L, 500000L)), out.mkString(", "))
   }
 
@@ -39,9 +41,10 @@ class BloomDedupSpec extends SparkSpec {
     // tiny sketch on purpose: 2^12 bits over ~3k corpus blocks forces a
     // REAL false-positive rate through the probe stage, so this test
     // fails if the verify stage ever stops discarding them
-    val viaBloom = BloomDedup.seenBlocks(corpus, batch, "doc_id", "text",
-        window = 16, estItems = 1L << 12, numBits = 1L << 12)
-      .orderBy("doc_id").collect().toSeq
+    val (bloomDf, handle) = BloomDedup.fitAndProbe(corpus, batch,
+      "doc_id", "text", window = 16, estItems = 1L << 12, numBits = 1L << 12)
+    val viaBloom = bloomDf.orderBy("doc_id").collect().toSeq
+    handle.unpersist()
     def blocks(df: org.apache.spark.sql.DataFrame) =
       graft.ops.TextAnalysis.chunkDocs(df, "doc_id", "text", 16, 16)
         .select(col("doc_id"), col("chunk_text"))
