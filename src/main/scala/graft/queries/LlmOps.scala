@@ -229,6 +229,10 @@ object LlmOps {
     * candidate set), consumed by [[oracles]] to splice the literal
     * candidate stage into the one-CTE-chain pipeline replay. */
   private val pipelineCands = new CandMemo()
+  /** v3's within-day candidates — admission differs (the quarantined
+    * batch's docs never reach the near-dup stage), so v3 records its own
+    * candidate set for its spliced replay oracle. */
+  private val pipelineV3Cands = new CandMemo()
   private val ReplayOracleCap = 5000
 
   /** Recorded per-doc SimHash SIGNATURES, keyed by corpus dir — consumed
@@ -909,80 +913,70 @@ object LlmOps {
     // table arrive via broadcasts. The one corpus-sized cost is the
     // bloom verify's corpus block scan — the per-day price the batch
     // q_dedup_bloom documents.
-    "q_curate_pipeline_v2" -> ((s, dir) => {
+    "q_curate_pipeline_v2" -> ((s, dir) =>
+      curateChain(s, dir,
+        tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        pipelineCands)),
+    // CRAWL-DAY pipeline v3 — v2 with DRIFT-GATED ADMISSION as stage 0
+    // (the round-14 verdict's composition): the day arrives as
+    // DefaultChunks ingest batches (the established id-range staging
+    // arithmetic), each batch is scored KL(batch ‖ reference) against
+    // the fit-once reference distribution (TextQueries.klRefFor — the
+    // artifact q_stream_drift_gate probes), and the day's MOST-DRIFTED
+    // batch (max kl_micro, batch_id tiebreak) is QUARANTINED: held out
+    // of the curation chain for review instead of admitted — the canary
+    // semantics a production ingest runs so one poisoned/mis-crawled
+    // shard cannot enter the trainer while the rest of the day ships.
+    // Argmax (not a fixed threshold) keeps the gate EXERCISED at every
+    // corpus size — a threshold tuned to one SF verifies as a no-op at
+    // another (the zero-row degeneracy lesson). Per-bucket contribs are
+    // micro-quantized BEFORE the exact integer sum (the ln-wobble
+    // discipline), so the quarantine pick is bit-stable across engines;
+    // stage-0 cost is one day-sized tokenize + a |batches|·|buckets|
+    // aggregate, and the reference rides in as K+1 broadcast-sized rows.
+    "q_curate_pipeline_v3" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val day = d.filter(col("doc_id") % 5 === 0)
-      // 1. blocklist (same synthesis as q_filter_blocklist)
-      val sub = when(col("doc_id") % 7 === 0, lit("cdn."))
-        .when(col("doc_id") % 7 === 1, lit("www."))
-        .otherwise(lit(""))
-      val hosted = day.withColumn("registered_domain",
-        array_join(slice(split(
-          concat(sub, col("source"), lit(".example.com")), "\\."), -3, 3), "."))
-      val bl = s.createDataFrame(DayBlockedDomains.map(Tuple1(_)))
-        .toDF("blocked_domain")
-      val unblocked = hosted.join(broadcast(bl),
-        hosted("registered_domain") === bl("blocked_domain"), "left_anti")
-      // 2. URL-canonical dedup, keep-min-id, hash-keyed window
-      val byUrl = Window.partitionBy(xxhash64(col("canonical_url")))
-      // persisted: referenced by the bloom probe's batch side AND the
-      // post-gate anti-join — unpersisted, each reference re-runs the
-      // blocklist + canonicalization + window chain (measured ~2× the
-      // stage cost). Day-sized, the price v1's scaladoc concedes for
-      // the multi-pass stages ("persist the deduped corpus between
-      // passes" at 100 TB).
-      val urlKept = withCanonicalUrl(unblocked)
-        .withColumn("_uk", min("doc_id").over(byUrl))
-        .filter(col("doc_id") === col("_uk"))
-        .drop("_uk", "canonical_url", "registered_domain")
-        .persist()
-      // 3. bloom content-seen gate against the corpus sketch
-      val corpus = d.filter(col("doc_id") % 5 =!= 0)
-      val seenHigh = graft.ops.BloomDedup
-        .seenBlocks(corpus, urlKept, "doc_id", "text", bloomSketchFor(s, dir))
-        .filter(col("seen_ppm") >= ContentSeenPpm)
-        .select("doc_id")
-      // boundedness: seenHigh ≤ the day's high-overlap dup volume.
-      // fresh fans out three ways (signatures, the verify join's doc
-      // side, the near-dup anti-join) — persisted for the same reason.
-      val fresh = urlKept.join(broadcast(seenHigh), Seq("doc_id"), "left_anti")
-        .persist()
-      // 4. within-day MinHash near-dup, drop-if-smaller-neighbor
-      val sigs = Dedup.minHashSignatures(fresh, "doc_id", "text")
-      val cands = Dedup.lshCandidatePairs(sigs).persist()
-      pipelineCands.computeIfAbsent(dir, _ => pairsOf(cands, None))
-      val dupDrop = Dedup
-        .verifyCandidates(fresh, "doc_id", "text", cands, "id_a", "id_b")
-        .select(col("id_b").as("doc_id")).distinct() // id_a < id_b always
-      // boundedness: dupDrop ≤ verified near-dup volume
-      val neardeduped = fresh.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
-      // 5. curation funnel (v1's rules) over the surviving day
-      val toks = TextAnalysis.tokens(col("text"))
-      val kept = Quality.funnel(
-          neardeduped.select(col("doc_id"), col("text"), col("lang"),
-            col("n_chars"), size(toks).as("words"),
-            size(array_distinct(toks)).as("uniq_words")),
-          TextQueries.CurationRules)
-        .filter(col("verdict") === "kept")
-      // 6. exact dedup on the content hash (v1's stage)
-      val byHash = Window.partitionBy(md5(col("text")))
-      val deduped = kept
-        .withColumn("_keep", min("doc_id").over(byHash))
-        .filter(col("doc_id") === col("_keep"))
-        .select("doc_id", "lang", "n_chars", "words")
-      // 7. training mixture + 8. pack manifest (v1's stages)
-      val mixed = Mixing.mixToWeights(deduped, "lang", "doc_id", "n_chars",
-        weights = MixWeights)
-      val byShard = Window.partitionBy("shard").orderBy("doc_id", "copy_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      mixed
-        .withColumn("shard", pmod(col("doc_id") + col("copy_idx"), lit(8)))
-        .withColumn("cum", coalesce(sum("words").over(byShard), lit(0L)))
-        .withColumn("pack_id", floor(col("cum") / 2048.0))
-        .groupBy("shard", "pack_id")
-        .agg(count(lit(1)).as("n_rows"), countDistinct("doc_id").as("n_docs"),
-          sum("words").as("n_tokens"))
-        .orderBy("shard", "pack_id")
+      val ref = TextQueries.klRefFor(s, dir)
+      val n = graft.streaming.StreamOps.DefaultChunks
+      val bounds = day.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .select(col("lo"), expr(s"(hi - lo) div $n").as("step"))
+      val batched = day.crossJoin(broadcast(bounds))
+        .withColumn("batch_id",
+          when(col("step") <= 0, lit((n - 1).toLong))
+            // integer `div`, not double-/ + floor: mirrors the oracle's
+            // `//` exactly at any doc_id magnitude (no double mantissa)
+            .otherwise(least(lit((n - 1).toLong),
+              expr("(doc_id - lo) div step"))))
+        .drop("lo", "step")
+      val refDf = s.createDataFrame(ref.buckets).toDF("bucket", "cc")
+      val bc = batched
+        .select(col("batch_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("bucket",
+          when(col("term").isin(ref.kept: _*), col("term"))
+            .otherwise(lit("<oov>")))
+        .groupBy("batch_id", "bucket").agg(count(lit(1)).as("cs"))
+      // tot is |batches|-bounded (DefaultChunks rows) — broadcast keeps
+      // the drift stage's only row-bearing shuffles at the two keyed
+      // aggregates
+      val tot = bc.groupBy("batch_id").agg(sum("cs").as("tot_b"))
+      val kl = bc.join(broadcast(refDf), "bucket")
+        .join(broadcast(tot), "batch_id")
+        .withColumn("contrib", floor(
+          (col("cs").cast("double") / col("tot_b")) *
+            log((col("cs").cast("double") * ref.totC) /
+              (col("tot_b").cast("double") * col("cc"))) *
+            1000000d + 0.5d).cast("long"))
+        .groupBy("batch_id").agg(sum("contrib").as("kl_micro"))
+      // one-row quarantine pick; broadcast-anti keeps admission map-side
+      val quarantined = kl.orderBy(desc("kl_micro"), asc("batch_id")).limit(1)
+        .select("batch_id")
+      val admitted = batched
+        .join(broadcast(quarantined), Seq("batch_id"), "left_anti")
+        .drop("batch_id")
+      curateChain(s, dir, admitted, pipelineV3Cands)
     }),
     // Embedding-cosine near-dup pairs above a threshold — exact semantics
     // via the chunk-salted pair join (see Similarity.thresholdPairs for why
@@ -1352,6 +1346,92 @@ object LlmOps {
     })
   )
 
+  /** Stages 1-8 of the crawl-day pipelines — ONE lazy plan over the
+    * admitted `day` slice (v2 passes the raw %5==0 day; v3 its
+    * drift-admitted remainder): blocklist gate, URL-canonical dedup,
+    * bloom content-seen gate, within-day MinHash near-dup (candidates
+    * recorded into `candMemo` for the spliced replay oracle), funnel,
+    * exact dedup, mixture, pack manifest. Shared so the two pipelines
+    * (and their generated oracles, which interpolate the same chain)
+    * cannot drift.
+    * `day` must carry (doc_id, source, text, lang, n_chars). */
+  private def curateChain(s: org.apache.spark.sql.SparkSession, dir: String,
+                          day: org.apache.spark.sql.DataFrame,
+                          candMemo: CandMemo): org.apache.spark.sql.DataFrame = {
+      val d = tbl(s, dir, "documents")
+      val sub = when(col("doc_id") % 7 === 0, lit("cdn."))
+        .when(col("doc_id") % 7 === 1, lit("www."))
+        .otherwise(lit(""))
+      val hosted = day.withColumn("registered_domain",
+        array_join(slice(split(
+          concat(sub, col("source"), lit(".example.com")), "\\."), -3, 3), "."))
+      val bl = s.createDataFrame(DayBlockedDomains.map(Tuple1(_)))
+        .toDF("blocked_domain")
+      val unblocked = hosted.join(broadcast(bl),
+        hosted("registered_domain") === bl("blocked_domain"), "left_anti")
+      // 2. URL-canonical dedup, keep-min-id, hash-keyed window
+      val byUrl = Window.partitionBy(xxhash64(col("canonical_url")))
+      // persisted: referenced by the bloom probe's batch side AND the
+      // post-gate anti-join — unpersisted, each reference re-runs the
+      // blocklist + canonicalization + window chain (measured ~2× the
+      // stage cost). Day-sized, the price v1's scaladoc concedes for
+      // the multi-pass stages ("persist the deduped corpus between
+      // passes" at 100 TB).
+      val urlKept = withCanonicalUrl(unblocked)
+        .withColumn("_uk", min("doc_id").over(byUrl))
+        .filter(col("doc_id") === col("_uk"))
+        .drop("_uk", "canonical_url", "registered_domain")
+        .persist()
+      // 3. bloom content-seen gate against the corpus sketch
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val seenHigh = graft.ops.BloomDedup
+        .seenBlocks(corpus, urlKept, "doc_id", "text", bloomSketchFor(s, dir))
+        .filter(col("seen_ppm") >= ContentSeenPpm)
+        .select("doc_id")
+      // boundedness: seenHigh ≤ the day's high-overlap dup volume.
+      // fresh fans out three ways (signatures, the verify join's doc
+      // side, the near-dup anti-join) — persisted for the same reason.
+      val fresh = urlKept.join(broadcast(seenHigh), Seq("doc_id"), "left_anti")
+        .persist()
+      // 4. within-day MinHash near-dup, drop-if-smaller-neighbor
+      val sigs = Dedup.minHashSignatures(fresh, "doc_id", "text")
+      val cands = Dedup.lshCandidatePairs(sigs).persist()
+      candMemo.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      val dupDrop = Dedup
+        .verifyCandidates(fresh, "doc_id", "text", cands, "id_a", "id_b")
+        .select(col("id_b").as("doc_id")).distinct() // id_a < id_b always
+      // boundedness: dupDrop ≤ verified near-dup volume
+      val neardeduped = fresh.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
+      // 5. curation funnel (v1's rules) over the surviving day
+      val toks = TextAnalysis.tokens(col("text"))
+      val kept = Quality.funnel(
+          neardeduped.select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"), size(toks).as("words"),
+            size(array_distinct(toks)).as("uniq_words")),
+          TextQueries.CurationRules)
+        .filter(col("verdict") === "kept")
+      // 6. exact dedup on the content hash (v1's stage)
+      val byHash = Window.partitionBy(md5(col("text")))
+      val deduped = kept
+        .withColumn("_keep", min("doc_id").over(byHash))
+        .filter(col("doc_id") === col("_keep"))
+        .select("doc_id", "lang", "n_chars", "words")
+      // 7. training mixture + 8. pack manifest (v1's stages)
+      val mixed = Mixing.mixToWeights(deduped, "lang", "doc_id", "n_chars",
+        weights = MixWeights)
+      val byShard = Window.partitionBy("shard").orderBy("doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      mixed
+        .withColumn("shard", pmod(col("doc_id") + col("copy_idx"), lit(8)))
+        .withColumn("cum", coalesce(sum("words").over(byShard), lit(0L)))
+        .withColumn("pack_id", floor(col("cum") / 2048.0))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("doc_id").as("n_docs"),
+          sum("words").as("n_tokens"))
+        .orderBy("shard", "pack_id")
+  }
+
+
   /** q_sample_coreset's selection count — interpolated into the oracle
     * generator so query and replay stay in lockstep. */
   private[graft] val CoresetK = 8
@@ -1386,12 +1466,74 @@ object LlmOps {
     * Jaccard verify + drop rule, funnel, exact dedup, mixture, packing —
     * is recomputed by DuckDB from the raw documents table, step for
     * step. A drift anywhere in the eight-stage chain hash-mismatches. */
-  private def curateV2OracleSql(pairs: Seq[(Option[String], Long, Long)]): String = {
+  private def curateV2OracleSql(pairs: Seq[(Option[String], Long, Long)]): String =
+    curateChainOracleSql(pairs,
+      """day AS (SELECT doc_id, source, text, lang, n_chars
+               FROM documents WHERE doc_id % 5 = 0)""")
+
+  /** q_curate_pipeline_v3's generated oracle: v2's chain with the
+    * drift-gated admission stage 0 prepended — per-ingest-batch
+    * KL(batch ‖ reference) recomputed from scratch (the
+    * q_stream_drift_gate oracle's CTEs: reference vocabulary + buckets
+    * from the corpus slice, micro-quantized per-bucket contribs before
+    * the exact integer sum), the day's most-drifted batch quarantined
+    * (max kl_micro, batch_id tiebreak), and `day` redefined as the
+    * admitted remainder. */
+  private def curateV3OracleSql(pairs: Seq[(Option[String], Long, Long)]): String = {
+    val n = graft.streaming.StreamOps.DefaultChunks
+    val stage0 = s"""bounds0 AS (SELECT min(doc_id) AS lo,
+           (max(doc_id) - min(doc_id)) // $n AS step
+         FROM documents WHERE doc_id % 5 = 0),
+       day0 AS (SELECT doc_id, source, text, lang, n_chars,
+           CAST(CASE WHEN (SELECT step FROM bounds0) <= 0 THEN ${n - 1}
+                ELSE least(${n - 1}, (doc_id - (SELECT lo FROM bounds0))
+                  // (SELECT step FROM bounds0)) END AS BIGINT) AS batch_id
+         FROM documents WHERE doc_id % 5 = 0),
+       rt0 AS (SELECT
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+         FROM documents WHERE doc_id % 5 <> 0),
+       rtc0 AS (SELECT term, count(*) AS c FROM rt0
+                WHERE term <> '' GROUP BY 1),
+       kept0 AS (SELECT term FROM rtc0
+                 ORDER BY c DESC, term ASC LIMIT ${TextQueries.KlVocabTopK}),
+       rb0 AS (SELECT CASE WHEN term IN (SELECT term FROM kept0) THEN term
+                 ELSE '<oov>' END AS bucket, sum(c) AS cc
+               FROM rtc0 GROUP BY 1),
+       rtot0 AS (SELECT CAST(sum(cc) AS BIGINT) AS tot_c FROM rb0),
+       bt0 AS (SELECT batch_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+         FROM day0),
+       bc0 AS (SELECT batch_id,
+           CASE WHEN term IN (SELECT term FROM kept0) THEN term
+                ELSE '<oov>' END AS bucket, count(*) AS cs
+         FROM bt0 WHERE term <> '' GROUP BY 1, 2),
+       btot0 AS (SELECT batch_id, sum(cs) AS tot_b FROM bc0 GROUP BY 1),
+       klb AS (SELECT b.batch_id,
+           CAST(sum(CAST(floor(
+             (CAST(b.cs AS DOUBLE) / t.tot_b) *
+             ln((CAST(b.cs AS DOUBLE) * x.tot_c)
+                / (CAST(t.tot_b AS DOUBLE) * r.cc)) *
+             1000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_micro
+         FROM bc0 b JOIN rb0 r USING (bucket) JOIN btot0 t USING (batch_id)
+              CROSS JOIN rtot0 x
+         GROUP BY 1),
+       quar AS (SELECT batch_id FROM klb
+                ORDER BY kl_micro DESC, batch_id ASC LIMIT 1),
+       day AS (SELECT doc_id, source, text, lang, n_chars FROM day0
+               WHERE batch_id NOT IN (SELECT batch_id FROM quar))"""
+    curateChainOracleSql(pairs, stage0)
+  }
+
+  /** The shared v2/v3 chain: `dayCtes` must end by defining `day` (the
+    * admitted ingest slice); everything downstream — blocklist, URL
+    * canonicalization, bloom gate, near-dup verify, funnel, exact dedup,
+    * mixture, packing — is identical between the two pipelines. */
+  private def curateChainOracleSql(pairs: Seq[(Option[String], Long, Long)],
+                                   dayCtes: String): String = {
     val cand = Dedup.candidateScoreCtes(pairs, "id_a", "id_b")
     val blocked = DayBlockedDomains.map(d => s"'$d'").mkString(", ")
     s"""WITH $cand,
-       day AS (SELECT doc_id, source, text, lang, n_chars
-               FROM documents WHERE doc_id % 5 = 0),
+       $dayCtes,
        bk AS (SELECT *, array_to_string(string_split(
            (CASE WHEN doc_id % 7 = 0 THEN 'cdn.'
                  WHEN doc_id % 7 = 1 THEN 'www.' ELSE '' END)
@@ -1542,6 +1684,11 @@ object LlmOps {
         val rec = pipelineCands.asScala.values.toSeq
         if (rec.size == 1 && rec.head.size <= ReplayOracleCap)
           Map("q_curate_pipeline_v2" -> curateV2OracleSql(rec.head))
+        else Map.empty
+      } ++ {
+        val rec = pipelineV3Cands.asScala.values.toSeq
+        if (rec.size == 1 && rec.head.size <= ReplayOracleCap)
+          Map("q_curate_pipeline_v3" -> curateV3OracleSql(rec.head))
         else Map.empty
       } ++
       replayOracle(fullCandidates, "id_a", "id_b")

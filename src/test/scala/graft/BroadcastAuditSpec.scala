@@ -58,6 +58,10 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("LlmOps.scala", "bl") -> (2, "LITERAL: curated domain blocklists (BlockedDomains + the v2 pipeline's DayBlockedDomains — fixed artifacts, never corpus-scale)"),
     ("LlmOps.scala", "seenHigh") -> (1, "OUTPUT: day docs above the content-seen threshold — high-overlap dup volume, never day-scale"),
     ("LlmOps.scala", "dupDrop") -> (1, "OUTPUT: verified near-dup drop ids — near-dup volume, never day-scale"),
+    ("LlmOps.scala", "bounds") -> (1, "ONE_ROW: the v3 day's (lo, step) staging bounds"),
+    ("LlmOps.scala", "refDf") -> (1, "SCHEMA: the fit-once KL reference — K+1 bucket rows by construction"),
+    ("LlmOps.scala", "quarantined") -> (1, "ONE_ROW: the v3 argmax-drift quarantine pick (limit 1)"),
+    ("LlmOps.scala", "tot") -> (1, "SCHEMA: v3 per-batch token totals — DefaultChunks rows by construction"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
     ("LlmOps.scala", "panel") -> (1, "CAPPED: KnnProbeN-row probe panel (bounded TakeOrdered by construction)"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),

@@ -311,6 +311,42 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q_curate_pipeline_v3: drift stage adds only batch-keyed aggregates; admission stays broadcast") {
+    // v2's key-set contract extended by stage 0: the day's rows may
+    // additionally cross the two KL aggregation keys ((batch_id, bucket)
+    // and batch_id — both schema-bounded: |batches| x |buckets| cells),
+    // and the quarantine/reference/totals tables ride as broadcasts so
+    // ADMISSION itself never shuffles the day.
+    val df = SparkEntry.queries("q_curate_pipeline_v3")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    def shufflesIn(t: org.apache.spark.sql.execution.SparkPlan) =
+      collect(t) { case e: ShuffleExchangeExec => e }
+    val all = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    val underBroadcast = collectWithSubqueries(p) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.flatMap(b => shufflesIn(b.child))
+    val emit = all.filterNot(e => underBroadcast.exists(_ eq e))
+    def key(e: ShuffleExchangeExec): String =
+      e.outputPartitioning.toString.replaceAll("#\\d+L?", "").replaceAll(", \\d+\\)", ")")
+    val hash = emit.filterNot(
+      _.outputPartitioning.getClass.getSimpleName.contains("RangePartitioning"))
+    val allowed = Set(
+      "hashpartitioning(_w0)",              // URL-dedup / md5-dedup windows
+      "hashpartitioning(shard)",            // pack shard window
+      "hashpartitioning(batch_id, bucket)", // KL per-(batch, bucket) agg
+      "hashpartitioning(batch_id)")         // KL per-batch rollup
+    val offenders = hash.map(key).filterNot(allowed)
+    assert(offenders.isEmpty,
+      s"unexpected emit-path shuffle keys ${offenders.distinct}:\n$p")
+    assert(hash.map(key).contains("hashpartitioning(shard)"),
+      s"manifest path must cross the shard window shuffle:\n$p")
+    all.foreach { e =>
+      assert(!e.outputPartitioning.toString.contains("text#"),
+        s"raw text used as a shuffle key:\n$e")
+    }
+  }
+
   test("q_cbo_join_order: ANALYZE'd stats provably flip the join order") {
     // The CBO demo's whole point, asserted both ways on the OPTIMIZED
     // logical plan's leaf order: rule-based Catalyst keeps the deliberate
