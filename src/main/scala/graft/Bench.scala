@@ -60,6 +60,41 @@ object Bench {
       (1 to 3).foreach(_ => once()) // codegen + JIT + shuffle warmup, untimed
       List.fill(7)(once()).min
     }
+    // IO-sensitive calibration probe (round 16): the CPU probe above is
+    // blind to disk contention — the round-15 driver artifact flagged the
+    // RocksDB-backed streaming family at 2.3-2.8x while the CPU probe sat
+    // inside its quiet range (0.366), so the contention guard never
+    // fired. This probe writes and reads back a FIXED incompressible
+    // parquet (xxhash64 columns defeat snappy) through the same tmpdir
+    // filesystem the streaming state stores, checkpoints, and staging
+    // sinks live on; an IO-loaded box inflates it the way it inflates
+    // the state-store family. MIN of 3 after 1 warmup — the attainable-
+    // speed statistic, same rationale as the CPU probe's min-of-7.
+    def calibrateIo(): Double = {
+      import org.apache.spark.sql.functions._
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bench_ioprobe")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 4L * 1000 * 1000, 1L, 32)
+          .select(col("id"), xxhash64(col("id")).as("a"),
+            xxhash64(col("id"), lit(1)).as("b"),
+            xxhash64(col("id"), lit(2)).as("c"))
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        // max, not sum: summing 4M pseudorandom longs overflows under
+        // ANSI; max still forces the full column read
+        spark.read.parquet(dir.getAbsolutePath)
+          .agg(max("a"), max("b"), max("c")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // FS/file-committer warmup, untimed
+      val r = List.fill(3)(once()).min
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+      r
+    }
     // Contention self-guard (round 12): the r11 committed artifact was
     // measured under 4.4x ambient contention (probe 1.564 s vs the pin's
     // 0.354 s) — zero genuine regressions, but the artifact misrepresented
@@ -70,7 +105,7 @@ object Bench {
     // if it never settles, divert the full-map artifact to
     // bench_queries_contended.json so the committed gate input is never
     // clobbered by a contended run, and mark the stdout line "contended".
-    val pinCalib: Option[Double] = {
+    val (pinCalib, pinCalibIo): (Option[Double], Option[Double]) = {
       val pinPath = sys.env.getOrElse("SPARK_GRAFT_PIN", "baseline_pin_local32.json")
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -86,23 +121,35 @@ object Bench {
         val header = txt.split("\"queries\"", 2)(0)
         val c = """"calib"\s*:\s*([0-9.]+)""".r
           .findFirstMatchIn(header).map(_.group(1).toDouble)
+        val cio = """"calib_io"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(header).map(_.group(1).toDouble)
         val pc = """"cpus"\s*:\s*"?(\d+)""".r
           .findFirstMatchIn(header).map(_.group(1))
-        if (pc.contains(cpus)) c else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+        if (pc.contains(cpus)) (c, cio) else (None, None)
+      } catch { case scala.util.control.NonFatal(_) => (None, None) }
     }
     var calib = calibrate()
-    pinCalib.foreach { pc =>
+    var calibIo = calibrateIo()
+    // contention = EITHER probe over 2x its pin: CPU load and disk load
+    // are independent failure modes (round 15's was IO-only), and either
+    // one misrepresents the catalog's quiet-box numbers.
+    def probesOver: Boolean =
+      pinCalib.exists(pc => calib > 2.0 * pc) ||
+        pinCalibIo.exists(pi => calibIo > 2.0 * pi)
+    locally {
       var attempts = 0
-      while (calib > 2.0 * pc && attempts < 4) {
-        System.err.println(f"[bench] probe ${calib}%.3f s > 2x pin probe " +
-          f"${pc}%.3f s — ambient contention; retry ${attempts + 1}/4 in 30 s")
+      while (probesOver && attempts < 4) {
+        System.err.println(f"[bench] probes cpu=${calib}%.3f s io=" +
+          f"${calibIo}%.3f s over 2x pin (cpu=${pinCalib.getOrElse(-1.0)}%.3f" +
+          f" io=${pinCalibIo.getOrElse(-1.0)}%.3f) — ambient contention; " +
+          s"retry ${attempts + 1}/4 in 30 s")
         Thread.sleep(30000L)
         calib = calibrate()
+        calibIo = calibrateIo()
         attempts += 1
       }
     }
-    val contended = pinCalib.exists(pc => calib > 2.0 * pc)
+    val contended = probesOver
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
@@ -202,8 +249,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     val contendedField = if (contended) ""","contended":true""" else ""
     java.nio.file.Files.write(mapPath,
-      s"""{"sf":"$sfDir","cpus":$cpus,"calib":${f3(calib)}$contendedField,"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)}$contendedField,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"calib":${f3(calib)},"calib_io":${f3(calibIo)}$contendedField,"total":${f3(total)},"failed":$failed,"queries":$fullMap,"query_mins":$minMap}""".getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","calib":${f3(calib)},"calib_io":${f3(calibIo)}$contendedField,"queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"full_map":"${mapPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,26 @@ def main() -> int:
                   f"-> normalizing query ratios by {host:.2f}x")
     else:
         print("no calib field on both artifacts — gating on raw ratios")
+    # IO-sensitive probe (round 16): printed and adjudicated alongside the
+    # CPU probe. Disk contention hits the RocksDB-backed streaming family
+    # without moving the CPU probe (the round-15 blind spot), so an
+    # elevated IO probe marks the run's OVER flags as contention-suspect
+    # even when the CPU probe looks quiet. It does NOT normalize ratios —
+    # IO load does not scale the whole catalog uniformly the way host
+    # speed does; it gates trust in the artifact instead.
+    bio, pio = bench.get("calib_io"), pin.get("calib_io")
+    io_contended = False
+    if bio and pio and bio > 0 and pio > 0:
+        io_ratio = bio / pio
+        io_contended = io_ratio > 2.0
+        tag = " — IO-CONTENDED: treat OVER flags as suspect" if io_contended else ""
+        print(f"io probe: bench {bio:.3f}s vs pin {pio:.3f}s "
+              f"({io_ratio:.2f}x){tag}")
+    elif bio or pio:
+        print("io probe on one artifact only — re-pin to enable the IO guard")
+    if bench.get("contended"):
+        print("NOTE: artifact self-marked contended (probe retry never "
+              "settled) — bench diverted this map away from the gate input")
     regressions, new = [], []
     # A pinned query absent from the bench map means it was dropped,
     # renamed, or failed before entering the selected set — that loss must
