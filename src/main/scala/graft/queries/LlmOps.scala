@@ -266,7 +266,19 @@ object LlmOps {
   private val LshAnnBits = 4
   private val IvfNLists = 8
   private val IvfNProbe = 2
-  private val IvfPqRerank = 32
+  /** PQ codebook size per subspace — retuned 16 → 64 by the round-16
+    * (ks, rerank) JOINT sweep (PqJointSweepProbe at sf1: recall@3
+    * 0.31 → 0.41 at the adcRerank shortlist for an ~11% one-time fit
+    * cost; ks=256 buys only +0.04 more for ~10× the fit — SCALE.md
+    * records the surface). */
+  private val IvfPqKs = 64
+  /** Density-scaled ADC shortlist per corpus ([[Similarity.adcRerank]]'s
+    * fraction-of-candidates law — a FIXED shortlist collapses as density
+    * grows; RecallLadderSpec pins the contrast), memoized at first fit
+    * so the generated oracle replays the same value. At the driver
+    * corpus this resolves to the old fixed 32 (the floor). */
+  private val ivfPqReranks =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val AnnQueryPred = "vec_id < 50"
   private val IvfPqQueryPred = "vec_id % 50 = 0"
 
@@ -627,20 +639,26 @@ object LlmOps {
         .orderBy("query_id", "rnk")
     }),
     // IVF-PQ (FAISS IVFx,PQy): coarse lists -> ADC scoring over 8-byte
-    // codes -> exact rerank of 32 candidates. The three-tier shape that
-    // serves billion-vector ANN; ORACLED via the generated replay SQL
-    // (recorded coarse centroids + PQ codebooks as literals, all three
-    // tiers recomputed by DuckDB); recall floor pinned in PqSpec. Both
-    // index halves are fit ONCE per corpus (memoized like
-    // q_sim_ivf_ann's); every invocation after that is a pure probe.
+    // codes -> exact rerank of a DENSITY-SCALED shortlist (adcRerank —
+    // fixed shortlists collapse as density grows; resolves to the floor
+    // 32 at the driver corpus). ks=64 per the round-16 joint sweep. The
+    // three-tier shape that serves billion-vector ANN; ORACLED via the
+    // generated replay SQL (recorded coarse centroids + PQ codebooks as
+    // literals, all three tiers recomputed by DuckDB); recall floor
+    // pinned in PqSpec. Both index halves are fit ONCE per corpus
+    // (memoized like q_sim_ivf_ann's); every invocation after that is a
+    // pure probe.
     "q_sim_ivfpq_ann" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
+      val rr = ivfPqReranks.computeIfAbsent(dir, _ =>
+        Similarity.adcRerank(e.count(), IvfNLists, IvfNProbe)).intValue
       val (index, cb) = LlmOps.ivfPqIndexFor(dir, () =>
-        Similarity.fitIvfPq(e, nLists = IvfNLists, m = 8, ks = 16, dim = 64,
+        Similarity.fitIvfPq(e, nLists = IvfNLists, m = 8, ks = IvfPqKs,
+          dim = 64,
           graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_")
             .getAbsolutePath))
       Similarity.probeIvfPq(e, e.filter(col("vec_id") % 50 === 0), k = AnnK,
-          index, cb, nProbe = IvfNProbe, rerank = IvfPqRerank)
+          index, cb, nProbe = IvfNProbe, rerank = rr)
         .orderBy("query_id", "rnk")
     }),
     "q_sim_ivf_ann" -> ((s, dir) => {
@@ -1717,10 +1735,17 @@ object LlmOps {
           Similarity.ivfAnnOracleSql(ivfF.head.centroids, IvfNProbe, AnnK,
             AnnQueryPred))
         else Map.empty) ++
-        (if (pqF.size == 1) Map("q_sim_ivfpq_ann" ->
-          Similarity.ivfPqAnnOracleSql(pqF.head._1.centroids, pqF.head._2,
-            IvfNProbe, IvfPqRerank, AnnK, IvfPqQueryPred))
-        else Map.empty) ++
+        {
+          // rerank memo fills with the index memo (same query records
+          // both), so the one-dir rule covers the pair
+          val rrF = ivfPqReranks.asScala.values.toSeq
+          if (pqF.size == 1 && rrF.size == 1)
+            Map("q_sim_ivfpq_ann" ->
+              Similarity.ivfPqAnnOracleSql(pqF.head._1.centroids,
+                pqF.head._2, IvfNProbe, rrF.head.intValue, AnnK,
+                IvfPqQueryPred))
+          else Map.empty
+        } ++
         (if (cbF.size == 1) Map("q_embed_pq" ->
           graft.ops.ProductQuantizer.reconStatsOracleSql(cbF.head))
         else Map.empty) ++ {

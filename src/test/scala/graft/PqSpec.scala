@@ -90,8 +90,9 @@ class PqSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val exact = pairs(Similarity.bruteForceTopK(q, e, 3))
+    // ks=64: the catalog's round-16 joint-sweep operating point
     val ivfpq = pairs(Similarity.ivfPqTopK(e, q, k = 3,
-      nLists = 8, nProbe = 2, m = 8, ks = 16, dim = 64, rerank = 32))
+      nLists = 8, nProbe = 2, m = 8, ks = 64, dim = 64, rerank = 32))
     val recall = (ivfpq & exact).size.toDouble / exact.size
     // candidates come from the same probed lists as plain IVF (floor 0.35
     // in CatalogContractSpec); rerank must be deep enough that the noisy

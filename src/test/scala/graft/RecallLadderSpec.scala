@@ -56,7 +56,10 @@ class RecallLadderSpec extends SparkSpec {
 
     val pqDir = graft.io.TempDirs
       .createDeletedOnExit("graft_ladder_ivfpq_").getAbsolutePath
-    val (pix, cb) = Similarity.fitIvfPq(e, nLists = 8, m = 8, ks = 16,
+    // ks=64: the round-16 joint-sweep operating point (the catalog's) —
+    // +0.10 recall over ks=16 at the adcRerank shortlist for ~11% more
+    // one-time fit (PqJointSweepProbe; SCALE.md records the surface)
+    val (pix, cb) = Similarity.fitIvfPq(e, nLists = 8, m = 8, ks = 64,
       dim = 64, pqDir)
     val fixed = recall(pairSet(Similarity.probeIvfPq(e, queries, 3, pix, cb,
       nProbe = 2, rerank = 32)))
@@ -66,9 +69,10 @@ class RecallLadderSpec extends SparkSpec {
     info(f"sf1 IVF-PQ recall@3: fixed-32 = $fixed%.4f, " +
       f"adcRerank($scaledRerank) = $scaled%.4f")
     // the retune's proof: the density-scaled shortlist must clear a floor
-    // the collapsed fixed shortlist cannot (measured 0.33 vs 0.16)
-    assert(scaled >= 0.28,
-      f"density-scaled IVF-PQ recall $scaled%.4f below floor (measured 0.33)")
+    // the collapsed fixed shortlist cannot (ks=64 measured 0.41 scaled
+    // vs 0.28 fixed; floors raised from the ks=16 era's 0.28/0.16)
+    assert(scaled >= 0.38,
+      f"density-scaled IVF-PQ recall $scaled%.4f below floor (measured 0.41)")
     assert(scaled > fixed,
       f"adcRerank ($scaled%.4f) must beat the fixed shortlist ($fixed%.4f)")
   }
