@@ -21,8 +21,9 @@ import graft.ops.Similarity
   *   - probe  — `probeIvfPq` against the already-built index, median of 3
   *     (the memoized path every catalog invocation after the first takes).
   *
-  * Same parameters as the catalog entry (nLists=8, m=8, ks=16, nProbe=2,
-  * rerank=32, queries = vec_id % 50 == 0).
+  * Same parameters as the catalog entry (nLists=8, m=8, ks=64 — the
+  * round-16 joint-sweep operating point — nProbe=2, density-scaled
+  * adcRerank shortlist, queries = vec_id % 50 == 0).
   */
 object IvfPqProbe {
   def main(args: Array[String]): Unit = {
@@ -48,13 +49,14 @@ object IvfPqProbe {
       graft.io.TempDirs.createDeletedOnExit("graft_ivfpq_probe_").getAbsolutePath
     var built: (Similarity.IvfIndex, graft.ops.ProductQuantizer.PqCodebook) = null
     val build = timed {
-      built = Similarity.fitIvfPq(e, nLists = 8, m = 8, ks = 16, dim = 64, indexDir)
+      built = Similarity.fitIvfPq(e, nLists = 8, m = 8, ks = 64, dim = 64, indexDir)
     }
     val (index, cb) = built
+    val rr = Similarity.adcRerank(n, nLists = 8, nProbe = 2)
 
     def probeOnce(): Unit =
       Similarity.probeIvfPq(e, e.filter(col("vec_id") % 50 === 0), k = 3,
-        index, cb, nProbe = 2, rerank = 32).count()
+        index, cb, nProbe = 2, rerank = rr).count()
     probeOnce() // untimed: probe-plan codegen warmup
     val probes = List.fill(3)(timed(probeOnce())).sorted
     println(f"[ivfpq] build ${build}%.2f s; steady-state probe median " +
