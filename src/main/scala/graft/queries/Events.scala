@@ -676,8 +676,53 @@ object Events {
             .as("chi2_micro"),
           col("peak_dow"), col("peak_hod"), col("peak_n"))
         .orderBy("event_type")
+    }),
+    // M4 visualization-driven downsampling (Jugel, Jerzak, Hackenbroich,
+    // Markl: "M4: A Visualization-Oriented Time Series Data Aggregation",
+    // VLDB 2014): per (series, pixel-column) emit min, max, FIRST and
+    // LAST — the four points that make the downsampled polyline
+    // pixel-identical to the full-resolution render. THE way a dashboard
+    // reads a 100 TB telemetry table: the reduction is one map-side-
+    // combined aggregation to |series|·M4Buckets rows, never a sort and
+    // never a window. Determinism: values quantize to exact integer
+    // cents; first/last ride lexicographic MIN/MAX over a
+    // (rel_us, event_id, v_cents) struct — event_id breaks equal-
+    // timestamp ties, so the pick is exact on both engines (DuckDB
+    // orders structs the same way; arg_min/min_by take no composite
+    // key). Bucket = rel_us * M4Buckets div span is pure long math:
+    // rel_us ≤ span < 2^63/M4Buckets bounds the product for any span
+    // under ~2.3 million years. The span one-row aggregate ships as a
+    // broadcast cross join (no collect).
+    "q_timeseries_m4" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("v_cents"),
+          col("event_id"))
+      // t1 is max+1 so the last sample lands in bucket M4Buckets-1
+      val span = ev.agg(min("us").as("t0"), (max(col("us")) + 1L).as("t1"))
+      ev.crossJoin(broadcast(span))
+        .withColumn("rel_us", col("us") - col("t0"))
+        .withColumn("bucket", expr(s"rel_us * $M4Buckets div (t1 - t0)"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("v_cents").as("min_cents"), max("v_cents").as("max_cents"),
+          min(struct(col("rel_us"), col("event_id"), col("v_cents")))
+            .as("fst"),
+          max(struct(col("rel_us"), col("event_id"), col("v_cents")))
+            .as("lst"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          col("min_cents"), col("max_cents"),
+          col("fst.v_cents").as("first_cents"),
+          col("lst.v_cents").as("last_cents"))
+        .orderBy("event_type", "bucket")
     })
   )
+
+  /** q_timeseries_m4's horizontal resolution (pixel columns per series)
+    * — interpolated into the DuckDB oracle. 128 keeps the catalog output
+    * series-bounded (|types| × 128 rows) while exercising multi-sample
+    * buckets at every test scale. */
+  private[graft] val M4Buckets = 128
 
   /** q_events_survival's observation horizon: whole days of corpus time
     * a user is followed for conversion before administrative censoring
@@ -725,6 +770,26 @@ object Events {
     sketchTilesOracleSql.map("q_agg_sketch_tiles" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    // Same cents quantization, same max+1 half-open span, same pure-long
+    // bucket math; first/last replay the struct-lexicographic MIN/MAX
+    // (rel_us, event_id, v_cents) — DuckDB compares structs fieldwise
+    // left-to-right exactly like Spark's orderable-struct min/max.
+    "q_timeseries_m4" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents, event_id
+           FROM events),
+         span AS (SELECT min(us) AS t0, max(us) + 1 AS t1 FROM ev),
+         b AS (SELECT event_type, us - t0 AS rel_us,
+                 (us - t0) * $M4Buckets // (t1 - t0) AS bucket,
+                 v_cents, event_id
+               FROM ev CROSS JOIN span)
+         SELECT event_type, bucket, count(*) AS n,
+           min(v_cents) AS min_cents, max(v_cents) AS max_cents,
+           (min(struct_pack(a := rel_us, b := event_id, c := v_cents))).c
+             AS first_cents,
+           (max(struct_pack(a := rel_us, b := event_id, c := v_cents))).c
+             AS last_cents
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     // Same delta stream (+1 at start, -1 at end, ends BEFORE starts at
     // equal instants via r), plain global windowed cumsum per type —
     // DuckDB materializes, so Spark's shard chunking has no replay step.

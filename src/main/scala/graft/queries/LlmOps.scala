@@ -1361,8 +1361,114 @@ object LlmOps {
             x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
       graft.ops.Mmr.diversifiedTopK(emb, MmrK, MmrShortlist)
         .orderBy("sel_order")
+    }),
+    // Hybrid-retrieval rank fusion via Reciprocal Rank Fusion (Cormack,
+    // Clarke & Büttner, SIGIR 2009): query-by-document "more like this"
+    // — for each probe doc, a LEXICAL ranking (BM25 over the probe's
+    // top-tf terms; TextQueries.Bm25K1/B, the catalog's validated
+    // formula) and a VECTOR ranking (exact milli-quantized cosine of the
+    // aligned embedding) are fused by Σ 1e6 div (k0 + rank), which is
+    // where hybrid RAG serving actually lands: RRF needs no score
+    // calibration between a BM25 log-scale and a cosine in [-1,1].
+    // Scale shape: ONE token aggregation feeds tf/dl/df; the probe
+    // panel, its query terms, df and the corpus stats all ride
+    // broadcasts (each ≤ probes × terms rows); the vector side is the
+    // kNN-audit scan (corpus × broadcast panel, linear); every ranking
+    // is a TopK bounded heap, and the fusion outer-join touches only
+    // the ≤ 2·probes·depth ranked rows. Determinism: integer rrf
+    // scores; the lexical score's ln keeps the documented BM25
+    // rank-swap FP signature.
+    "q_rank_rrf" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        // the doc_id isnotnull is a semantic no-op that keeps every tf
+        // consumer's pushed constraints identical, so dl/pq/dfreq/score
+        // all REUSE tf's aggregation exchange instead of re-scanning the
+        // corpus per branch (the q_text_pmi canonicalization move)
+        .filter(col("term") =!= "" && col("doc_id").isNotNull)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+      val probes = tbl(s, dir, "documents")
+        .select(col("doc_id").as("p_id")).orderBy("p_id").limit(RrfProbeN)
+      val pq = graft.ops.TopK.perGroup(
+          tf.join(broadcast(probes), col("doc_id") === col("p_id")),
+          Seq("p_id"), Seq(("tf", false), ("term", true)), k = RrfQTerms,
+          rankCol = "qt_rn")
+        .select(col("p_id"), col("term"))
+      val dfreq = tf.join(broadcast(pq.select("term").distinct()), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val lexScore = tf.join(broadcast(pq), "term")
+        .filter(col("doc_id") =!= col("p_id"))
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0d) +
+          (col("n").cast("double") - col("df") + 0.5d) /
+            (col("df").cast("double") + 0.5d)))
+        .withColumn("tfpart",
+          col("tf").cast("double") * lit(TextQueries.Bm25K1 + 1.0d) /
+            (col("tf").cast("double") + lit(TextQueries.Bm25K1) *
+              (lit(1.0d - TextQueries.Bm25B) + lit(TextQueries.Bm25B) *
+                (col("dl").cast("double") /
+                  (col("sumdl").cast("double") / col("n"))))))
+        .withColumn("s_micro",
+          floor(col("idf") * col("tfpart") * 1000000d + 0.5d).cast("long"))
+        .groupBy("p_id", "doc_id")
+        .agg(sum("s_micro").as("score_micro"))
+      val lexRank = graft.ops.TopK.perGroup(lexScore, Seq("p_id"),
+          Seq(("score_micro", false), ("doc_id", true)), k = RrfDepth,
+          rankCol = "lex_rank")
+        .select(col("p_id"), col("doc_id"), col("lex_rank"))
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+        .withColumn("nq", aggregate(transform(col("q"), v => v * v),
+          lit(0L), (a, v) => a + v))
+      val panel = emb.join(broadcast(probes), col("vec_id") === col("p_id"))
+        .select(col("p_id"), col("q").as("p_q"), col("nq").as("p_nq"))
+      val vecRank = graft.ops.TopK.perGroup(
+          emb.crossJoin(broadcast(panel))
+            .where(col("vec_id") =!= col("p_id") &&
+              col("nq") > 0L && col("p_nq") > 0L)
+            .withColumn("dot", aggregate(
+              zip_with(col("q"), col("p_q"), (x, y) => x * y),
+              lit(0L), (a, v) => a + v))
+            .withColumn("cos_ppm", floor(
+              col("dot").cast("double") /
+                (sqrt(col("nq").cast("double")) *
+                  sqrt(col("p_nq").cast("double"))) * 1000000d + 0.5d)
+              .cast("long"))
+            .select(col("p_id"), col("vec_id").as("doc_id"), col("cos_ppm")),
+          Seq("p_id"), Seq(("cos_ppm", false), ("doc_id", true)),
+          k = RrfDepth, rankCol = "vec_rank")
+        .select(col("p_id"), col("doc_id"), col("vec_rank"))
+      val fused = lexRank.join(vecRank, Seq("p_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr(s"1000000 div ($RrfK0 + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RrfK0 + vec_rank)"), lit(0L)))
+      graft.ops.TopK.perGroup(fused, Seq("p_id"),
+          Seq(("rrf_micro", false), ("doc_id", true)), k = RrfTopK,
+          rankCol = "rrf_rank")
+        .select(col("p_id").as("probe_id"), col("rrf_rank"), col("doc_id"),
+          col("rrf_micro"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("vec_rank"), lit(0)).as("vec_rank"))
+        .orderBy("probe_id", "rrf_rank")
     })
   )
+
+  /** q_rank_rrf's shape: probe panel size, query terms per probe, per-
+    * list ranking depth, the RRF smoothing constant k0 (60 per Cormack
+    * et al.'s recommendation), and the fused page size — interpolated
+    * into both engines. */
+  private[graft] val RrfProbeN = 4
+  private[graft] val RrfQTerms = 5
+  private[graft] val RrfDepth = 20
+  private[graft] val RrfK0 = 60
+  private[graft] val RrfTopK = 10
 
   /** Stages 1-8 of the crawl-day pipelines — ONE lazy plan over the
     * admitted `day` slice (v2 passes the raw %5==0 day; v3 its
@@ -1769,6 +1875,88 @@ object LlmOps {
   private val staticOracles: Map[String, String] = Map(
     "q_dedup_winnowing" ->
       graft.ops.Winnowing.oracleSql(k = 4, w = 4, maxDf = 50L, minShared = 5L),
+    // The lexical arm replays q_text_bm25's validated arithmetic (same
+    // interpolated K1/B literals, same cast/div order); the vector arm
+    // replays the kNN-audit cosine; ranks are row_number with the same
+    // (score desc, doc asc) tiebreaks; the fusion is exact integer //
+    // over a FULL OUTER join of the two capped lists.
+    "q_rank_rrf" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         tf AS MATERIALIZED (
+           SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+         dl AS MATERIALIZED (
+           SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+         probes AS (SELECT doc_id AS p_id FROM documents
+                    ORDER BY doc_id LIMIT $RrfProbeN),
+         pqr AS (SELECT p.p_id, tf.term, row_number() OVER
+                   (PARTITION BY p.p_id ORDER BY tf.tf DESC, tf.term ASC)
+                   AS rn
+                 FROM tf JOIN probes p ON tf.doc_id = p.p_id),
+         pq AS MATERIALIZED (
+           SELECT p_id, term FROM pqr WHERE rn <= $RrfQTerms),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN (SELECT DISTINCT term FROM pq)
+                   GROUP BY 1),
+         lex AS (SELECT pq.p_id, tf.doc_id,
+             CAST(sum(CAST(floor(
+               ln(1.0 + ((CAST(n AS DOUBLE) - df) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) *
+               (CAST(tf AS DOUBLE) * ${TextQueries.Bm25K1 + 1.0d} /
+                 (CAST(tf AS DOUBLE) + ${TextQueries.Bm25K1} *
+                   (${1.0d - TextQueries.Bm25B} + ${TextQueries.Bm25B} *
+                     (CAST(dl.dl AS DOUBLE) /
+                       (CAST(sumdl AS DOUBLE) / n))))) *
+               1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+           FROM tf JOIN pq USING (term) JOIN dfreq USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+           WHERE tf.doc_id <> pq.p_id
+           GROUP BY 1, 2),
+         lexk AS (SELECT p_id, doc_id, lex_rank FROM (
+             SELECT p_id, doc_id, CAST(row_number() OVER (PARTITION BY p_id
+                 ORDER BY score_micro DESC, doc_id ASC) AS INT) AS lex_rank
+             FROM lex) z
+           WHERE lex_rank <= $RrfDepth),
+         e AS (SELECT vec_id, list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+               FROM embeddings),
+         en AS MATERIALIZED (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
+           FROM e),
+         panel AS (SELECT p.p_id, en.q AS p_q, en.nq AS p_nq
+                   FROM en JOIN probes p ON en.vec_id = p.p_id),
+         vp AS (SELECT panel.p_id, en.vec_id AS doc_id,
+             CAST(floor(CAST(list_sum(list_transform(
+                 range(1, len(en.q) + 1),
+                 i -> en.q[CAST(i AS INT)] * panel.p_q[CAST(i AS INT)]))
+               AS DOUBLE)
+               / (sqrt(CAST(en.nq AS DOUBLE)) * sqrt(CAST(panel.p_nq AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+           FROM en, panel
+           WHERE en.vec_id <> panel.p_id AND en.nq > 0 AND panel.p_nq > 0),
+         vk AS (SELECT p_id, doc_id, vec_rank FROM (
+             SELECT p_id, doc_id, CAST(row_number() OVER (PARTITION BY p_id
+                 ORDER BY cos_ppm DESC, doc_id ASC) AS INT) AS vec_rank
+             FROM vp) z
+           WHERE vec_rank <= $RrfDepth),
+         fused AS (SELECT coalesce(l.p_id, v.p_id) AS p_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             coalesce(1000000 // ($RrfK0 + l.lex_rank), 0)
+               + coalesce(1000000 // ($RrfK0 + v.vec_rank), 0) AS rrf_micro
+           FROM lexk l FULL OUTER JOIN vk v
+             ON l.p_id = v.p_id AND l.doc_id = v.doc_id),
+         fr AS (SELECT p_id, doc_id, rrf_micro, lex_rank, vec_rank,
+             CAST(row_number() OVER (PARTITION BY p_id
+               ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rrf_rank
+           FROM fused)
+         SELECT p_id AS probe_id, rrf_rank, doc_id, rrf_micro,
+           coalesce(lex_rank, 0) AS lex_rank,
+           coalesce(vec_rank, 0) AS vec_rank
+         FROM fr WHERE rrf_rank <= $RrfTopK ORDER BY probe_id, rrf_rank""",
     // Exact static replay (no recorded literals): milli-quantize, exact
     // integer dots/norms against the sum-vector centroid, then the one
     // correctly-rounded sqrt·sqrt·divide per member. idx is 1-based here

@@ -1711,6 +1711,74 @@ object Relational {
             .otherwise(0L))).as("n_top80"))
         .withColumn("top80_ppm", expr("n_top80 * 1000000 div n_customers"))
         .orderBy("c_nationkey")
+    }),
+
+    // Cramér's V categorical-association matrix (Cramér 1946) over the
+    // schema's categorical column pairs — the profiling step that tells a
+    // curation pipeline which attributes are redundant (V→1: drop one
+    // before stratifying on both) and which are independent (V→0: safe
+    // blocking keys). Per pair: ONE map-side-combined contingency
+    // aggregation on the fact table (cells bounded by the category
+    // product, never rows), marginals re-aggregated from the CELL table
+    // (the PMI compress-then-compute move), everything joined back as
+    // broadcasts. χ² over the full r×c grid without materializing zero
+    // cells: Σ_all E = n, so χ² = n + Σ_nonzero[(o−E)²/E − E]; per-cell
+    // terms quantize to exact micro units before the long sum (the
+    // seasonality pattern). dev = o·n − ta·tb stays in exact longs up to
+    // ~3×10⁹ rows per table (n² < 2⁶³); past that this moves to
+    // decimal(38,0) like q_embed_coherence's nb. V's sqrt is correctly
+    // rounded over a bit-identical quotient, so both engines agree.
+    "q_quality_cramers_v" -> ((s, dir) => {
+      def assoc(df: org.apache.spark.sql.DataFrame, a: String, b: String,
+                pair: String) = {
+        val cells = df
+          .select(col(a).cast("string").as("va"),
+            col(b).cast("string").as("vb"))
+          // semantic no-op (the catalog columns are non-null) that makes
+          // the join-inferred isnotnull constraints explicit and
+          // IDENTICAL in every branch — without it each marginal branch
+          // gets a different pushed null filter, the subtrees stop
+          // canonicalizing equal, and AQE cannot reuse the cells
+          // exchange (4 fact scans instead of 1; the q_text_pmi move)
+          .filter(col("va").isNotNull && col("vb").isNotNull)
+          .groupBy("va", "vb").agg(count(lit(1)).as("o"))
+        val ra = cells.groupBy("va").agg(sum("o").as("ta"))
+        val rb = cells.groupBy("vb").agg(sum("o").as("tb"))
+        val tot = cells.agg(sum("o").as("n"),
+          countDistinct("va").as("r"), countDistinct("vb").as("c"))
+        cells.join(broadcast(ra), "va").join(broadcast(rb), "vb")
+          .crossJoin(broadcast(tot))
+          .withColumn("dev", col("o") * col("n") - col("ta") * col("tb"))
+          .withColumn("cell_micro", floor(
+            (col("dev").cast("double") * col("dev").cast("double")
+              / (col("n").cast("double") * col("ta").cast("double")
+                * col("tb").cast("double"))
+              - col("ta").cast("double") * col("tb").cast("double")
+                / col("n").cast("double")) * 1000000d + 0.5d).cast("long"))
+          .groupBy("n", "r", "c")
+          .agg(count(lit(1)).as("n_cells"), sum("cell_micro").as("dev_micro"))
+          .select(lit(pair).as("col_pair"), col("n").as("n_rows"),
+            col("r").as("n_a"), col("c").as("n_b"), col("n_cells"),
+            (col("n") * 1000000L + col("dev_micro")).as("chi2_micro"))
+          // a single-category column (dof 0) must yield NULL, not NaN:
+          // Spark would cast floor(NaN) to null silently while DuckDB
+          // ERRORS casting NaN to BIGINT — guard both engines the same
+          // way so a degenerate corpus cannot diverge them
+          .withColumn("v_micro", when(
+            least(col("n_a") - 1L, col("n_b") - 1L) > 0L,
+            floor(sqrt(
+              col("chi2_micro").cast("double") / 1000000d
+                / (col("n_rows").cast("double")
+                  * least(col("n_a") - 1L, col("n_b") - 1L).cast("double")))
+              * 1000000d + 0.5d).cast("long")))
+      }
+      assoc(tbl(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+          "lineitem:returnflag~linestatus")
+        .unionAll(assoc(tbl(s, dir, "orders"), "o_orderstatus",
+          "o_orderpriority", "orders:status~priority"))
+        .unionAll(assoc(tbl(s, dir, "customer"), "c_mktsegment",
+          "c_nationkey", "customer:segment~nation"))
+        .orderBy("col_pair")
     })
   )
 
@@ -1800,6 +1868,47 @@ object Relational {
     countMinOracleSql.map("q_agg_countmin" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    // Mirrors the Spark arithmetic exactly: long dev products, the same
+    // double op order per cell, micro-quantized cell terms summed as
+    // BIGINT, χ² = n·1e6 + Σ cell_micro, then one correctly-rounded sqrt.
+    "q_quality_cramers_v" -> {
+      def assoc(table: String, a: String, b: String, pair: String) =
+        s"""SELECT '$pair' AS col_pair, n AS n_rows, r AS n_a, c AS n_b,
+             n_cells, chi2_micro,
+             CASE WHEN least(r - 1, c - 1) > 0 THEN
+               CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+                 / (CAST(n AS DOUBLE)
+                    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1e6 + 0.5)
+                 AS BIGINT) END AS v_micro
+           FROM (
+             SELECT any_value(t.n) AS n, any_value(t.r) AS r,
+               any_value(t.c) AS c, count(*) AS n_cells,
+               any_value(t.n) * 1000000 + CAST(sum(CAST(floor(
+                 (CAST(cells.o * t.n - ra.ta * rb.tb AS DOUBLE)
+                    * CAST(cells.o * t.n - ra.ta * rb.tb AS DOUBLE)
+                    / (CAST(t.n AS DOUBLE) * CAST(ra.ta AS DOUBLE)
+                       * CAST(rb.tb AS DOUBLE))
+                  - CAST(ra.ta AS DOUBLE) * CAST(rb.tb AS DOUBLE)
+                    / CAST(t.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+                 AS BIGINT) AS chi2_micro
+             FROM (SELECT CAST($a AS VARCHAR) AS va, CAST($b AS VARCHAR) AS vb,
+                     count(*) AS o FROM $table GROUP BY 1, 2) cells
+             JOIN (SELECT CAST($a AS VARCHAR) AS va, count(*) AS ta
+                   FROM $table GROUP BY 1) ra USING (va)
+             JOIN (SELECT CAST($b AS VARCHAR) AS vb, count(*) AS tb
+                   FROM $table GROUP BY 1) rb USING (vb)
+             CROSS JOIN (SELECT count(*) AS n,
+                 count(DISTINCT CAST($a AS VARCHAR)) AS r,
+                 count(DISTINCT CAST($b AS VARCHAR)) AS c
+               FROM $table) t)"""
+      Seq(assoc("lineitem", "l_returnflag", "l_linestatus",
+          "lineitem:returnflag~linestatus"),
+        assoc("orders", "o_orderstatus", "o_orderpriority",
+          "orders:status~priority"),
+        assoc("customer", "c_mktsegment", "c_nationkey",
+          "customer:segment~nation"))
+        .mkString("", " UNION ALL ", " ORDER BY col_pair")
+    },
     "q_graph_modularity" -> GraphModularityOracle,
     "q_sql_recursive_cte" -> RecursiveCteSql,
     "q_sql_lateral" -> LateralSql,

@@ -46,6 +46,12 @@ object TextQueries {
     * (most repeated bigrams survive; the singleton tail backs off). */
   private[graft] val BigramMinCount = 3
 
+  /** q_text_collocations' evidence floor: bigrams seen fewer times are
+    * not significance-tested (G² of a near-hapax is noise, and the floor
+    * is what bounds the output at Σ pair-occurrences / floor rows).
+    * Interpolated into both engines. */
+  private[graft] val CollocMinPair = 5
+
   /** Catalog-scale vocabulary cap for every word-keyed model broadcast
     * (bigram-LM unigram marginal, NB grid, DSIR features): keep the
     * top-K words by count (ties: word asc — a bounded-heap TakeOrdered,
@@ -389,6 +395,52 @@ object TextQueries {
             .cast("long"))
         .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"))
         .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))
+    }),
+    // Collocation significance via Dunning's log-likelihood ratio G²
+    // ("Accurate Methods for the Statistics of Surprise and Coincidence",
+    // Computational Linguistics 1993) — the significance-tested upgrade
+    // over q_text_pmi: PMI over-ranks rare pairs (two hapaxes that
+    // co-occur once score maximal PMI), while G² weighs the evidence
+    // MASS, which is what you want before promoting a bigram to a
+    // tokenizer merge or a phrase-level dedup shingle. Same one-pass
+    // pair-stream shape as PMI (cab, then marginals re-aggregated from
+    // the compressed pair table; one corpus scan via ReuseExchange);
+    // G² = 2·Σ xlx over the 2×2 contingency computed per row from 9
+    // exact-long counts — the only FP is ln (the validated tf-idf
+    // class), quantized to micro before emission. Like PMI, the n_pair
+    // floor is the row cap: output ≤ Σc/floor rows, never vocab².
+    "q_text_collocations" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val prs = tbl(s, dir, "documents")
+        .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
+      val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      val ca = cab.groupBy("w1").agg(sum("k11").as("ra"))
+      val cb = cab.groupBy("w2").agg(sum("k11").as("cb"))
+      val tot = cab.agg(sum("k11").as("nn"))
+      def xlx(c: org.apache.spark.sql.Column) =
+        when(c > 0L, c.cast("double") * log(c.cast("double")))
+          .otherwise(lit(0.0d))
+      cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+        .filter(col("k11") >= CollocMinPair)
+        .withColumn("k12", col("ra") - col("k11"))
+        .withColumn("k21", col("cb") - col("k11"))
+        .withColumn("k22", col("nn") - col("ra") - col("cb") + col("k11"))
+        .withColumn("g2_micro", floor((lit(2.0d) *
+          (xlx(col("k11")) + xlx(col("k12")) + xlx(col("k21"))
+            + xlx(col("k22"))
+            - xlx(col("ra")) - xlx(col("nn") - col("ra"))
+            - xlx(col("cb")) - xlx(col("nn") - col("cb"))
+            + xlx(col("nn")))) * 1000000d + 0.5d).cast("long"))
+        .select(col("w1"), col("w2"), col("k11").as("n_pair"),
+          col("g2_micro"))
+        .orderBy(desc("g2_micro"), asc("w1"), asc("w2"))
     }),
     // Interpolated BIGRAM-LM pseudo-perplexity — the upgrade tier over
     // q_text_perplexity's unigram score (a bigram LM separates fluent
@@ -1309,6 +1361,38 @@ object TextQueries {
     // and DuckDB's default inlining re-expands the unnest under each —
     // the Bpe-oracle blowup shape, which at 10x scale ran minutes and
     // tens of GB before the hint.
+    // Same pair stream as the PMI oracle; the 9-term xlx expansion runs
+    // per output row over exact BIGINT counts (marginals re-derived from
+    // the raw pair stream = the Spark side's sums over the pair-count
+    // table, the PMI equivalence), ln being the only FP exposure.
+    "q_text_collocations" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         prs AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+                 FROM toks WHERE len(t) >= 2),
+         pr AS MATERIALIZED (SELECT p.w1 AS w1, p.w2 AS w2 FROM prs),
+         cab AS (SELECT w1, w2, count(*) AS k11 FROM pr GROUP BY w1, w2),
+         ca AS (SELECT w1, count(*) AS ra FROM pr GROUP BY w1),
+         cb AS (SELECT w2, count(*) AS cb FROM pr GROUP BY w2),
+         tot AS (SELECT count(*) AS nn FROM pr),
+         g AS (SELECT w1, w2, k11, ra, cb, nn,
+                 ra - k11 AS k12, cb - k11 AS k21,
+                 nn - ra - cb + k11 AS k22
+               FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot
+               WHERE k11 >= $CollocMinPair)
+         SELECT w1, w2, k11 AS n_pair,
+           CAST(floor(2.0 * (
+               (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN ra > 0 THEN CAST(ra AS DOUBLE) * ln(CAST(ra AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN nn - ra > 0 THEN CAST(nn - ra AS DOUBLE) * ln(CAST(nn - ra AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN nn - cb > 0 THEN CAST(nn - cb AS DOUBLE) * ln(CAST(nn - cb AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN nn > 0 THEN CAST(nn AS DOUBLE) * ln(CAST(nn AS DOUBLE)) ELSE 0.0 END)
+           ) * 1e6 + 0.5) AS BIGINT) AS g2_micro
+         FROM g ORDER BY g2_micro DESC, w1, w2""",
     "q_text_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),

@@ -50,6 +50,13 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Dedup.scala", "newBanded") -> (1, "PROBE: incremental day-batch signatures; broadcastNew=false opt-out for large batches"),
     ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
     ("Events.scala", "horizon") -> (1, "ONE_ROW: survival observation-horizon date (administrative censoring anchor)"),
+    ("Events.scala", "span") -> (1, "ONE_ROW: M4 time-span (t0, t1)"),
+    ("Relational.scala", "ra") -> (1, "SCHEMA: Cramers-V row marginals — one row per category of a schema-bounded column"),
+    ("Relational.scala", "rb") -> (1, "SCHEMA: Cramers-V column marginals — one row per category of a schema-bounded column"),
+    ("LlmOps.scala", "probes") -> (2, "CAPPED: RrfProbeN-row probe id panel (limit by construction; lexical + vector arms)"),
+    ("LlmOps.scala", "pq") -> (2, "CAPPED: RrfProbeN x RrfQTerms probe query terms (bounded TopK; df + scoring sites)"),
+    ("LlmOps.scala", "dfreq") -> (1, "CAPPED: document frequencies of the <= RrfProbeN x RrfQTerms probe terms"),
+    ("LlmOps.scala", "stats") -> (1, "ONE_ROW: corpus (N, sum dl) BM25 normalizer"),
     ("Events.scala", "tots") -> (1, "SCHEMA: one row per event type (seasonality totals)"),
     ("Events.scala", "sizes") -> (1, "SCHEMA: one row per signup WEEK (calendar-bounded)"),
     ("HeavyHitters.scala", "candidates") -> (1, "CAPPED: Misra-Gries summary, <= k rows per partition merged"),
@@ -63,7 +70,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("LlmOps.scala", "quarantined") -> (1, "ONE_ROW: the v3 argmax-drift quarantine pick (limit 1)"),
     ("LlmOps.scala", "tot") -> (1, "SCHEMA: v3 per-batch token totals — DefaultChunks rows by construction"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
-    ("LlmOps.scala", "panel") -> (1, "CAPPED: KnnProbeN-row probe panel (bounded TakeOrdered by construction)"),
+    ("LlmOps.scala", "panel") -> (2, "CAPPED: KnnProbeN/RrfProbeN-row probe panels (bounded TakeOrdered by construction; kNN audit + RRF vector arm)"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
     ("Mixing.scala", "stats") -> (2, "SCHEMA: one row per mixture domain (joined twice: quota + deficit pass)"),
@@ -75,7 +82,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Relational.scala", "r") -> (1, "SCHEMA: region dimension (5 rows)"),
     ("Relational.scala", "region") -> (1, "SCHEMA: region dimension (5 rows)"),
     ("Relational.scala", "tbl") -> (2, "ENTITY_DIM: part (p_partkey, p_brand) projections — product catalog (basket-rules + modularity attribution; the latter measured 28 s -> map-side at the sf10 rung); swap to shuffle joins past executor memory"),
-    ("Relational.scala", "tot") -> (1, "ONE_ROW: grand total"),
+    ("Relational.scala", "tot") -> (2, "ONE_ROW: grand totals (basket lift + Cramers-V n/r/c row)"),
     ("Relational.scala", "ntot") -> (1, "ONE_ROW: Benford base-row count"),
     ("Relational.scala", "ptot") -> (1, "ONE_ROW: FK parent distinct count (referential audit)"),
     ("Relational.scala", "expTbl") -> (1, "LITERAL: Benford expected-distribution table (9 rows by definition)"),
@@ -98,7 +105,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextModels.scala", "vSize") -> (3, "ONE_ROW: capped vocab size + 1 (NB grid, NB UNK term, DSIR grid)"),
     ("TextQueries.scala", "capped") -> (1, "CAPPED: min-count-capped bigram table (left marginal folded in), <= total-pairs/cap rows (plan-contracted build side)"),
     ("TextQueries.scala", "cbKept") -> (1, "CAPPED: top-VocabTopK unigram marginal, <= K rows by construction; pruned words score the UnigramFloorCount backoff"),
-    ("TextQueries.scala", "tot") -> (3, "ONE_ROW: pair total / bigram-type total (PMI numerator + LM normalizer + KN continuation normalizer)"),
+    ("TextQueries.scala", "tot") -> (4, "ONE_ROW: pair total / bigram-type total (PMI numerator + LM normalizer + KN continuation normalizer + collocation G2 grand total)"),
     ("TextQueries.scala", "vocab") -> (1, "VOCAB: distinct-token table (tf-idf df join)"),
     ("TextQueries.scala", "qt") -> (1, "LITERAL: the fixed BM25 query set (Bm25Queries — a few rows by definition)"),
     ("TextQueries.scala", "dfreq") -> (1, "CAPPED: document frequencies for the literal query-term set only, <= |distinct query terms| rows"),

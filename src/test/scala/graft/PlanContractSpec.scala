@@ -1056,4 +1056,73 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(wins.size == 1, s"one bounded cumulative window expected:\n$p")
   }
+
+  test("q_timeseries_m4: one agg pass, span rides a one-row broadcast, no shuffle join") {
+    val df = SparkEntry.queries("q_timeseries_m4")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"m4's only join is the broadcast span cross:\n$p")
+    // main agg (bounded |types|·M4Buckets keys) + presentation sort;
+    // the span branch's single-row final agg adds its partial exchange
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.distinct.size <= 3, s"unexpected extra shuffles:\n$p")
+    assert(collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"m4 must aggregate, never window/sort the series:\n$p")
+  }
+
+  test("q_quality_cramers_v: marginals reuse each pair's contingency exchange; one scan per table") {
+    val df = SparkEntry.queries("q_quality_cramers_v")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // ra/rb/tot re-aggregate the cells table — a regression to
+    // per-marginal fact scans is 4 corpus reads where 1 suffices
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+      .groupBy(_.relation.location.rootPaths.mkString.split("/").last)
+    assert(scans.forall(_._2.size == 1),
+      s"each fact table must scan once: ${scans.view.mapValues(_.size).toMap}\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"cell-table-sized marginals must broadcast:\n$p")
+  }
+
+  test("q_text_collocations scans documents once: marginals derive from the pair table") {
+    val df = SparkEntry.queries("q_text_collocations")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val docScans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("documents") => s
+    }
+    assert(docScans.distinct.size == 1,
+      s"expected exactly 1 distinct documents scan:\n$p")
+  }
+
+  test("q_rank_rrf: tf exchange shared, vector arm join-free, fusion never corpus-shuffles") {
+    val df = SparkEntry.queries("q_rank_rrf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+      .groupBy(_.relation.location.rootPaths.mkString.split("/").last)
+    // documents: tf (ONE scan shared by dl/df/score via exchange reuse)
+    // + the probe panel's limit scan + the probe-term branch;
+    // embeddings: corpus scan + panel scan (the kNN-audit shape)
+    assert(scans.getOrElse("documents.parquet", Nil).size <= 3 &&
+      scans.getOrElse("embeddings.parquet", Nil).size <= 2,
+      s"scan fan-out regressed: ${scans.view.mapValues(_.size).toMap}\n$p")
+    // at most one shuffle join (candidate×dl on doc_id — both sides
+    // derive from the same tf exchange); everything else broadcasts,
+    // and the fusion outer join only ever sees ≤ 2·probes·depth rows
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.size <= 1, s"rrf grew a corpus-scale shuffle join:\n$p")
+  }
 }

@@ -83,4 +83,107 @@ class Round16QueriesSpec extends SparkSpec {
     val ok = graft.ops.Coreset.kCenter(emb, k = 64).collect()
     assert(ok.length == 2)
   }
+
+  // ---- wave 1: M4 / Cramér's V / Dunning collocations / RRF fusion ----
+
+  private def writeEventsV(dir: String,
+                           rows: Seq[(Long, String, String, Double)]): Unit = {
+    import spark.implicits._
+    // (event_id, ts, event_type, value) — explicit ids so equal-timestamp
+    // ties are plantable
+    rows.map { case (id, ts, et, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), 1L, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("q_timeseries_m4: bucket edges, equal-timestamp tie broken by event_id") {
+    val dir = tmp("r16m4")
+    // span: t0 = 00:00:00, max = 00:02:07 (+127 s) -> t1 - t0 = 127e6+1 us.
+    // bucket(rel_us) = rel_us*128 div (127e6+1): 0s->0, 63s->63, 127s->127.
+    writeEventsV(dir, Seq(
+      (0L, "2024-01-01 00:00:00", "a", 1.0),  // bucket 0, first by id tie
+      (1L, "2024-01-01 00:00:00", "a", 9.0),  // same ts: last by id tie
+      (2L, "2024-01-01 00:01:03", "a", 5.0),  // bucket 63
+      (3L, "2024-01-01 00:02:07", "a", 2.5),  // bucket 127 (span max)
+      (4L, "2024-01-01 00:00:10", "b", 7.77))) // bucket 10
+    val out = SparkEntry.queries("q_timeseries_m4")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(out.toSeq == Seq(
+      ("a", 0L, (2L, 100L, 900L, 100L, 900L)),
+      ("a", 63L, (1L, 500L, 500L, 500L, 500L)),
+      ("a", 127L, (1L, 250L, 250L, 250L, 250L)),
+      ("b", 10L, (1L, 777L, 777L, 777L, 777L))))
+  }
+
+  test("q_quality_cramers_v: perfect association 1e6, independence 0, dof-0 NULL") {
+    import spark.implicits._
+    val dir = tmp("r16cram")
+    // lineitem: ONE returnflag (r=1 -> dof 0 -> v NULL, chi2 exactly 0)
+    Seq(("N", "O"), ("N", "O"), ("N", "F"))
+      .toDF("l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // orders: exactly proportional counts -> every dev 0 -> chi2 0, v 0
+    Seq(("O", "1"), ("O", "1"), ("O", "2"), ("O", "2"), ("F", "1"), ("F", "2"))
+      .toDF("o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // customer: perfect 2x2 association -> chi2 = n, v = 1.0
+    Seq(("A", 1), ("A", 1), ("A", 1), ("B", 2), ("B", 2))
+      .toDF("c_mktsegment", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q_quality_cramers_v")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(out("customer:segment~nation") ==
+      ((5L, 2L, 2L, 2L, 5000000L, Some(1000000L))))
+    assert(out("orders:status~priority") ==
+      ((6L, 2L, 2L, 4L, 0L, Some(0L))))
+    assert(out("lineitem:returnflag~linestatus") ==
+      ((3L, 1L, 2L, 2L, 0L, None)))
+  }
+
+  test("q_text_collocations: min-pair floor, exact 9-term G2 wiring") {
+    import spark.implicits._
+    val dir = tmp("r16colloc")
+    // "x y" x5 alternation: (x,y) 5 pairs (passes floor), (y,x) 4 (pruned)
+    Seq((0L, ("x y " * 5).trim, "en", "src0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // k11=5, k12=k21=0, k22=4, ra=cb=5, nn=9:
+    // G2 = 2*(9ln9 - 5ln5 - 4ln4) (the zero cells and the k22/marginal
+    // xlx terms cancel pairwise)
+    val g2 = math.floor(2.0d * (9 * math.log(9.0) - 5 * math.log(5.0)
+      - 4 * math.log(4.0)) * 1e6 + 0.5).toLong
+    assert(out.toSeq == Seq(("x", "y", 5L, g2)))
+    assert(g2 > 12000000L && g2 < 13000000L) // ~12.366 nats
+  }
+
+  test("q_rank_rrf: fused score re-derives from the rank columns; panel = smallest ids") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_rank_rrf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    assert(out.nonEmpty)
+    val probes = out.map(_._1).distinct.sorted
+    assert(probes.toSeq == Seq(0L, 1L, 2L, 3L)) // RrfProbeN smallest doc_ids
+    for ((p, rows) <- out.groupBy(_._1)) {
+      // ranks contiguous from 1, capped at RrfTopK
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq
+        && rows.length <= 10, s"probe $p ranks")
+      // fused score == sum of the reciprocal-rank contributions
+      rows.foreach { case (_, _, doc, rrf, lex, vec) =>
+        assert(doc != p)
+        val expectRrf = (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+          (if (vec > 0) 1000000L / (60 + vec) else 0L)
+        assert(rrf == expectRrf, s"probe $p doc $doc")
+        assert(lex >= 0 && lex <= 20 && vec >= 0 && vec <= 20)
+      }
+    }
+    // fusion is real: some doc must be ranked by BOTH arms
+    assert(out.exists(r => r._5 > 0 && r._6 > 0))
+  }
 }
