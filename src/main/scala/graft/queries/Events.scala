@@ -715,8 +715,72 @@ object Events {
           col("fst.v_cents").as("first_cents"),
           col("lst.v_cents").as("last_cents"))
         .orderBy("event_type", "bucket")
+    }),
+
+    // Autocorrelation function of the per-type daily event-count series
+    // at lags 1..AcfMaxLag — the periodicity screen run before picking
+    // seasonal windows (q_events_seasonality assumes a weekly cycle; ACF
+    // is how that assumption is checked). Definition: textbook ACF with
+    // the full-series mean/variance, cross-products over CALENDAR-lag
+    // matched day pairs (an absent day contributes no pair — documented;
+    // the synthetic stream is day-dense so nothing drops). Exactness:
+    // with x̄ = Σx/n left as a rational, multiplying num and den by n²
+    // clears every fraction — num = n²·Σxy − n·Σx·(Σh+Σt) + m·(Σx)²,
+    // den = n²·Σx² − n·(Σx)² — all EXACT integer arithmetic, carried in
+    // decimal(38,0) (long would overflow once daily counts pass ~2×10⁸;
+    // DuckDB's HUGEINT matches exactly), one correctly-rounded divide at
+    // the end. Scale shape: the event stream collapses map-side to
+    // (type, day) FIRST; everything after is calendar-bounded (days ×
+    // types × lags) — the lag join and the totals join are broadcasts of
+    // tiny tables no matter the corpus size.
+    "q_timeseries_acf" -> ((s, dir) => {
+      // semantic no-op on non-null data that makes every branch's pushed
+      // null filters IDENTICAL — without it the head/tail branches gain
+      // an isnotnull(day) from the lag-join key that the totals branch
+      // lacks, the subtrees stop canonicalizing equal, and the totals
+      // branch re-scans the event stream (the q_quality_cramers_v move)
+      val daily = tbl(s, dir, "events")
+        .select(col("event_type"),
+          unix_date(to_date(col("ts"))).cast("long").as("day"))
+        .filter(col("event_type").isNotNull && col("day").isNotNull)
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val lags = s.range(1, AcfMaxLag + 1).select(col("id").as("lag_d"))
+      val head = daily.select(col("event_type"), col("day"), col("x").as("xh"))
+        .crossJoin(broadcast(lags))
+      val tail = daily.select(col("event_type").as("et"),
+        col("day").as("day_t"), col("x").as("xt"))
+      val pl = head.join(tail,
+          col("et") === col("event_type") &&
+            col("day_t") === col("day") + col("lag_d"))
+        .groupBy("event_type", "lag_d")
+        .agg(count(lit(1)).as("m"),
+          sum((col("xh") * col("xt")).cast("decimal(38,0)")).as("sxy"),
+          sum("xh").as("sh"), sum("xt").as("st"))
+      val n2 = col("n").cast("decimal(38,0)") * col("n")
+      val num = n2 * col("sxy") -
+        col("n").cast("decimal(38,0)") * col("sx") *
+          (col("sh") + col("st")).cast("decimal(38,0)") +
+        col("m").cast("decimal(38,0)") * col("sx") * col("sx")
+      val den = n2 * col("sxx") -
+        col("n").cast("decimal(38,0)") * col("sx") * col("sx")
+      pl.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("lag_d"), col("n").as("n_days"),
+          col("m").as("n_pairs"),
+          when(den.cast("double") > 0d,
+            floor(num.cast("double") / den.cast("double") * 1000000d + 0.5d)
+              .cast("long")).as("r_micro"))
+        .orderBy("event_type", "lag_d")
     })
   )
+
+  /** q_timeseries_acf's lag horizon (calendar days) — interpolated into
+    * the DuckDB oracle's lag generator. 7 covers the weekly cycle the
+    * seasonality grid assumes. */
+  private[graft] val AcfMaxLag = 7
 
   /** q_timeseries_m4's horizontal resolution (pixel columns per series)
     * — interpolated into the DuckDB oracle. 128 keeps the catalog output
@@ -1207,6 +1271,34 @@ object Events {
            p.peak_dow, p.peak_hod, p.peak_n
          FROM tots t JOIN obsp o USING (event_type)
               JOIN peak p USING (event_type)
-         ORDER BY t.event_type"""
+         ORDER BY t.event_type""",
+    // Same fraction-cleared exact-integer num/den (HUGEINT here matches
+    // Spark's decimal(38,0) exactly); one double divide at the end.
+    "q_timeseries_acf" ->
+      s"""WITH daily AS (
+           SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             count(*) AS x
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                   sum(x * x) AS sxx
+                 FROM daily GROUP BY 1),
+         lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag_d),
+         pl AS (SELECT h.event_type, l.lag_d, count(*) AS m,
+             sum(h.x * t.x) AS sxy, sum(h.x) AS sh, sum(t.x) AS st
+           FROM daily h CROSS JOIN lags l
+           JOIN daily t ON t.event_type = h.event_type
+            AND t.day = h.day + l.lag_d
+           GROUP BY 1, 2)
+         SELECT p.event_type, p.lag_d, t.n AS n_days, p.m AS n_pairs,
+           CASE WHEN CAST(t.n * t.n * t.sxx - t.n * t.sx * t.sx AS DOUBLE)
+                  > 0 THEN
+             CAST(floor(CAST(t.n * t.n * p.sxy
+                 - t.n * t.sx * (p.sh + p.st)
+                 + p.m * t.sx * t.sx AS DOUBLE)
+               / CAST(t.n * t.n * t.sxx - t.n * t.sx * t.sx AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) END AS r_micro
+         FROM pl p JOIN tot t USING (event_type)
+         ORDER BY p.event_type, p.lag_d"""
   )
 }

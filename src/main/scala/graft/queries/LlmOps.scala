@@ -1280,6 +1280,36 @@ object LlmOps {
           min("n").as("min_class_size"))
         .orderBy("c_nationkey")
     }),
+
+    // Distinct-l-diversity audit (Machanavajjhala et al., TKDD 2007) —
+    // k-anonymity's required companion: a class can be k-anonymous yet
+    // leak the sensitive attribute outright when every member SHARES it
+    // (the homogeneity attack). Quasi-identifier = (nation, segment);
+    // sensitive attribute = the customer's order priorities; a class is
+    // risky when its members exhibit fewer than LDivL distinct sensitive
+    // values. One FK equi-join (orders→customer, unhinted — AQE
+    // broadcast-promotes the customer projection when it fits) feeding a
+    // two-phase distinct aggregation; classes are schema-bounded
+    // (nations × segments), so everything after the join is tiny.
+    // All-integer output.
+    "q_pii_ldiversity" -> ((s, dir) => {
+      val cls = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(countDistinct("o_orderpriority").as("l"),
+          count(lit(1)).as("n_rows"))
+      cls.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("n_rows").as("n_rows"),
+          sum(when(col("l") < LDivL, 1L).otherwise(0L)).as("n_risky_classes"),
+          sum(when(col("l") < LDivL, col("n_rows")).otherwise(0L))
+            .as("n_risky_rows"),
+          min("l").as("min_l"))
+        .orderBy("c_nationkey")
+    }),
     // kNN classifier audit: a fixed KnnProbeN-probe panel (smallest
     // vec_ids — deterministic on both engines) is scored against the
     // FULL corpus by exact integer-quantized cosine, the KnnK nearest
@@ -1570,6 +1600,10 @@ object LlmOps {
     * interpolated into the oracle. */
   private[graft] val KAnonK = 5
   private[graft] val KAnonBandWidth = 1000
+
+  /** q_pii_ldiversity's minimum distinct-sensitive-value count per
+    * quasi-identifier class — interpolated into the oracle. */
+  private[graft] val LDivL = 3
 
   /** q_embed_knn_eval's probe-panel size and neighbor count —
     * interpolated into the oracle. The panel is the smallest
@@ -2009,6 +2043,21 @@ object LlmOps {
            CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT)
              AS n_risky_rows,
            CAST(min(n) AS BIGINT) AS min_class_size
+         FROM cls GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_pii_ldiversity" ->
+      s"""WITH cls AS (
+           SELECT c.c_nationkey, c.c_mktsegment,
+             count(DISTINCT o.o_orderpriority) AS l,
+             count(*) AS n_rows
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2)
+         SELECT c_nationkey, count(*) AS n_classes,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l < $LDivL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(sum(CASE WHEN l < $LDivL THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           CAST(min(l) AS BIGINT) AS min_l
          FROM cls GROUP BY c_nationkey ORDER BY c_nationkey""",
     // The coherence replay's milli-quantization (exact integer dots and
     // norms via 1-based list folds), the same sqrt·sqrt·divide, then

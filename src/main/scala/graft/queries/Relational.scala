@@ -1779,8 +1779,117 @@ object Relational {
         .unionAll(assoc(tbl(s, dir, "customer"), "c_mktsegment",
           "c_nationkey", "customer:segment~nation"))
         .orderBy("col_pair")
+    }),
+
+    // Pearson correlation matrix (all 6 pairs of lineitem's 4 numeric
+    // measures) per return flag — the numeric twin of q_quality_cramers_v
+    // for curation/feature triage: |r|→1 says drop one column before
+    // weighting on both. ONE map-side-combined scan computes every
+    // sufficient statistic (n, Σx, Σx², Σxy per pair); the 6 output rows
+    // per group are pivoted from that single aggregate, so the fact
+    // table is read once regardless of pair count. Exactness: measures
+    // are quantized to integer units first (qty, cents, pct — Pearson is
+    // affine-invariant, so unit choice cannot move r); per-row products
+    // stay under 2⁶³ (max cents² ≈ 10¹⁴) and the SUMS go through
+    // decimal(38,0) (long sums overflow silently past ~9·10¹⁸ —
+    // DuckDB's HUGEINT matches exactly). n·Σxy − ΣxΣy ≈ 3.6×10²⁹ at
+    // sf10 fits decimal(38,0) to ~10¹¹ rows/group; past that this moves
+    // to merged per-partition Welford like the coherence note. The final
+    // r is one divide + one sqrt over exact-integer-valued doubles —
+    // correctly rounded, engine-identical — then micro-quantized.
+    // Zero-variance guard: a constant column yields r = NULL, not NaN.
+    "q_agg_corr_matrix" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_quantity") + 0.5d).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("price"),
+        floor(col("l_discount") * 100d + 0.5d).cast("long").as("disc"),
+        floor(col("l_tax") * 100d + 0.5d).cast("long").as("tax"))
+      val cols = CorrMatrixCols
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+          sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b") }
+      val st = li.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      // ONE aggregate exploded to 6 pair rows — a UNION of per-pair
+      // selects would let column pruning specialize each arm's stat
+      // subset, defeating exchange reuse and re-scanning the fact table
+      // once per pair (observed: 6 scans).
+      val arms = pairs.map { case (a, b) =>
+        val num = (col("n") * col(s"sp_${a}_$b") -
+          col(s"s_$a") * col(s"s_$b")).cast("double")
+        val da = (col("n") * col(s"ss_$a") -
+          col(s"s_$a") * col(s"s_$a")).cast("double")
+        val db = (col("n") * col(s"ss_$b") -
+          col(s"s_$b") * col(s"s_$b")).cast("double")
+        struct(lit(s"$a~$b").as("col_pair"),
+          when(da > 0d && db > 0d,
+            floor(num / sqrt(da * db) * 1000000d + 0.5d).cast("long"))
+            .as("r_micro"))
+      }
+      st.select(col("l_returnflag"), col("n").as("n_rows"),
+          explode(array(arms: _*)).as("p"))
+        .select(col("l_returnflag"), col("p.col_pair").as("col_pair"),
+          col("n_rows"), col("p.r_micro").as("r_micro"))
+        .orderBy("l_returnflag", "col_pair")
+    }),
+
+    // Welch's two-sample t-test (Welch 1947) per return flag: does the
+    // discounted cohort's price differ from the undiscounted one's? —
+    // the A/B readout every curation/mixing experiment ends in, with the
+    // unequal-variance form because cohort sizes and spreads never match
+    // in practice. ONE map-side-combined scan computes both cohorts'
+    // exact sufficient statistics (conditional sums — no second pass, no
+    // join); t and the Welch–Satterthwaite dof are a FIXED sequence of
+    // correctly-rounded IEEE ops over exact-integer-valued doubles
+    // (each per-cohort mean and variance-over-n term is ONE divide of
+    // two exact decimals — v/n = (nΣx²−Σx²)/(n²(n−1)) clears every
+    // fraction), micro-quantized once, mirrored op for op by the oracle.
+    // Degenerate cohorts (n ≤ 1, zero variance) yield NULL on both
+    // engines. Output is schema-bounded (one row per flag).
+    "q_stats_welch_ttest" -> ((s, dir) => {
+      def grp(t: Boolean, tag: String) = Seq(
+        sum(when(col("treated") === t, 1L).otherwise(0L)).as(s"n$tag"),
+        sum(when(col("treated") === t, col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).as(s"sx$tag"),
+        sum(when(col("treated") === t, col("cents") * col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).as(s"sxx$tag"))
+      val aggs = grp(true, "1") ++ grp(false, "2")
+      val st = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+          (floor(col("l_discount") * 100d + 0.5d) > 5d).as("treated"),
+          floor(col("l_extendedprice") * 100d + 0.5d).cast("long")
+            .as("cents"))
+        .groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      def m(i: Int) = col(s"sx$i").cast("double") / col(s"n$i")
+      def a(i: Int) = (col(s"n$i").cast("decimal(38,0)") * col(s"sxx$i") -
+        col(s"sx$i") * col(s"sx$i")).cast("double") /
+        (col(s"n$i").cast("decimal(38,0)") * col(s"n$i") *
+          (col(s"n$i") - 1L)).cast("double")
+      val se2 = a(1) + a(2)
+      val ok = col("n1") > 1L && col("n2") > 1L && se2 > 0d
+      st.select(col("l_returnflag"),
+          col("n1").as("n_treated"), col("n2").as("n_control"),
+          when(ok, floor((m(1) - m(2)) * 1000000d + 0.5d).cast("long"))
+            .as("diff_micro"),
+          when(ok, floor((m(1) - m(2)) / sqrt(se2) * 1000000d + 0.5d)
+            .cast("long")).as("t_micro"),
+          when(ok, floor(se2 * se2 /
+            (a(1) * a(1) / (col("n1") - 1L) +
+              a(2) * a(2) / (col("n2") - 1L)) * 1000000d + 0.5d)
+            .cast("long")).as("dof_micro"))
+        .orderBy("l_returnflag")
     })
   )
+
+  /** q_agg_corr_matrix's measure columns in their integer units — ONE
+    * ordered definition shared with the oracle generator so the pair
+    * labels cannot drift. */
+  private[queries] val CorrMatrixCols: Seq[String] =
+    Seq("qty", "price", "disc", "tax")
 
   /** One SQL text for both engines: Spark runs it via spark.sql over the
     * registered temp views, DuckDB oracles it over the same parquet —
@@ -2607,6 +2716,74 @@ object Relational {
            ON l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
          WHERE o.o_orderkey % 100 = 0
-         GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey""",
+    // DuckDB's sum(BIGINT) returns exact HUGEINT (int128) — the same
+    // exact-integer sufficient statistics Spark holds in decimal(38,0);
+    // the double casts land at the same two spots so the one divide and
+    // one sqrt pair up bit-identically.
+    "q_agg_corr_matrix" -> {
+      val cols = CorrMatrixCols
+      val unit = Map(
+        "qty" -> "CAST(floor(l_quantity + 0.5) AS BIGINT)",
+        "price" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "disc" -> "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+        "tax" -> "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val sums = cols.flatMap(c =>
+        Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS ss_$c")) ++
+        pairs.map { case (a, b) => s"sum($a * $b) AS sp_${a}_$b" }
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT l_returnflag, '$a~$b' AS col_pair, n AS n_rows,
+             CASE WHEN (n * ss_$a - s_$a * s_$a) > 0
+                   AND (n * ss_$b - s_$b * s_$b) > 0 THEN
+               CAST(floor(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+                 / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+                      * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT) END AS r_micro
+           FROM st"""
+      }
+      s"""WITH base AS (SELECT l_returnflag,
+             ${cols.map(c => s"${unit(c)} AS $c").mkString(", ")}
+           FROM lineitem),
+         st AS (SELECT l_returnflag, count(*) AS n, ${sums.mkString(", ")}
+                FROM base GROUP BY 1)
+         ${arms.mkString(" UNION ALL ")}
+         ORDER BY l_returnflag, col_pair"""
+    },
+    // HUGEINT sufficient statistics ≡ Spark's decimal(38,0); every
+    // divide/sub/sqrt lands in the same order so the doubles pair up
+    // bit-identically.
+    "q_stats_welch_ttest" -> {
+      def a(i: Int) =
+        s"""(CAST(n$i * sxx$i - sx$i * sx$i AS DOUBLE)
+           / CAST(CAST(n$i AS HUGEINT) * n$i * (n$i - 1) AS DOUBLE))"""
+      def m(i: Int) = s"(CAST(sx$i AS DOUBLE) / n$i)"
+      val se2 = s"(${a(1)} + ${a(2)})"
+      val ok = s"n1 > 1 AND n2 > 1 AND $se2 > 0"
+      s"""WITH base AS (SELECT l_returnflag,
+             (floor(l_discount * 100 + 0.5) > 5) AS treated,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem),
+         st AS (SELECT l_returnflag,
+             CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             sum(CASE WHEN treated THEN cents ELSE 0 END) AS sx1,
+             sum(CASE WHEN treated THEN cents * cents ELSE 0 END) AS sxx1,
+             CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             sum(CASE WHEN NOT treated THEN cents ELSE 0 END) AS sx2,
+             sum(CASE WHEN NOT treated THEN cents * cents ELSE 0 END) AS sxx2
+           FROM base GROUP BY 1)
+         SELECT l_returnflag, n1 AS n_treated, n2 AS n_control,
+           CASE WHEN $ok THEN CAST(floor((${m(1)} - ${m(2)})
+             * 1000000 + 0.5) AS BIGINT) END AS diff_micro,
+           CASE WHEN $ok THEN CAST(floor((${m(1)} - ${m(2)}) / sqrt($se2)
+             * 1000000 + 0.5) AS BIGINT) END AS t_micro,
+           CASE WHEN $ok THEN CAST(floor($se2 * $se2
+             / (${a(1)} * ${a(1)} / (n1 - 1) + ${a(2)} * ${a(2)} / (n2 - 1))
+             * 1000000 + 0.5) AS BIGINT) END AS dof_micro
+         FROM st ORDER BY l_returnflag"""
+    }
   )
 }

@@ -958,6 +958,132 @@ object TextQueries {
           rankCol = "rake_rn")
         .select(col("phrase"), col("n_words"), col("score_micro"), col("n_occ"))
         .orderBy(desc("score_micro"), asc("phrase"))
+    }),
+    // Flesch reading-ease profile (Flesch 1948) per (lang, source)
+    // corpus slice — the classic readability screen a curation pipeline
+    // runs to route text to grade-level buckets before mixing. FRE =
+    // 206.835 − 1.015·(W/S) − 84.6·(Y/W) over slice-level EXACT counts:
+    // W = tokens ('[^a-z0-9]+' split, the tier standard), S = sentences
+    // ('[.!?]+' split, floored at one per doc — the synthetic corpus has
+    // no terminators, so the floor branch carries it; punctuated text is
+    // covered by the fixture spec), Y = vowel-group syllable heuristic
+    // ('[aeiouy]+' runs — the standard cheap proxy). Determinism: the
+    // three counts are exact longs; W/S and Y/W are single correctly-
+    // rounded IEEE divides and the fixed left-to-right linear combination
+    // is micro-quantized once — bit-identical on both engines. Scale:
+    // one map-side-combined aggregation, output bounded langs × sources;
+    // the per-doc regex work is embarrassingly parallel scan CPU.
+    "q_text_readability" -> ((s, dir) => {
+      val per = tbl(s, dir, "documents").select(
+        col("lang"), col("source"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => w =!= "")).cast("long").as("w"),
+        greatest(size(filter(split(col("text"), "[.!?]+"),
+          x => trim(x) =!= "")), lit(1)).cast("long").as("sent"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("syl"))
+        .filter(col("w") > 0L)
+      per.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("sent").as("n_sents"), sum("syl").as("n_sylls"))
+        .withColumn("fre_micro", floor(
+          (lit(206.835d)
+            - lit(1.015d) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6d) * (col("n_sylls").cast("double") / col("n_words")))
+            * 1000000d + 0.5d).cast("long"))
+        .orderBy("lang", "source")
+    }),
+    // Gopher-style document-quality rule panel (Rae et al. 2021, Table
+    // A1, thresholds tuned to the synthetic corpus so both branches of
+    // each live rule fire): per-source rule-level rejection counts — the
+    // report a curation team reads BEFORE wiring rules into a drop
+    // pipeline (q_curate_pipeline applies; this one measures). Rules:
+    // g1 word count outside [25,85]; g2 mean word length outside [4,10]
+    // (integer-exact: 4·W > chars ∨ chars > 10·W); g3 symbol-to-word
+    // ratio over 10% (zero on the terminator-free synthetic corpus —
+    // the branch is fixture-covered); g4 fewer than two stopword
+    // tokens; g5 top-token dominance over 20% (5·max_tf > W — the
+    // repetition screen q_text_repetition scores continuously). All
+    // comparisons are exact integer arithmetic — no FP anywhere. Scale:
+    // one (doc, word) aggregation (the tf shape), one doc rollup, one
+    // source rollup — map-side combines end to end, output bounded by
+    // the source dimension.
+    "q_quality_gopher" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // JOIN-FREE: the doc-level symbol count rides the token stream as
+      // a carried column (max-folded through both rollups) instead of a
+      // corpus-sized doc-keyed join back to the documents scan.
+      val pw = docs.select(col("doc_id"), col("source"),
+          length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+            .cast("long").as("nsym"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "source", "w")
+        .agg(count(lit(1)).as("c"), max("nsym").as("nsym"))
+      val f = pw.groupBy("doc_id", "source").agg(
+        sum("c").as("words"),
+        sum(length(col("w")) * col("c")).as("wchars"),
+        max("c").as("topc"),
+        sum(when(col("w").isInCollection(GopherStopwords), col("c"))
+          .otherwise(0L)).as("stopc"),
+        max("nsym").as("nsym"))
+        .withColumn("g1", col("words") < 25L || col("words") > 85L)
+        .withColumn("g2", col("wchars") < col("words") * 4L ||
+          col("wchars") > col("words") * 10L)
+        .withColumn("g3", col("nsym") * 10L > col("words"))
+        .withColumn("g4", col("stopc") < 2L)
+        .withColumn("g5", col("topc") * 5L > col("words"))
+      def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"fail_$c")
+      f.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), cnt("g1"), cnt("g2"), cnt("g3"),
+          cnt("g4"), cnt("g5"),
+          sum(when(!col("g1") && !col("g2") && !col("g3") && !col("g4") &&
+            !col("g5"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    }),
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    // PageRank over the word co-occurrence graph — the graph-centrality
+    // upgrade over RAKE's degree/freq heuristic (a word matters because
+    // IMPORTANT words co-occur with it, not merely many). Graph:
+    // adjacent-token pairs (window 1, the paper's strongest setting)
+    // restricted to the top-TextRankVocabK corpus words — the VOCAB cap
+    // that keeps nodes/edges bounded BY CONSTRUCTION (≤ K², so the
+    // iterate-as-joins kernel shuffles a constant-size graph no matter
+    // the corpus); unweighted, symmetrized, then TextRankIters rounds of
+    // graft.ops.PageRank's integer-exact fixed-point (order-invariant
+    // long arithmetic — bit-identical on any cluster and in DuckDB's
+    // unrolled replay). Scale shape: one token scan + doc-bounded lead
+    // window builds the pair stream; the two word→node joins broadcast
+    // the K-row id table; everything downstream is K-sized.
+    "q_text_textrank" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "[^a-z0-9]+")))
+        .toDF("doc_id", "pos", "w")
+      val ids = graft.ops.TopK.perGroup(
+          toks.filter(col("w") =!= "").groupBy("w")
+            .agg(count(lit(1)).as("cnt")).withColumn("g", lit(1)),
+          Seq("g"), Seq(("cnt", false), ("w", true)),
+          k = TextRankVocabK, rankCol = "node")
+        .select(col("w"), col("node").cast("long").as("node"))
+      val seqw = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks.withColumn("w2", lead("w", 1).over(seqw))
+        .filter(col("w") =!= "" && col("w2").isNotNull &&
+          col("w2") =!= "" && col("w") =!= col("w2"))
+        .join(broadcast(ids.select(col("w"), col("node").as("id1"))), "w")
+        .join(broadcast(ids.select(col("w").as("w2"),
+          col("node").as("id2"))), "w2")
+        .select("id1", "id2")
+      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct()
+      val pr = graft.ops.PageRank.fixedPoint(edges, TextRankIters)
+      graft.ops.TopK.perGroup(
+          pr.join(broadcast(ids), "node").withColumn("g", lit(1)),
+          Seq("g"), Seq(("rank_micro", false), ("w", true)),
+          k = TextRankTopK, rankCol = "tr_rn")
+        .select(col("w").as("word"), col("rank_micro"))
+        .orderBy(desc("rank_micro"), asc("word"))
     })
   )
 
@@ -967,6 +1093,20 @@ object TextQueries {
     * affects the broadcast-free segmentation scan). */
   private[queries] val RakeStopwords: Seq[String] = Seq("a", "the")
   private[queries] val RakeTopK = 15
+
+  /** q_quality_gopher's stopword panel (rule g4) — ONE definition shared
+    * with the oracle's interpolated IN-list. The synthetic corpus's two
+    * function words; production swaps in the Gopher paper's list. */
+  private[queries] val GopherStopwords: Seq[String] = Seq("a", "the")
+
+  /** q_text_textrank's graph envelope: the co-occurrence graph is built
+    * over the top-VocabK corpus words only (nodes/edges bounded BY
+    * CONSTRUCTION — the broadcast-cap contract), ranked for Iters
+    * integer-PageRank rounds, emitting the TopK keywords. All three
+    * interpolated into the generated oracle. */
+  private[graft] val TextRankVocabK = 64
+  private[graft] val TextRankIters = 10
+  private[graft] val TextRankTopK = 15
 
   /** q_text_heavy_hitters' counter budget — threshold φ = 1/(k+1) of all
     * running tokens. Interpolated into the oracle SQL so the threshold
@@ -1725,6 +1865,105 @@ object TextQueries {
            WHERE rn <= $RakeTopK)
          SELECT phrase, n_words, score_micro, n_occ
          FROM top ORDER BY score_micro DESC, phrase"""
+    },
+    // Same exact counts; the FRE linear combination is evaluated in the
+    // same left-to-right order so every IEEE op pairs up bit-identically.
+    "q_text_readability" ->
+      """WITH per AS (
+           SELECT lang, source,
+             CAST(len(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS w,
+             CAST(greatest(len(list_filter(string_split_regex(text,
+               '[.!?]+'), x -> trim(x) <> '')), 1) AS BIGINT) AS sent,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syl
+           FROM documents)
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(sent) AS BIGINT) AS n_sents,
+           CAST(sum(syl) AS BIGINT) AS n_sylls,
+           CAST(floor((206.835
+               - 1.015 * (CAST(sum(w) AS DOUBLE) / CAST(sum(sent) AS BIGINT))
+               - 84.6 * (CAST(sum(syl) AS DOUBLE) / CAST(sum(w) AS BIGINT)))
+             * 1000000 + 0.5) AS BIGINT) AS fre_micro
+         FROM per WHERE w > 0 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Integer-exact rule comparisons — nothing to quantize. DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // global-by-default replace.
+    "q_quality_gopher" -> {
+      val sw = GopherStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH pw AS (
+           SELECT doc_id, source, w, count(*) AS c FROM (
+             SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), w -> w <> '')) AS w
+             FROM documents) t GROUP BY 1, 2, 3),
+         pd AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS words,
+             CAST(sum(len(w) * c) AS BIGINT) AS wchars,
+             CAST(max(c) AS BIGINT) AS topc,
+             CAST(sum(CASE WHEN w IN ($sw) THEN c ELSE 0 END)
+               AS BIGINT) AS stopc
+           FROM pw GROUP BY 1, 2),
+         sym AS (SELECT doc_id,
+             CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS nsym
+           FROM documents),
+         f AS (SELECT pd.source,
+             (words < 25 OR words > 85) AS g1,
+             (wchars < words * 4 OR wchars > words * 10) AS g2,
+             (nsym * 10 > words) AS g3,
+             (stopc < 2) AS g4,
+             (topc * 5 > words) AS g5
+           FROM pd JOIN sym USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_g1,
+           CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_g2,
+           CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_g3,
+           CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_g4,
+           CAST(sum(CASE WHEN g5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_g5,
+           CAST(sum(CASE WHEN NOT g1 AND NOT g2 AND NOT g3 AND NOT g4
+             AND NOT g5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM f GROUP BY 1 ORDER BY 1"""
+    },
+    // Same capped graph; the integer-PageRank recurrence replays via
+    // PageRank.oracleSql's unrolled rounds nested as a subquery (the
+    // q_graph_pagerank generator — outer CTE names chosen to dodge its
+    // internal e/deg/nv/r0/cK names).
+    "q_text_textrank" -> {
+      val prSql = graft.ops.PageRank.oracleSql(
+        "SELECT src, dst FROM tre", TextRankIters)
+      // AS MATERIALIZED: DuckDB inlines CTEs by default, and the
+      // unrolled PageRank rounds reference the edge pipeline ~2·iters
+      // times — inlined, each copy re-plans the whole token stream and
+      // the compare process balloons (observed: an 85 GB OOM at the
+      // sf10 rung). Materializing pins each stage to one evaluation;
+      // `tre` is K²-bounded so everything downstream is tiny.
+      s"""WITH toks AS MATERIALIZED (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w,
+             unnest(range(1,
+               len(string_split_regex(lower(text), '[^a-z0-9]+')) + 1))
+               AS pos
+           FROM documents),
+         ids AS MATERIALIZED (SELECT w, CAST(rn AS BIGINT) AS node FROM (
+             SELECT w, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+             FROM (SELECT w, count(*) AS cnt FROM toks WHERE w <> ''
+                   GROUP BY 1) v) z
+           WHERE rn <= $TextRankVocabK),
+         prs AS MATERIALIZED (SELECT t.w, t.doc_id, t.pos,
+             lead(t.w) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS w2
+           FROM toks t),
+         pe AS MATERIALIZED (SELECT a.node AS id1, b.node AS id2
+           FROM prs p JOIN ids a ON a.w = p.w JOIN ids b ON b.w = p.w2
+           WHERE p.w <> p.w2),
+         tre AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT id1 AS src, id2 AS dst FROM pe
+           UNION ALL SELECT id2, id1 FROM pe) u),
+         pr AS (SELECT * FROM ($prSql) z)
+         SELECT i.w AS word, pr.rank_micro
+         FROM pr JOIN ids i ON i.node = pr.node
+         ORDER BY pr.rank_micro DESC, word
+         LIMIT $TextRankTopK"""
     }
   )
 }

@@ -51,6 +51,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Events.scala", "maxts") -> (1, "ONE_ROW: max timestamp"),
     ("Events.scala", "horizon") -> (1, "ONE_ROW: survival observation-horizon date (administrative censoring anchor)"),
     ("Events.scala", "span") -> (1, "ONE_ROW: M4 time-span (t0, t1)"),
+    ("Events.scala", "lags") -> (1, "LITERAL: the fixed 1..AcfMaxLag lag table (AcfMaxLag rows by definition)"),
+    ("Events.scala", "tot") -> (1, "SCHEMA: per-event-type ACF series totals (one row per type)"),
     ("Relational.scala", "ra") -> (1, "SCHEMA: Cramers-V row marginals — one row per category of a schema-bounded column"),
     ("Relational.scala", "rb") -> (1, "SCHEMA: Cramers-V column marginals — one row per category of a schema-bounded column"),
     ("LlmOps.scala", "probes") -> (2, "CAPPED: RrfProbeN-row probe id panel (limit by construction; lexical + vector arms)"),
@@ -117,6 +119,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("TextQueries.scala", "nd") -> (3, "ONE_ROW: doc-id max + 1 (Heaps bucket modulus; doc/token/vocab sites)"),
     ("TextQueries.scala", "nd2") -> (1, "ONE_ROW: corpus doc count (burstiness zero-inclusive mean)"),
     ("TextQueries.scala", "wordScore") -> (1, "VOCAB: RAKE word-score table (the tf-idf vocabulary contract)"),
+    ("TextQueries.scala", "ids") -> (3, "CAPPED: TextRank top-VocabK word->node id table, <= TextRankVocabK rows by construction (two edge-build sites + the rank-to-word join)"),
     ("TextQueries.scala", "ltot") -> (1, "SCHEMA: one row per labeled language (confusion-matrix row totals)"),
     ("Triangles.scala", "deg") -> (2, "CAPPED: backbone degrees, <= k per vertex by the top-k backbone's construction (both wedge endpoints)"))
 

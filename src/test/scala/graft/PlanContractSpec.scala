@@ -1125,4 +1125,138 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.size <= 1, s"rrf grew a corpus-scale shuffle join:\n$p")
   }
+
+  test("q_agg_corr_matrix: ONE fact scan feeds all 6 pairs (explode, not union-of-prunes)") {
+    val df = SparkEntry.queries("q_agg_corr_matrix")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // a union of per-pair selects lets column pruning specialize each
+    // arm's stat subset and re-scan lineitem 6 times (observed before
+    // the explode rewrite); the contract is a single pass
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1, s"corr matrix must scan lineitem once:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"corr matrix must not join:\n$p")
+    // partial-agg shuffle (returnflag keys) + presentation sort only
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"unexpected extra shuffles (${ex.size}):\n$p")
+  }
+
+  test("q_timeseries_acf: one event scan; every join is post-agg and broadcast") {
+    val df = SparkEntry.queries("q_timeseries_acf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // head / tail / totals all derive from ONE (type, day) pre-agg
+    // exchange — the identical-filter move keeps the subtrees
+    // canonically equal so the totals branch reuses it
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1, s"acf must scan events once:\n$p")
+    // lag table, daily tail, and totals are all calendar/schema-bounded
+    // — nothing may sort-merge
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"acf joins calendar-bounded sides — must broadcast:\n$p")
+  }
+
+  test("q_text_readability: join-free single aggregation over a pruned scan") {
+    val df = SparkEntry.queries("q_text_readability")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"readability must not join:\n$p")
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"unexpected extra shuffles (${ex.size}):\n$p")
+    val scans = collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+    assert(scans.forall(_.schema.fieldNames.toSet ==
+      Set("text", "lang", "source")),
+      s"scan must read only (text, lang, source):\n$p")
+  }
+
+  test("q_quality_gopher: join-free token-stream rollup (nsym rides the stream)") {
+    val df = SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the doc-level symbol count is a carried column max-folded through
+    // both rollups — a doc-keyed join back to the documents scan would
+    // shuffle the corpus twice
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"gopher must not join:\n$p")
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1, s"gopher must scan documents once:\n$p")
+  }
+
+  test("q_pii_ldiversity: pruned scans; classes aggregate after one FK join") {
+    val df = SparkEntry.queries("q_pii_ldiversity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(p) { case s: FileSourceScanExec => s }
+    assert(scans.forall(s =>
+      s.schema.fieldNames.toSet == Set("o_custkey", "o_orderpriority") ||
+        s.schema.fieldNames.toSet ==
+          Set("c_custkey", "c_nationkey", "c_mktsegment")),
+      s"scans must prune to the QI/sensitive columns:\n$p")
+    // one FK equi-join, unhinted: AQE promotes the customer projection
+    // to broadcast when it fits (here) and may shuffle at scale — either
+    // way there is exactly one join
+    val joins = collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size == 1, s"ldiversity is one FK join (${joins.size}):\n$p")
+  }
+
+  test("q_stats_welch_ttest: join-free single conditional-stats aggregation") {
+    val df = SparkEntry.queries("q_stats_welch_ttest")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"welch must not join — both cohorts ride one scan:\n$p")
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1 && scans.forall(_.schema.fieldNames.toSet ==
+      Set("l_extendedprice", "l_discount", "l_returnflag")),
+      s"welch must read lineitem once, pruned to 3 columns:\n$p")
+    val ex = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"unexpected extra shuffles (${ex.size}):\n$p")
+  }
+
+  test("q_text_textrank: iterations ride cached K-sized frames, never replay the token scan") {
+    val df = SparkEntry.queries("q_text_textrank")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the PageRank rounds consume the persisted edge/vertex frames
+    // (iters edge scans + iters+1 vertex scans); if the cache contract
+    // broke, every round would replay the corpus token pipeline
+    val expectCached = 2 * graft.queries.TextQueries.TextRankIters + 1
+    val cached = collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cached.size >= expectCached,
+      s"expected >= $expectCached cached scans, got ${cached.size}:\n$p")
+    // the token pipeline itself reads documents at most twice (vocab
+    // branch + pair branch — different shapes by construction)
+    val docScans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("documents") => s
+    }
+    assert(docScans.size <= 2,
+      s"token pipeline re-scans documents (${docScans.size}):\n$p")
+    assert(collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"textrank grew a cartesian product:\n$p")
+  }
 }

@@ -186,4 +186,140 @@ class Round16QueriesSpec extends SparkSpec {
     // fusion is real: some doc must be ranked by BOTH arms
     assert(out.exists(r => r._5 > 0 && r._6 > 0))
   }
+
+  private def writeDocs(dir: String, rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, text) =>
+      (id, text, "en", s"src${id % 2}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("q_text_readability: punctuated sentences and syllable groups count exactly") {
+    val dir = tmp("r16read")
+    // one doc, one (lang, source) cell: words [the,cat,sat,a,big,dog,
+    // ran] = 7, sentences 2, vowel groups e,a,a,a,i,o,a = 7
+    writeDocs(dir, Seq((0L, "the cat sat. a big dog ran!")))
+    val r = SparkEntry.queries("q_text_readability")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_words")) == 7L)
+    assert(row.getLong(row.fieldIndex("n_sents")) == 2L)
+    assert(row.getLong(row.fieldIndex("n_sylls")) == 7L)
+    val expect = math.floor((206.835 - 1.015 * (7.0 / 2) - 84.6 * (7.0 / 7))
+      * 1e6 + 0.5).toLong
+    assert(row.getLong(row.fieldIndex("fre_micro")) == expect)
+  }
+
+  test("q_quality_gopher: the symbol-ratio rule fires on symbol-bearing docs only") {
+    val dir = tmp("r16goph")
+    val clean = (1 to 30).map(i => s"w$i the the").mkString(" ") // 90 words
+    val symbolic = clean + " ### $$$ %%% ####"        // 13 symbols: 130 > 90
+    writeDocs(dir, Seq((0L, clean), (1L, symbolic)))
+    val r = SparkEntry.queries("q_quality_gopher")(spark, dir).collect()
+      .map(row => row.getString(0) ->
+        row.getLong(row.fieldIndex("fail_g3"))).toMap
+    assert(r("src0") == 0L, s"clean doc must pass g3: $r")
+    assert(r("src1") == 1L, s"symbol doc must fail g3: $r")
+  }
+
+  test("q_agg_corr_matrix: exact ±1 on (anti)correlated columns, NULL on constant") {
+    val dir = tmp("r16corr")
+    import spark.implicits._
+    // qty = i, price = 2i (r=+1), disc = 10-i (r=-1 vs qty), tax = const
+    (1 to 8).map(i => (1L, 1L, 1L, i, i.toDouble, 2.0 * i,
+      (10 - i) / 100.0, 0.05, "N", "O",
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_agg_corr_matrix")(spark, dir).collect()
+      .map(row => row.getString(1) ->
+        (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+    assert(r("qty~price").contains(1000000L), s"perfect correlation: $r")
+    assert(r("qty~disc").contains(-1000000L), s"perfect anticorrelation: $r")
+    assert(r("qty~tax").isEmpty, s"constant column must yield NULL: $r")
+  }
+
+  test("q_timeseries_acf: alternating daily series scores the hand-computed lags") {
+    val dir = tmp("r16acf")
+    import spark.implicits._
+    // 6 days, counts 10,20,10,20,10,20 for one type: n=6 Sx=90 Sxx=1500
+    // lag1: m=5 sxy=1000 sh=70 st=80 -> r = -4500/5400 -> -833333
+    // lag2: m=4 sxy=1000 sh=60 st=60 -> r =  3600/5400 ->  666667
+    val rows = for {
+      d <- 1 to 6
+      j <- 1 to (if (d % 2 == 1) 10 else 20)
+    } yield (d.toLong * 100 + j,
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d 08:00:00"), 1L,
+      "view", 0.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q_timeseries_acf")(spark, dir).collect()
+      .map(row => row.getLong(1) ->
+        (if (row.isNullAt(4)) None else Some(row.getLong(4)))).toMap
+    assert(r(1L).contains(-833333L), s"lag1: $r")
+    assert(r(2L).contains(666667L), s"lag2: $r")
+    assert(r.keySet == (1L to 5L).toSet, s"lags with >=1 pair: $r")
+  }
+
+  test("q_pii_ldiversity: homogeneous class flagged risky, diverse class passes") {
+    val dir = tmp("r16ldiv")
+    import spark.implicits._
+    // nation 1: one (segment) class whose 4 orders all share ONE priority
+    // -> l=1 < 3, risky; nation 2: one class with 3 distinct priorities
+    Seq((1L, 1, "AUTO"), (2L, 2, "AUTO"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (Seq((10L, 1L, "1-URGENT"), (11L, 1L, "1-URGENT"), (12L, 1L, "1-URGENT"),
+      (13L, 1L, "1-URGENT"), (20L, 2L, "1-URGENT"), (21L, 2L, "2-HIGH"),
+      (22L, 2L, "3-MEDIUM")))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q_pii_ldiversity")(spark, dir).collect()
+      .map(row => row.getInt(0) -> (row.getLong(3), row.getLong(5))).toMap
+    assert(r(1) == ((1L, 1L)), s"nation 1 homogeneous: $r") // risky, min_l=1
+    assert(r(2) == ((0L, 3L)), s"nation 2 diverse: $r")     // safe,  min_l=3
+  }
+
+  test("q_stats_welch_ttest: equal means -> t=0; hand-computed Welch dof") {
+    val dir = tmp("r16welch")
+    import spark.implicits._
+    // treated (disc .10): cents 100,200,300 (m=200); control (disc 0):
+    // cents 100,100,300,300 (m=200) -> diff=0, t=0; a1=a2=10000/3 so
+    // dof = (2a)^2 / (a^2/2 + a^2/3) = 4.8 exactly (to well under 1e-6)
+    val rows =
+      Seq((1.0, 0.10), (2.0, 0.10), (3.0, 0.10),
+        (1.0, 0.0), (1.0, 0.0), (3.0, 0.0), (3.0, 0.0))
+    rows.zipWithIndex.map { case ((price, disc), i) =>
+      (i.toLong, 1L, 1L, 1, 1.0, price, disc, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q_stats_welch_ttest")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_treated")) == 3L)
+    assert(row.getLong(row.fieldIndex("n_control")) == 4L)
+    assert(row.getLong(row.fieldIndex("diff_micro")) == 0L)
+    assert(row.getLong(row.fieldIndex("t_micro")) == 0L)
+    assert(row.getLong(row.fieldIndex("dof_micro")) == 4800000L)
+  }
+
+  test("q_text_textrank: hub word outranks leaves; symmetric pair ties split by word") {
+    val dir = tmp("r16trank")
+    // star graph: h co-occurs with a/b/c -> h gets the centrality mass;
+    // the leaves tie exactly (integer pagerank is deterministic) and
+    // order alphabetically
+    writeDocs(dir, Seq((0L, "h aa h bb h cc")))
+    val out = SparkEntry.queries("q_text_textrank")(spark, dir).collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq("h", "aa", "bb", "cc"), out.toSeq)
+    val byW = out.toMap
+    assert(byW("h") > byW("aa") && byW("aa") == byW("bb") &&
+      byW("bb") == byW("cc"), out.toSeq)
+  }
 }
