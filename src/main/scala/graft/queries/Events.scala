@@ -774,8 +774,42 @@ object Events {
             floor(num.cast("double") / den.cast("double") * 1000000d + 0.5d)
               .cast("long")).as("r_micro"))
         .orderBy("event_type", "lag_d")
+    }),
+
+    // Top event-type trigram paths — the order-2 upgrade over
+    // q_events_markov's transition matrix: which three-step journeys
+    // actually dominate (the funnel-DISCOVERY step run before
+    // q_window_funnel is told what funnel to measure). Same per-user
+    // (ts, event_id) ordering as markov; two leads ride ONE user
+    // exchange; the path table collapses map-side to ≤ |types|³ rows, so
+    // the TopK heap and the one-row total are the only things after the
+    // collapse. Exact integer ppm share of all trigrams.
+    "q_events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tri = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum("n").as("t"))
+      graft.ops.TopK.perGroup(tri.withColumn("g", lit(1)), Seq("g"),
+          Seq(("n", false), ("s1", true), ("e2", true), ("e3", true)),
+          k = PathTopK, rankCol = "path_rn")
+        .crossJoin(broadcast(tot))
+        .select(concat_ws(">", col("s1"), col("e2"), col("e3")).as("path"),
+          col("n"), expr("n * 1000000 div t").as("share_ppm"))
+        .orderBy(desc("n"), asc("path"))
     })
   )
+
+  /** q_events_paths' result depth — interpolated into the oracle.
+    * Trigram paths over lowercase-alnum type names: '>' sorts below
+    * [a-z0-9], so path-string order agrees with (s1, e2, e3) tuple
+    * order and the two engines' final sorts coincide. */
+  private[graft] val PathTopK = 20
 
   /** q_timeseries_acf's lag horizon (calendar days) — interpolated into
     * the DuckDB oracle's lag generator. 7 covers the weekly cycle the
@@ -1299,6 +1333,26 @@ object Events {
                / CAST(t.n * t.n * t.sxx - t.n * t.sx * t.sx AS DOUBLE)
                * 1000000 + 0.5) AS BIGINT) END AS r_micro
          FROM pl p JOIN tot t USING (event_type)
-         ORDER BY p.event_type, p.lag_d"""
+         ORDER BY p.event_type, p.lag_d""",
+    // Same (ts, event_id) ordering, same bounded-rank cut; '>' sorts
+    // below [a-z0-9] so the path-string sort equals the tuple sort.
+    "q_events_paths" ->
+      s"""WITH t AS (
+           SELECT event_type,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+           FROM events),
+         tri AS (SELECT event_type AS s1, e2, e3, count(*) AS n
+                 FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM tri),
+         top AS (SELECT s1, e2, e3, n FROM (
+             SELECT tri.*, row_number() OVER
+               (ORDER BY n DESC, s1 ASC, e2 ASC, e3 ASC) AS rn FROM tri) z
+           WHERE rn <= $PathTopK)
+         SELECT s1 || '>' || e2 || '>' || e3 AS path, n,
+           n * 1000000 // tt AS share_ppm
+         FROM top, tot ORDER BY n DESC, path"""
   )
 }

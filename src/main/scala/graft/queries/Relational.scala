@@ -30,6 +30,14 @@ object Relational {
     * absorbs everything past the grid, so the output schema is bounded
     * by construction regardless of the price domain. */
   private[graft] val HistBucketWidth = 50000L
+
+  /** q_quality_drift_psi's equi-width price grid — width and bucket
+    * count interpolated into BOTH engines; the last bucket absorbs the
+    * overflow tail like the histogram's. The bucket count also sets the
+    * add-one smoothing mass ((n+1)/(N+B)), so it appears in the PSI
+    * denominators on both sides. */
+  private[graft] val PsiBucketWidth = 100000L
+  private[graft] val PsiBuckets = 8L
   private[graft] val HistBuckets = 12
 
   /** q_quality_benford's expected first-digit distribution, computed
@@ -1882,6 +1890,76 @@ object Relational {
               a(2) * a(2) / (col("n2") - 1L)) * 1000000d + 0.5d)
             .cast("long")).as("dof_micro"))
         .orderBy("l_returnflag")
+    }),
+
+    // 2-D skyline / Pareto front (Börzsönyi et al., ICDE 2001): per
+    // return flag, the line items no other item dominates on
+    // (quantity ↑, price ↑) — the multi-objective shortlist operator
+    // behind "best tradeoff" queries (quality-vs-length doc selection,
+    // cost-vs-coverage source picks). Scale shape: the Börzsönyi
+    // pre-filter collapses the fact stream MAP-SIDE to one row per
+    // (flag, qty) — only the per-x maximum can survive — so the
+    // dominance window runs over ≤ |flags|·|qty domain| rows, never the
+    // corpus; the window itself is the sort-based 2-D skyline test
+    // (a point survives iff its price strictly exceeds every
+    // higher-qty point's). All-integer; set semantics (duplicate
+    // points collapse).
+    "q_agg_skyline" -> ((s, dir) => {
+      val best = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+          floor(col("l_quantity") + 0.5d).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100d + 0.5d).cast("long")
+            .as("cents"))
+        .groupBy("l_returnflag", "qty").agg(max("cents").as("cents"))
+      val prev = Window.partitionBy("l_returnflag")
+        .orderBy(col("qty").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      best.withColumn("max_prev", max("cents").over(prev))
+        .filter(col("max_prev").isNull || col("cents") > col("max_prev"))
+        .select(col("l_returnflag"), col("qty"), col("cents"))
+        .orderBy(col("l_returnflag"), col("qty").desc)
+    }),
+
+    // Population Stability Index drift monitor (the credit-scoring /
+    // model-monitoring standard; Karakoulas 2004 popularized the 0.1 /
+    // 0.25 action thresholds): per calendar week of orders, PSI of the
+    // price distribution against the whole-corpus reference —
+    // Σ (p_i − q_i)·ln(p_i/q_i) over the equi-width bucket grid, the
+    // numeric twin of q_text_kl_drift's vocabulary KL. Add-one
+    // smoothing keeps empty buckets finite; weeks are exact integer
+    // epoch-day÷7 (never weekofyear — the engines' week conventions
+    // differ). Per-bucket terms quantize to micro-units before the
+    // exact long sum (the micro-nat ln contract). Scale shape: the
+    // order stream collapses map-side to (week, bucket) counts — ≤
+    // weeks·PsiBuckets rows; reference marginals re-aggregate that
+    // table (compress-then-compute), everything downstream broadcast.
+    "q_quality_drift_psi" -> ((s, dir) => {
+      val wb = tbl(s, dir, "orders").select(
+          expr("unix_date(to_date(o_orderdate)) div 7").cast("long")
+            .as("week"),
+          least(floor(col("o_totalprice") / PsiBucketWidth.toDouble),
+            lit(PsiBuckets - 1L)).cast("long").as("bucket"))
+        .filter(col("week").isNotNull && col("bucket").isNotNull)
+        .groupBy("week", "bucket").agg(count(lit(1)).as("n"))
+      val ref = wb.groupBy("bucket").agg(sum("n").as("rn"))
+      val wtot = wb.groupBy("week").agg(sum("n").as("wt"))
+      val rtot = ref.agg(sum("rn").as("rt"))
+      // add-one smoothing over the FULL grid without densifying it:
+      // absent (week, bucket) cells contribute term(0) each — computed
+      // in closed form from the week/reference totals, like the
+      // seasonality absent-cell move. p = (n+1)/(wt+B), q = (rn+1)/(rt+B).
+      val grid = wtot.crossJoin(broadcast(ref)).crossJoin(broadcast(rtot))
+        .join(wb, Seq("week", "bucket"), "left")
+        .withColumn("nn", coalesce(col("n"), lit(0L)))
+      grid
+        .withColumn("p", (col("nn") + 1L).cast("double") /
+          (col("wt") + PsiBuckets).cast("double"))
+        .withColumn("q", (col("rn") + 1L).cast("double") /
+          (col("rt") + PsiBuckets).cast("double"))
+        .withColumn("term_micro", floor((col("p") - col("q")) *
+          log(col("p") / col("q")) * 1000000d + 0.5d).cast("long"))
+        .groupBy("week")
+        .agg(max("wt").as("n_orders"), sum("term_micro").as("psi_micro"))
+        .orderBy("week")
     })
   )
 
@@ -2784,6 +2862,53 @@ object Relational {
              / (${a(1)} * ${a(1)} / (n1 - 1) + ${a(2)} * ${a(2)} / (n2 - 1))
              * 1000000 + 0.5) AS BIGINT) END AS dof_micro
          FROM st ORDER BY l_returnflag"""
-    }
+    },
+    // Same Börzsönyi pre-collapse, same strict-dominance window test.
+    "q_agg_skyline" ->
+      """WITH best AS (
+           SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST(max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1, 2),
+         sky AS (SELECT best.*,
+             max(cents) OVER (PARTITION BY l_returnflag ORDER BY qty DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prev
+           FROM best)
+         SELECT l_returnflag, qty, cents FROM sky
+         WHERE max_prev IS NULL OR cents > max_prev
+         ORDER BY l_returnflag, qty DESC""",
+    // Same integer week key, same add-one smoothing over the
+    // un-materialized full grid, same per-bucket micro quantization
+    // before the exact sum.
+    "q_quality_drift_psi" ->
+      s"""WITH wb AS (
+           SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) // 7 AS week,
+             least(CAST(floor(o_totalprice / $PsiBucketWidth.0) AS BIGINT),
+               ${PsiBuckets - 1}) AS bucket,
+             count(*) AS n
+           FROM orders GROUP BY 1, 2),
+         ref AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rn
+                 FROM wb GROUP BY 1),
+         wt AS (SELECT week, CAST(sum(n) AS BIGINT) AS wt
+                FROM wb GROUP BY 1),
+         rt AS (SELECT CAST(sum(rn) AS BIGINT) AS rt FROM ref),
+         grid AS (SELECT w.week, w.wt, r.bucket, r.rn, rt.rt,
+             coalesce(b.n, 0) AS nn
+           FROM wt w CROSS JOIN ref r CROSS JOIN rt
+           LEFT JOIN wb b ON b.week = w.week AND b.bucket = r.bucket),
+         terms AS (SELECT week, wt,
+             CAST(floor(
+               (CAST(nn + 1 AS DOUBLE) / CAST(wt + $PsiBuckets AS DOUBLE)
+                - CAST(rn + 1 AS DOUBLE) / CAST(rt + $PsiBuckets AS DOUBLE))
+               * ln((CAST(nn + 1 AS DOUBLE) / CAST(wt + $PsiBuckets AS DOUBLE))
+                  / (CAST(rn + 1 AS DOUBLE) / CAST(rt + $PsiBuckets AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS term_micro
+           FROM grid)
+         SELECT week, CAST(max(wt) AS BIGINT) AS n_orders,
+           CAST(sum(term_micro) AS BIGINT) AS psi_micro
+         FROM terms GROUP BY week ORDER BY week"""
   )
 }

@@ -52,7 +52,7 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Events.scala", "horizon") -> (1, "ONE_ROW: survival observation-horizon date (administrative censoring anchor)"),
     ("Events.scala", "span") -> (1, "ONE_ROW: M4 time-span (t0, t1)"),
     ("Events.scala", "lags") -> (1, "LITERAL: the fixed 1..AcfMaxLag lag table (AcfMaxLag rows by definition)"),
-    ("Events.scala", "tot") -> (1, "SCHEMA: per-event-type ACF series totals (one row per type)"),
+    ("Events.scala", "tot") -> (2, "SCHEMA/ONE_ROW: per-event-type ACF series totals + the trigram-path grand total"),
     ("Relational.scala", "ra") -> (1, "SCHEMA: Cramers-V row marginals — one row per category of a schema-bounded column"),
     ("Relational.scala", "rb") -> (1, "SCHEMA: Cramers-V column marginals — one row per category of a schema-bounded column"),
     ("LlmOps.scala", "probes") -> (2, "CAPPED: RrfProbeN-row probe id panel (limit by construction; lexical + vector arms)"),
@@ -86,6 +86,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Relational.scala", "tbl") -> (2, "ENTITY_DIM: part (p_partkey, p_brand) projections — product catalog (basket-rules + modularity attribution; the latter measured 28 s -> map-side at the sf10 rung); swap to shuffle joins past executor memory"),
     ("Relational.scala", "tot") -> (2, "ONE_ROW: grand totals (basket lift + Cramers-V n/r/c row)"),
     ("Relational.scala", "ntot") -> (1, "ONE_ROW: Benford base-row count"),
+    ("Relational.scala", "ref") -> (1, "SCHEMA: PSI reference bucket marginals, <= PsiBuckets rows by construction"),
+    ("Relational.scala", "rtot") -> (1, "ONE_ROW: PSI reference grand total"),
     ("Relational.scala", "ptot") -> (1, "ONE_ROW: FK parent distinct count (referential audit)"),
     ("Relational.scala", "expTbl") -> (1, "LITERAL: Benford expected-distribution table (9 rows by definition)"),
     ("Similarity.scala", "probes") -> (2, "PROBE: ANN query batch (API contract: probe sets are small; coarse + fine stage)"),

@@ -1259,4 +1259,58 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, s"textrank grew a cartesian product:\n$p")
   }
+
+  test("q_agg_skyline: Börzsönyi pre-collapse bounds the dominance window; join-free") {
+    val df = SparkEntry.queries("q_agg_skyline")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"skyline must not join:\n$p")
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1 && scans.forall(_.schema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_returnflag")),
+      s"skyline reads lineitem once, pruned:\n$p")
+    // the (flag, qty) pre-aggregation must sit UNDER the window — the
+    // window then runs over <= |flags|·|qty domain| rows, never the fact
+    // stream (the move that makes a 3-partition window safe at 100 TB)
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(w => collectWithSubqueries(w) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty), s"dominance window must consume the pre-aggregate:\n$p")
+  }
+
+  test("q_quality_drift_psi: one orders scan; the (week, bucket) exchange feeds counts, marginals and the grid") {
+    val df = SparkEntry.queries("q_quality_drift_psi")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1, s"psi must scan orders once (exchange reuse):\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"psi joins weeks×buckets-bounded sides — must broadcast:\n$p")
+  }
+
+  test("q_events_paths: top paths prune map-side via a partial WindowGroupLimit") {
+    val df = SparkEntry.queries("q_events_paths")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1, s"paths must scan events once:\n$p")
+    val wgl = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wgl.exists(_.mode == org.apache.spark.sql.execution.window.Partial),
+      s"missing map-side top-k prune:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, s"paths' only join is the one-row total broadcast:\n$p")
+  }
 }

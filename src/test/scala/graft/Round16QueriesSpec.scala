@@ -322,4 +322,68 @@ class Round16QueriesSpec extends SparkSpec {
     assert(byW("h") > byW("aa") && byW("aa") == byW("bb") &&
       byW("bb") == byW("cc"), out.toSeq)
   }
+
+  private def writeLineitem(dir: String,
+                            rows: Seq[(String, Double, Double)]): Unit = {
+    import spark.implicits._
+    // (returnflag, quantity, extendedprice)
+    rows.zipWithIndex.map { case ((rf, q, price), i) =>
+      (i.toLong, 1L, 1L, 1, q, price, 0.0, 0.0, rf, "O",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("q_agg_skyline: dominated points drop; per-qty maxima pre-collapse") {
+    val dir = tmp("r16sky")
+    // qty->max cents: 5->100, 4->200, 3->150, 2->250
+    // skyline (qty desc): (5,100) in, (4,200) in, (3,150) dominated by
+    // (4,200), (2,250) in
+    writeLineitem(dir, Seq(("N", 5.0, 1.00), ("N", 4.0, 2.00),
+      ("N", 3.0, 1.50), ("N", 2.0, 2.50), ("N", 5.0, 0.90)))
+    val out = SparkEntry.queries("q_agg_skyline")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((5L, 100L), (4L, 200L), (2L, 250L)), out)
+  }
+
+  test("q_quality_drift_psi: identical weeks tie at the smoothing floor; a shifted week scores higher") {
+    val dir = tmp("r16psi")
+    import spark.implicits._
+    // weeks 1,2: same distribution (3 low + 1 high); week 3: all high
+    def o(day: String, price: Double, i: Int) =
+      (i.toLong, 1L, "O", price, java.sql.Timestamp.valueOf(s"$day 00:00:00"),
+        "1-URGENT")
+    val rows =
+      (1 to 3).map(i => o("2024-01-01", 50000.0, i)) ++ Seq(o("2024-01-01", 750000.0, 4)) ++
+      (5 to 7).map(i => o("2024-01-08", 50000.0, i)) ++ Seq(o("2024-01-08", 750000.0, 8)) ++
+      (9 to 12).map(i => o("2024-01-15", 750000.0, i))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_quality_drift_psi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == 3, out.toSeq)
+    val psi = out.sortBy(_._1).map(_._2)
+    assert(psi(0) == psi(1), s"identical weeks must tie: ${out.toSeq}")
+    assert(psi(2) > psi(0), s"shifted week must score higher: ${out.toSeq}")
+  }
+
+  test("q_events_paths: hand-traced trigram counts and ppm shares") {
+    val dir = tmp("r16path")
+    import spark.implicits._
+    // one user: a b c a b c -> trigrams abc(2), bca(1), cab(1); total 4
+    val rows = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (et, i) => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 0$i%d:00:00"), 1L, et,
+        0.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_events_paths")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a>b>c", 2L, 500000L), ("b>c>a", 1L, 250000L),
+      ("c>a>b", 1L, 250000L)), out)
+  }
 }
