@@ -1359,6 +1359,72 @@ object LlmOps {
           when(col("label") === col("p_label"), 1).otherwise(0).as("correct"))
         .orderBy("vec_id")
     }),
+
+    // Int8 scalar-quantization recall audit (the FAISS SQ8 baseline —
+    // Jégou et al.'s flat-quantizer control arm): how much top-K recall
+    // does 8-bit storage cost vs the exact ranking? — the sizing study
+    // run before choosing between SQ8 (4× smaller, cheap decode) and PQ
+    // (16×, ADC). Codes derive from the milli-quantized components by a
+    // GLOBAL symmetric scale c8 = round(q·127/maxabs) ∈ [−127, 127]
+    // (one correctly-rounded double op per component — engine-mirrored;
+    // the affine per-dim variant would break the exact-integer dot).
+    // Both rankings ride ONE corpus×panel pairs scan: exact cosine over
+    // milli codes and SQ8 cosine over int8 codes are exact integer
+    // dots/norms with the one sqrt·sqrt·divide at the end; recall@K =
+    // |exact∩sq8| per probe, exact integer ppm. Scale shape: maxabs is
+    // a one-row broadcast fit, the panel a bounded TakeOrdered, the
+    // corpus side one linear narrow scan (the kNN-audit contract), both
+    // rank cuts bounded TopK heaps.
+    "q_embed_sq8" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+        .withColumn("nq", aggregate(transform(col("q"), v => v * v),
+          lit(0L), (a, v) => a + v))
+        .filter(col("nq") > 0L)
+      val mx = emb.select(aggregate(transform(col("q"), v => abs(v)),
+          lit(0L), (a, v) => greatest(a, v)).as("ma"))
+        .agg(max("ma").as("maxabs"))
+      val coded = emb.crossJoin(broadcast(mx))
+        .withColumn("c8", transform(col("q"),
+          v => floor(v.cast("double") * 127d / col("maxabs") + 0.5d)
+            .cast("long")))
+        .withColumn("n8", aggregate(transform(col("c8"), v => v * v),
+          lit(0L), (a, v) => a + v))
+        .filter(col("n8") > 0L)
+        .select("vec_id", "q", "nq", "c8", "n8")
+      val panel = coded.orderBy("vec_id").limit(KnnProbeN)
+        .select(col("vec_id").as("p_id"), col("q").as("p_q"),
+          col("nq").as("p_nq"), col("c8").as("p_c8"), col("n8").as("p_n8"))
+      val pairs = coded.crossJoin(broadcast(panel))
+        .where(col("vec_id") =!= col("p_id"))
+        .withColumn("cos_ppm", floor(
+          aggregate(zip_with(col("q"), col("p_q"), (x, y) => x * y),
+            lit(0L), (a, v) => a + v).cast("double") /
+            (sqrt(col("nq").cast("double")) *
+              sqrt(col("p_nq").cast("double"))) * 1000000d + 0.5d)
+          .cast("long"))
+        .withColumn("cos8_ppm", floor(
+          aggregate(zip_with(col("c8"), col("p_c8"), (x, y) => x * y),
+            lit(0L), (a, v) => a + v).cast("double") /
+            (sqrt(col("n8").cast("double")) *
+              sqrt(col("p_n8").cast("double"))) * 1000000d + 0.5d)
+          .cast("long"))
+        .select("p_id", "vec_id", "cos_ppm", "cos8_ppm")
+      def cut(score: String) = graft.ops.TopK.perGroup(pairs, Seq("p_id"),
+        Seq((score, false), ("vec_id", true)), k = KnnK,
+        rankCol = s"rn_$score").select("p_id", "vec_id")
+      val overlap = cut("cos_ppm").join(cut("cos8_ppm"), Seq("p_id", "vec_id"))
+        .groupBy("p_id").agg(count(lit(1)).as("n_overlap"))
+      panel.select(col("p_id"))
+        .join(overlap, Seq("p_id"), "left")
+        .select(col("p_id").as("vec_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr(s"coalesce(n_overlap, 0) * 1000000 div $KnnK")
+            .as("recall_ppm"))
+        .orderBy("vec_id")
+    }),
     // Greedy k-center coreset / diverse-seed selection (Gonzalez 1985 —
     // see graft.ops.Coreset): CoresetK maximally-spread exemplars for
     // eval panels, deterministic clustering inits, or annotation batches
@@ -2094,6 +2160,57 @@ object LlmOps {
            label AS pred_label, n_votes,
            CASE WHEN label = p_label THEN 1 ELSE 0 END AS correct
          FROM v WHERE vr = 1 ORDER BY vec_id""",
+    // Same milli codes, same global-scale int8 derivation (one mirrored
+    // double op per component), both rankings recomputed from scratch.
+    "q_embed_sq8" ->
+      s"""WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         en AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
+           FROM e),
+         e2 AS (SELECT * FROM en WHERE nq > 0),
+         mxx AS (SELECT CAST(max(list_max(list_transform(q, v -> abs(v))))
+               AS BIGINT) AS maxabs
+             FROM e2),
+         c AS (SELECT vec_id, q, nq,
+             list_transform(q, v -> CAST(floor(CAST(v AS DOUBLE) * 127
+               / maxabs + 0.5) AS BIGINT)) AS c8
+           FROM e2, mxx),
+         c2 AS (SELECT vec_id, q, nq, c8,
+             CAST(list_sum(list_transform(c8, v -> v * v)) AS BIGINT) AS n8
+           FROM c),
+         c3 AS (SELECT * FROM c2 WHERE n8 > 0),
+         p AS (SELECT vec_id AS p_id, q AS p_q, nq AS p_nq,
+               c8 AS p_c8, n8 AS p_n8
+             FROM c3 ORDER BY vec_id LIMIT $KnnProbeN),
+         pr AS (SELECT c3.vec_id, p.p_id,
+             CAST(floor(CAST(list_sum(list_transform(
+                 range(1, len(c3.q) + 1),
+                 i -> c3.q[CAST(i AS INT)] * p.p_q[CAST(i AS INT)]))
+               AS DOUBLE)
+               / (sqrt(CAST(c3.nq AS DOUBLE)) * sqrt(CAST(p.p_nq AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS cos_ppm,
+             CAST(floor(CAST(list_sum(list_transform(
+                 range(1, len(c3.c8) + 1),
+                 i -> c3.c8[CAST(i AS INT)] * p.p_c8[CAST(i AS INT)]))
+               AS DOUBLE)
+               / (sqrt(CAST(c3.n8 AS DOUBLE)) * sqrt(CAST(p.p_n8 AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS cos8_ppm
+           FROM c3, p WHERE c3.vec_id <> p.p_id),
+         r1 AS (SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+               ORDER BY cos_ppm DESC, vec_id ASC) AS rn FROM pr),
+         r2 AS (SELECT p_id, vec_id, row_number() OVER (PARTITION BY p_id
+               ORDER BY cos8_ppm DESC, vec_id ASC) AS rn FROM pr),
+         ov AS (SELECT r1.p_id, count(*) AS n
+           FROM r1 JOIN r2 ON r1.p_id = r2.p_id AND r1.vec_id = r2.vec_id
+           WHERE r1.rn <= $KnnK AND r2.rn <= $KnnK GROUP BY 1)
+         SELECT p.p_id AS vec_id,
+           CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n, 0) * 1000000 // $KnnK AS BIGINT) AS recall_ppm
+         FROM p LEFT JOIN ov ON ov.p_id = p.p_id ORDER BY vec_id""",
     // Independent formulation on purpose: first-occurrence via
     // row_number over block STRINGS (the Spark side keys on xxhash64 —
     // hash = string counts modulo ~n²/2⁶⁵ collisions).

@@ -1960,6 +1960,38 @@ object Relational {
         .groupBy("week")
         .agg(max("wt").as("n_orders"), sum("term_micro").as("psi_micro"))
         .orderBy("week")
+    }),
+
+    // Week-over-week revenue growth per order priority — the
+    // period-over-period reporting primitive every dashboard tier runs
+    // (the discrete-difference twin of q_window_ewma's smoothing).
+    // Semantics: lag over OBSERVED weeks (a gap week compares against
+    // the last observed one — documented; the synthetic stream is
+    // week-dense). Growth in exact integer ppm via truncating division
+    // (Spark `div` ≡ DuckDB `//` toward zero, the q_events_trend
+    // contract — negative growth is the common case). Revenue sums ride
+    // decimal(38,0) ≡ HUGEINT (long cents overflow past ~9·10¹⁶ cents
+    // per cell); the published cents column is CAST BIGINT on both
+    // engines. Scale shape: the order stream collapses map-side to
+    // (priority, week) — the lag window runs over a calendar-bounded
+    // table, never the corpus.
+    "q_window_wow_growth" -> ((s, dir) => {
+      val wk = tbl(s, dir, "orders").select(
+          col("o_orderpriority").as("prio"),
+          expr("unix_date(to_date(o_orderdate)) div 7").cast("long")
+            .as("week"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("cents"))
+        .groupBy("prio", "week")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents").cast("decimal(38,0)")).as("rev"))
+      val w = Window.partitionBy("prio").orderBy("week")
+      wk.withColumn("prev_rev", lag("rev", 1).over(w))
+        .select(col("prio"), col("week"), col("n_orders"),
+          col("rev").cast("long").as("rev_cents"),
+          when(col("prev_rev") > 0L,
+            expr("(rev - prev_rev) * 1000000 div prev_rev"))
+            .as("growth_ppm"))
+        .orderBy("prio", "week")
     })
   )
 
@@ -2909,6 +2941,24 @@ object Relational {
            FROM grid)
          SELECT week, CAST(max(wt) AS BIGINT) AS n_orders,
            CAST(sum(term_micro) AS BIGINT) AS psi_micro
-         FROM terms GROUP BY week ORDER BY week"""
+         FROM terms GROUP BY week ORDER BY week""",
+    // Same observed-week lag; HUGEINT revenue ≡ decimal(38,0);
+    // `//` ≡ Spark div toward zero on the signed numerator.
+    "q_window_wow_growth" ->
+      """WITH wk AS (
+           SELECT o_orderpriority AS prio,
+             date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) // 7 AS week,
+             count(*) AS n_orders,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1, 2),
+         lg AS (SELECT wk.*, lag(rev, 1) OVER
+               (PARTITION BY prio ORDER BY week) AS prev_rev
+             FROM wk)
+         SELECT prio, week, n_orders, CAST(rev AS BIGINT) AS rev_cents,
+           CASE WHEN prev_rev > 0
+             THEN CAST((rev - prev_rev) * 1000000 // prev_rev AS BIGINT)
+           END AS growth_ppm
+         FROM lg ORDER BY prio, week"""
   )
 }

@@ -72,7 +72,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("LlmOps.scala", "quarantined") -> (1, "ONE_ROW: the v3 argmax-drift quarantine pick (limit 1)"),
     ("LlmOps.scala", "tot") -> (1, "SCHEMA: v3 per-batch token totals — DefaultChunks rows by construction"),
     ("LlmOps.scala", "minCnt") -> (1, "ONE_ROW: min label count"),
-    ("LlmOps.scala", "panel") -> (2, "CAPPED: KnnProbeN/RrfProbeN-row probe panels (bounded TakeOrdered by construction; kNN audit + RRF vector arm)"),
+    ("LlmOps.scala", "panel") -> (3, "CAPPED: KnnProbeN/RrfProbeN-row probe panels (bounded TakeOrdered by construction; kNN audit + SQ8 recall audit + RRF vector arm)"),
+    ("LlmOps.scala", "mx") -> (1, "ONE_ROW: SQ8 global max-abs milli component (the quantizer scale fit)"),
     ("LlmOps.scala", "nRow") -> (1, "ONE_ROW: corpus max doc id + 1 (negative-draw modulus)"),
     ("LlmOps.scala", "quota") -> (1, "SCHEMA: one row per label"),
     ("Mixing.scala", "stats") -> (2, "SCHEMA: one row per mixture domain (joined twice: quota + deficit pass)"),

@@ -1313,4 +1313,48 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.isEmpty, s"paths' only join is the one-row total broadcast:\n$p")
   }
+
+  test("q_embed_sq8: the corpus side stays linear — fit, panel and pair scans only") {
+    val df = SparkEntry.queries("q_embed_sq8")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // each rank cut re-derives the pairs stream (corpus + fit + panel
+    // scans ×2): the bounded-heap prune sits BELOW the exchange and
+    // differs per score column, so the exchanges cannot canonicalize
+    // equal — a DELIBERATE trade of one extra linear scan for map-side
+    // top-K pruning (the alternative shuffles the corpus×panel pair
+    // stream wholesale). Never a corpus×corpus shape.
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString.contains("embeddings") => s
+    }
+    assert(scans.size <= 6, s"sq8 scan fan-out regressed (${scans.size}):\n$p")
+    assert(collectWithSubqueries(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"sq8 grew an unbroadcast cartesian:\n$p")
+    // the only sort-merge join permitted is the bounded panel↔overlap
+    // recall join (≤ KnnProbeN rows a side)
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.size <= 2, s"sq8 grew corpus-scale shuffle joins:\n$p")
+  }
+
+  test("q_window_wow_growth: the lag window consumes the (prio, week) pre-aggregate") {
+    val df = SparkEntry.queries("q_window_wow_growth")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val scans = collectWithSubqueries(p) {
+      case s: FileSourceScanExec => s }.distinct
+    assert(scans.size == 1, s"wow growth reads orders once:\n$p")
+    assert(collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, s"wow growth must not join:\n$p")
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(w => collectWithSubqueries(w) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty), s"lag window must consume the pre-aggregate:\n$p")
+  }
 }

@@ -386,4 +386,48 @@ class Round16QueriesSpec extends SparkSpec {
     assert(out == Seq(("a>b>c", 2L, 500000L), ("b>c>a", 1L, 250000L),
       ("c>a>b", 1L, 250000L)), out)
   }
+
+  test("q_embed_sq8: well-separated directions survive 8-bit quantization at full recall; zero vectors drop") {
+    val dir = tmp("r16sq8")
+    import spark.implicits._
+    // 5 clean axis/diagonal directions + one zero vector (excluded: its
+    // milli norm is 0). Panel = whole corpus (KnnProbeN > 5); int8 codes
+    // preserve the exact ranking, so the overlap is every one of the 4
+    // available candidates — and recall_ppm is 4/KnnK = 800000: the
+    // denominator stays KnnK by design (a probe with fewer than K
+    // candidates can never report full recall; at corpus scale K
+    // candidates always exist).
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, 0.9f, 0.1f), 1),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 2),
+      (5L, Seq(0.0f, 0.0f, 0.0f), 2))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_sq8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), out.toSeq)
+    assert(out.forall(_._2 == 800000L), out.toSeq)
+  }
+
+  test("q_window_wow_growth: negative growth TRUNCATES toward zero on both engines") {
+    val dir = tmp("r16wow")
+    import spark.implicits._
+    // one priority, 3 week-dense weeks: 300 -> 100 -> 200 cents
+    // growth w2 = -200e6 div 300 = -666666 (floor would be -666667!)
+    // growth w3 = +100e6 div 100 = 1000000
+    val rows = Seq(("2024-01-01", 3.00), ("2024-01-08", 1.00),
+      ("2024-01-15", 2.00)).zipWithIndex.map { case ((d, p), i) =>
+      (i.toLong, 1L, "O", p,
+        java.sql.Timestamp.valueOf(s"$d 00:00:00"), "1-URGENT")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_window_wow_growth")(spark, dir).collect()
+      .map(r => (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.toSeq == Seq(None, Some(-666666L), Some(1000000L)), out.toSeq)
+  }
 }
