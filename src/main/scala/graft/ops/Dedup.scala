@@ -291,29 +291,35 @@ object Dedup {
     grouped.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-duplicate PAIRS by byte-band LSH + exact hamming verify
-    * — the q_multimodal_phash shape applied to text signatures. Splitting
-    * the 64-bit signature into 8 disjoint 8-bit bands gives PIGEONHOLE
-    * exact recall for hamming ≤ 7: a pair differing in at most 7 bits
-    * leaves at least one band untouched, so it collides in that band's
-    * bucket. Candidates come only from band-bucket collisions (never
-    * all-pairs); each candidate is verified with a codegen'd
-    * bit_count(xor) and kept at or below `maxHamming`. Scale shape: the
-    * shuffle key set is bands × bucket values and per-bucket work is
-    * quadratic in bucket occupancy — at corpus scales where 8-bit buckets
-    * densify (≫ 256·tasks docs), widen the bands and lower the hamming
-    * budget (4 × 16-bit bands covers k ≤ 3 with 65k buckets/band, the
-    * Manku-et-al web-dedup operating point); the pigeonhole argument and
-    * this code are width-generic, the 8/8 default matches the catalog's
-    * phash precedent. */
-  def simHashPairs(sigs: DataFrame, maxHamming: Int = 7): DataFrame = {
-    val bands = 8
+  /** SimHash near-duplicate PAIRS by band LSH + exact hamming verify —
+    * the q_multimodal_phash shape applied to text signatures. Splitting
+    * the 64-bit signature into `bands` disjoint (64/bands)-bit bands
+    * gives PIGEONHOLE exact recall for hamming < bands: a pair differing
+    * in at most bands-1 bits leaves at least one band untouched, so it
+    * collides in that band's bucket. Candidates come only from
+    * band-bucket collisions (never all-pairs); each candidate is
+    * verified with a codegen'd bit_count(xor) and kept at or below
+    * `maxHamming`. Band width is the scale dial: bucket count per band
+    * is 2^(64/bands), and per-bucket work is quadratic in occupancy —
+    * the 4 × 16-bit / k ≤ 3 default is the Manku-Jain-Sarma WWW'07
+    * web-dedup operating point (65k buckets per band; the sf10 sweep
+    * measured the old 8 × 8-bit form at 4.7e9 candidates over 500k docs
+    * vs ~8M here, the quadratic densification the band width cures).
+    * A pair colliding in several bands is emitted ONCE via the canonical
+    * smallest-matching-band filter (checked row-wise from ha^hb), not a
+    * candidate-stream DISTINCT — the at-scale candidate flood flows
+    * join → filter → output without an exchange on pair rows. */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0,
+      s"bands must evenly split 64 bits: $bands")
+    val bandBits = 64 / bands
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xFFL))
+          shiftright(col("simhash"), bandBits * b).bitwiseAND(lit(mask))
             .as("bval"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bval").as("bval"))
@@ -321,10 +327,11 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        col("x.simhash").bitwiseXOR(col("y.simhash")).as("xr"),
+        col("x.band").as("band"))
+      .where(expr(s"band = 0 OR NOT exists(sequence(0, band - 1), " +
+        s"b -> ((xr >> (b * $bandBits)) & ${mask}L) = 0)"))
+      .select(col("id_a"), col("id_b"), bit_count(col("xr")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -360,9 +367,9 @@ object Dedup {
     * variant, but the replay must scale past the all-pairs form, so
     * candidates come from a banded join. Independence is preserved by
     * banding on a DIFFERENT disjoint 64-bit partition than Spark's
-    * contiguous bytes: band j gathers bits {i : i mod 8 = j}
+    * contiguous 16-bit quarters: band j gathers bits {i : i mod 4 = j}
     * (bit-interleaved). The pigeonhole theorem holds for ANY disjoint
-    * 8-way partition — a pair within `maxHamming` ≤ 7 flips leaves some
+    * 4-way partition — a pair within `maxHamming` ≤ 3 flips leaves some
     * band untouched — so the candidate set still covers every qualifying
     * pair while being generated by arithmetic Spark never ran: a Spark
     * band-extraction bug that silently drops pairs cannot be mirrored
@@ -370,16 +377,16 @@ object Dedup {
     * brute-force variant. */
   def simHashSidecarOracleSql(path: String, maxHamming: Int): String = {
     val p = graft.io.ReplaySidecar.sqlPath(path)
-    // bv = Σ_k ((h >> (8k + band)) & 1) << k, unrolled — bit k of the
-    // interleaved band value is signature bit 8k+band (two's-complement
+    // bv = Σ_k ((h >> (4k + band)) & 1) << k, unrolled — bit k of the
+    // interleaved band value is signature bit 4k+band (two's-complement
     // arithmetic shift keeps (h >> m) & 1 = bit m for negative h too)
-    val bv = (0 until 8)
-      .map(k => s"(((h >> (${8 * k} + b.band)) & 1) << $k)")
+    val bv = (0 until 16)
+      .map(k => s"(((h >> (${4 * k} + b.band)) & 1) << $k)")
       .mkString(" + ")
     s"""WITH sigs AS (SELECT doc_id, h FROM read_parquet('$p/*.parquet')),
        bands AS (
          SELECT doc_id, h, CAST(b.band AS INT) AS band, $bv AS bv
-         FROM sigs, (SELECT unnest(range(0, 8)) AS band) b),
+         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b),
        cand AS (
          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
            x.h AS ha, y.h AS hb

@@ -249,9 +249,14 @@ object LlmOps {
     String, Either[String, Seq[(Long, Long)]]]()
 
   /** q_dedup_simhash's hamming budget — ONE definition shared by the
-    * query and its generated oracle. 7 is the 8-band pigeonhole maximum
-    * (any pair within 7 bit flips leaves one 8-bit band untouched). */
-  private val SimHashMaxHamming = 7
+    * query, its generated oracle, and the brute-force spec twin. 3 is
+    * the 4-band (16-bit) pigeonhole maximum (any pair within 3 bit
+    * flips leaves one band untouched) — the Manku-Jain-Sarma WWW'07
+    * web-dedup operating point. The earlier 8 × 8-bit / k ≤ 7 form went
+    * quadratic one decade above the gate config: 256 buckets per band
+    * densify linearly with the corpus (4.7e9 candidates at sf10's 500k
+    * docs vs ~8M at this width). */
+  private[graft] val SimHashMaxHamming = 3
 
   /** The exact-Jaccard keep threshold of the MinHash verify stage — ONE
     * definition shared by the queries (verifyCandidates default) and the
@@ -566,9 +571,11 @@ object LlmOps {
         .orderBy("stage", "id_a", "id_b")
     }),
     // SimHash near-dup pairs: 64-bit signatures (explode + codegen'd bit
-    // sums, not per-row HOFs) -> byte-band LSH candidates -> exact
-    // bit_count(xor) hamming verify at <= 7 — pigeonhole-exact recall by
-    // construction (8 disjoint 8-bit bands). ORACLED via generated
+    // sums, not per-row HOFs) -> 16-bit-band LSH candidates -> exact
+    // bit_count(xor) hamming verify at <= 3 — pigeonhole-exact recall by
+    // construction (4 disjoint 16-bit bands, the Manku-Jain-Sarma WWW'07
+    // operating point; see SimHashMaxHamming for why the byte-band form
+    // was retired at the sf10 rung). ORACLED via generated
     // verify-replay SQL: the recorded signatures enter as literals and
     // DuckDB recomputes the whole pairing stage brute-force, so a
     // banding bug that drops a pair (or any hamming/threshold/ordering

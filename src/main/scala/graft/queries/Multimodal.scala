@@ -377,14 +377,18 @@ object Multimodal {
     // codec computes a 64-bit perceptual dHash per image (exact integer
     // arithmetic — bit-reproducible), and near-duplicates are found by
     // LSH-style BANDING on the hash, never all-pairs: the 64 bits split
-    // into 8 byte-bands, images join on (band_idx, band_value) — by
-    // pigeonhole ANY pair within Hamming distance ≤ 7 shares at least
-    // one intact band, so recall at the ≤6 threshold is exactly 1 (a
+    // into 8 byte-bands, images join on band PAIRS (i, j, bv_i, bv_j) —
+    // by pigeonhole ANY pair within Hamming distance ≤ 6 dirties at
+    // most 6 bands, so ≥ 2 bands survive intact and the pair collides
+    // on that band pair: recall at the ≤6 threshold is exactly 1 (a
     // GUARANTEE, not an LSH probability — pinned in MultimodalPhashSpec
     // against brute force) — and survivors verify with one codegen'd
     // bit_count(xor). The same banded-join shape as MinHash-LSH text
-    // dedup: candidate count scales with real near-dup density plus a
-    // 2⁻⁸-per-band random-collision floor, not with n². Output is the
+    // dedup, one rung stricter: single-byte bands have only 256 buckets
+    // each, so their occupancy grows linearly with the corpus and
+    // candidates quadratically — the 16-bit band-pair key keeps the
+    // collision floor at 2⁻¹⁶ per combo, measured 17.8× fewer
+    // candidates at the sf10 rung (0.69e9 vs 12.2e9). Output is the
     // per-image digest (hash + candidate/near-dup partner counts); a
     // production run would emit the pair list to a sink instead.
     // ORACLED via verify-replay: the codec half (payload → PNG → dHash)
@@ -409,16 +413,44 @@ object Multimodal {
             hashed.select(col("doc_id"), col("dhash").as("h"))))
         else Right(rec.map(r => (r.getLong(0), r.getLong(1))))
       })
+      // Candidates from BAND-PAIR collisions (2-of-8), not single bands.
+      // Pigeonhole: hamming ≤ 6 dirties ≤ 6 of the 8 byte-bands, so ≥ 2
+      // bands survive intact and the pair collides on that band PAIR —
+      // recall 1 at exactly the query's near-dup threshold. Single-byte
+      // bands have only 256 buckets each, so bucket occupancy grows
+      // linearly with the corpus and candidates quadratically: the sf10
+      // sweep measured 12.2e9 single-band candidates over 500k docs
+      // (synthetic text renders to stripey frames whose dhash bytes
+      // concentrate on 0x55/0xAA) vs 0.69e9 for band pairs — and TRUE
+      // duplicate pairs were only 277k, so the single-band stream was
+      // ~18× avoidable join fan-out feeding a pair-sized shuffle.
       val bands = hashed.select(col("doc_id"), col("dhash"),
-          posexplode(expr("transform(sequence(0, 7), b -> (dhash >> (b * 8)) & 255)")))
-        .toDF("doc_id", "dhash", "band", "bv")
+          explode(expr(
+            """flatten(transform(sequence(0, 6), i ->
+               transform(sequence(i + 1, 7), j -> named_struct(
+                 'i', i, 'j', j,
+                 'bi', (dhash >> (i * 8)) & 255,
+                 'bj', (dhash >> (j * 8)) & 255))))""")).as("bp"))
+        .select(col("doc_id"), col("dhash"), col("bp.i").as("i"),
+          col("bp.j").as("j"), col("bp.bi").as("bi"), col("bp.bj").as("bj"))
+      // A pair colliding on several band pairs would multi-count, and a
+      // DISTINCT here shuffles the candidate stream (the at-scale cost
+      // center — ~0.69e9 rows at sf10). Instead each surviving pair is
+      // emitted exactly once, by the CANONICAL band pair: (i, j) must be
+      // the two smallest zero bytes of ha^hb, checked row-wise with no
+      // extra state — the candidate stream flows join → filter → partial
+      // agg without ever being exchanged.
       val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+            col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-        .distinct()
-        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          col("a.dhash").as("ha"), col("b.dhash").as("hb"),
+          col("a.i").as("i"), col("a.j").as("j"))
+        .withColumn("xr", expr("ha ^ hb"))
+        .where(expr(
+          "NOT exists(sequence(0, j - 1), b -> b != i AND ((xr >> (b * 8)) & 255) = 0)"))
+        .withColumn("hamming", expr("bit_count(xr)"))
       val perDoc = cand.select(explode(array(
           struct(col("da").as("doc_id"), col("hamming")),
           struct(col("db").as("doc_id"), col("hamming")))).as("e"))
@@ -488,27 +520,34 @@ object Multimodal {
          SELECT doc_id, h
          FROM read_parquet('${graft.io.ReplaySidecar.sqlPath(path)}/*.parquet')""")
 
-  /** The shared pairing replay: candidates from a banded self-join on
-    * the SAME contiguous-byte bands Spark uses — n_candidates is
-    * banding-DEFINED output, so the oracle must mirror the partition
-    * (unlike q_dedup_simhash's hamming-verified pairs, where the sidecar
-    * oracle bands independently) — then DISTINCT pairs, bit_count(xor)
-    * hamming, the ≤6 near-dup threshold, per-doc counts, and the
-    * zero-candidate coalesce. The banded-join form is algebraically the
-    * pigeonhole candidate set (a pair joins iff ≥1 band collides) and,
-    * unlike the previous all-pairs + list_filter form, scales to
-    * corpus-sized sidecars. */
+  /** The shared pairing replay: candidates from a BAND-PAIR (2-of-8)
+    * self-join on the SAME contiguous-byte bands Spark uses —
+    * n_candidates is banding-DEFINED output, so the oracle must mirror
+    * the partition (unlike q_dedup_simhash's hamming-verified pairs,
+    * where the sidecar oracle bands independently) — then the canonical
+    * smallest-zero-byte-pair filter (each pair exactly once, replacing a
+    * candidate-stream DISTINCT), bit_count(xor) hamming, the ≤6 near-dup
+    * threshold, per-doc counts, and the zero-candidate coalesce. The
+    * band-pair form is algebraically the 2-of-8 pigeonhole candidate set
+    * (a pair joins iff ≥2 bands collide — recall 1 for hamming ≤ 6) and
+    * scales to corpus-sized sidecars where single-band banding goes
+    * quadratic (256 buckets per band). */
   private def phashOracleFrom(sigsSrc: String): String =
     s"""WITH sigs(doc_id, h) AS ($sigsSrc),
        bands AS (
-         SELECT doc_id, h, CAST(b.band AS INT) AS band,
-           (h >> (b.band * 8)) & 255 AS bv
-         FROM sigs, (SELECT unnest(range(0, 8)) AS band) b),
+         SELECT doc_id, h, CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           (h >> (p.i * 8)) & 255 AS bi, (h >> (p.j * 8)) & 255 AS bj
+         FROM sigs, (SELECT a.i, b.j
+                     FROM (SELECT unnest(range(0, 8)) AS i) a,
+                          (SELECT unnest(range(0, 8)) AS j) b
+                     WHERE a.i < b.j) p),
        cand AS (
-         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
-           x.h AS ha, y.h AS hb
+         SELECT x.doc_id AS da, y.doc_id AS db, x.h AS ha, y.h AS hb
          FROM bands x JOIN bands y
-           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+           ON x.i = y.i AND x.j = y.j AND x.bi = y.bi AND x.bj = y.bj
+             AND x.doc_id < y.doc_id
+         WHERE len(list_filter(range(0, x.j),
+             b -> b != x.i AND ((xor(x.h, y.h) >> (b * 8)) & 255) = 0)) = 0),
        ch AS (
          SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          FROM cand),

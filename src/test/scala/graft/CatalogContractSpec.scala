@@ -136,7 +136,7 @@ class CatalogContractSpec extends SparkSpec {
     assert(inc.filter(col("id_new") % 5 =!= 0 || col("id_corpus") % 5 === 0).count() == 0)
     // simhash pairs: the banded-LSH + verify pipeline must equal the
     // brute-force all-pairs hamming filter EXACTLY (pigeonhole recall 1
-    // at hamming <= 7 is a theorem, so any deviation is a bug) — the
+    // at hamming < bands is a theorem, so any deviation is a bug) — the
     // in-Spark twin of the generated brute-force DuckDB replay oracle
     val sh = graft.ops.Dedup.simHashes(
       graft.queries.tbl(spark, sf001, "documents"), "doc_id", "text")
@@ -145,7 +145,7 @@ class CatalogContractSpec extends SparkSpec {
       .select(col("x.doc_id"), col("y.doc_id"),
         org.apache.spark.sql.functions.bit_count(
           col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hm"))
-      .filter(col("hm") <= 7)
+      .filter(col("hm") <= graft.queries.LlmOps.SimHashMaxHamming)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val banded = SparkEntry.queries("q_dedup_simhash")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -4,10 +4,12 @@ import graft.queries.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Perceptual dHash image near-dup detection (q_multimodal_phash):
-  * bit-reproducible hashing, the banding recall GUARANTEE (any pair with
-  * Hamming ≤ 7 shares an intact byte-band — pigeonhole, not probability),
-  * and planted-duplicate behavior. This is the invariant tier standing in
-  * for a DuckDB oracle — DuckDB has no image codec.
+  * bit-reproducible hashing, the band-PAIR recall GUARANTEE (any pair
+  * with Hamming ≤ 6 dirties at most 6 of 8 byte-bands, so ≥ 2 bands
+  * survive intact and the pair collides on that band pair — pigeonhole,
+  * not probability), and planted-duplicate behavior. This is the
+  * invariant tier standing in for a DuckDB oracle — DuckDB has no image
+  * codec.
   */
 class MultimodalPhashSpec extends SparkSpec {
 
@@ -34,25 +36,25 @@ class MultimodalPhashSpec extends SparkSpec {
     assert(d <= 8, s"one-byte perturbation moved dHash by $d bits")
   }
 
-  test("banding recall: every pair with hamming <= 7 is a candidate (pigeonhole)") {
+  test("banding recall: every pair with hamming <= 6 is a candidate (pigeonhole)") {
     val out = SparkEntry.queries("q_multimodal_phash")(spark, sfDir)
       .select("doc_id", "dhash", "n_candidates", "n_near_dups").collect()
     assert(out.length > 0)
     val hashes = out.map(r => r.getLong(0) -> r.getLong(1))
     // brute-force ground truth over the collected hashes (fixture-sized)
-    val within7 = (for {
+    val within6 = (for {
       (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
-      if java.lang.Long.bitCount(ha ^ hb) <= 7
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
     } yield (ida, idb)).toSet
-    // a hamming<=7 pair differs in <=7 of 8 byte-bands, so at least one
-    // band matches exactly -> it MUST appear as a banding candidate; the
-    // per-doc candidate counts must therefore dominate the true counts
-    val trueCand = within7.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    // a hamming<=6 pair dirties <=6 of 8 byte-bands, so >=2 bands match
+    // exactly -> it MUST appear as a band-pair candidate; the per-doc
+    // candidate counts must therefore dominate the true counts
+    val trueCand = within6.toSeq.flatMap { case (a, b) => Seq(a, b) }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     out.foreach { r =>
       val (id, nc) = (r.getLong(0), r.getLong(2))
       assert(nc >= trueCand.getOrElse(id, 0L),
-        s"doc $id: candidates $nc < true hamming<=7 partners " +
+        s"doc $id: candidates $nc < true hamming<=6 partners " +
           s"${trueCand.getOrElse(id, 0L)}")
     }
     // near-dup counts are exactly the hamming<=6 partner counts

@@ -1357,4 +1357,51 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
     }.nonEmpty), s"lag window must consume the pre-aggregate:\n$p")
   }
+
+  test("q_multimodal_phash: the candidate pair stream is never exchanged") {
+    // The sf10 sweep measured 0.69e9 band-pair candidates over 500k docs
+    // (12.2e9 under the retired single-byte banding) — a DISTINCT or any
+    // pair-keyed exchange there is the at-scale cost center. The
+    // canonical smallest-zero-byte-pair filter makes each pair unique by
+    // construction, so every shuffle in the plan must be doc-sized
+    // (band-pair explode, doc_id aggregation, presentation sort), never
+    // keyed on the (da, db) pair.
+    val df = SparkEntry.queries("q_multimodal_phash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val pairKeyed = collectWithSubqueries(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+          (e.outputPartitioning.toString.contains("da#") ||
+            e.outputPartitioning.toString.contains("db#")) => e
+    }
+    assert(pairKeyed.isEmpty, s"candidate stream exchanged on pair keys:\n$p")
+    // and the per-doc rollup must have a map-side partial stage so the
+    // candidate flood collapses before its one legitimate exchange
+    val partials = collectWithSubqueries(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partials.nonEmpty, s"missing map-side partial aggregation:\n$p")
+  }
+
+  test("q_dedup_simhash: 16-bit-band candidates flow join -> filter -> output unexchanged") {
+    val df = SparkEntry.queries("q_dedup_simhash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the one allowed pair-keyed exchange is the presentation sort's
+    // rangepartitioning over the post-verify SURVIVOR pairs (output-
+    // sized); a hashpartitioning on pair keys is the retired DISTINCT
+    // shape that exchanged the raw candidate flood
+    val pairKeyed = collectWithSubqueries(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+          (e.outputPartitioning.toString.contains("id_a#") ||
+            e.outputPartitioning.toString.contains("id_b#")) => e
+    }
+    assert(pairKeyed.isEmpty,
+      s"simhash candidate stream exchanged on pair keys (the retired " +
+        s"DISTINCT shape):\n$p")
+  }
 }
