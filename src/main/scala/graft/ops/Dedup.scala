@@ -522,7 +522,6 @@ object Dedup {
   private def scoredCtes(pairs: Seq[(Option[String], Long, Long)],
                          leftCol: String, rightCol: String): (String, Boolean) = {
     val staged = pairs.exists(_._1.isDefined)
-    val candCols = (if (staged) Seq("stage") else Nil) ++ Seq(leftCol, rightCol)
     val rows =
       if (pairs.isEmpty) s"SELECT ${if (staged) "CAST(NULL AS VARCHAR), " else ""}" +
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE FALSE"
@@ -534,8 +533,25 @@ object Dedup {
         s"SELECT ${if (staged) "s, " else ""}CAST(a AS BIGINT), CAST(b AS BIGINT) " +
           s"FROM (VALUES $vals) v(${cols.mkString(", ")})"
       }
+    (scoredCtesFrom(rows, staged, leftCol, rightCol), staged)
+  }
+
+  /** The over-cap candidate source: recorded pairs from a
+    * [[graft.io.ReplaySidecar]] parquet ((stage,) a, b columns) instead
+    * of inline VALUES — same trust boundary, any corpus size. */
+  private def sidecarCandSrc(path: String, staged: Boolean): String =
+    s"SELECT ${if (staged) "stage, " else ""}a, b FROM " +
+      s"read_parquet('${graft.io.ReplaySidecar.sqlPath(path)}/*.parquet')"
+
+  /** The cand/tk/sh/scored CTE block over an arbitrary candidate-row
+    * source (VALUES literals below the cap, a sidecar parquet above it)
+    * — ONE derivation for every verify-replay shape so they cannot
+    * drift. */
+  private def scoredCtesFrom(candSrc: String, staged: Boolean,
+                             leftCol: String, rightCol: String): String = {
+    val candCols = (if (staged) Seq("stage") else Nil) ++ Seq(leftCol, rightCol)
     val stageSel = if (staged) "c.stage, " else ""
-    val ctes = s"""cand(${candCols.mkString(", ")}) AS ($rows),
+    s"""cand(${candCols.mkString(", ")}) AS ($candSrc),
        tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        sh AS (SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(t) - 2, 1) + 1),
@@ -547,7 +563,6 @@ object Dedup {
          FROM cand c
          JOIN sh x ON x.doc_id = c.$leftCol
          JOIN sh y ON y.doc_id = c.$rightCol)"""
-    (ctes, staged)
   }
 
   /** The candidate-splice CTE block (cand/tk/sh/scored) alone — for
@@ -564,6 +579,26 @@ object Dedup {
                             extraCtes: String = "",
                             prefixCol: Option[(String, String)] = None): String = {
     val (ctes, staged) = scoredCtes(pairs, leftCol, rightCol)
+    verifySqlOver(ctes, staged, leftCol, rightCol, threshold, extraCtes,
+      prefixCol)
+  }
+
+  /** [[verifyReplayOracleSql]] with the recorded candidates read back
+    * from a [[graft.io.ReplaySidecar]] parquet instead of VALUES
+    * literals — the over-cap path, exact at any corpus size. */
+  def verifyReplayOracleSqlFrom(path: String, staged: Boolean,
+                                leftCol: String, rightCol: String,
+                                threshold: Double,
+                                extraCtes: String = "",
+                                prefixCol: Option[(String, String)] = None): String =
+    verifySqlOver(
+      scoredCtesFrom(sidecarCandSrc(path, staged), staged, leftCol, rightCol),
+      staged, leftCol, rightCol, threshold, extraCtes, prefixCol)
+
+  private def verifySqlOver(ctes: String, staged: Boolean,
+                            leftCol: String, rightCol: String,
+                            threshold: Double, extraCtes: String,
+                            prefixCol: Option[(String, String)]): String = {
     val stageOrd = if (staged) "stage, " else ""
     val extra = if (extraCtes.isEmpty) "" else s",\n       $extraCtes"
     val preSel = prefixCol.map { case (n, e) => s"$e AS $n, " }.getOrElse("")
@@ -586,8 +621,19 @@ object Dedup {
     * a split cluster, a wrong canonical pick, or a size drift all
     * hash-mismatch. */
   def clusterReplayOracleSql(pairs: Seq[(Option[String], Long, Long)],
-                             threshold: Double): String = {
-    val (ctes, _) = scoredCtes(pairs, "id_a", "id_b")
+                             threshold: Double): String =
+    clusterSqlOver(scoredCtes(pairs, "id_a", "id_b")._1, threshold)
+
+  /** [[clusterReplayOracleSql]] over a sidecar-recorded candidate set —
+    * the over-cap path (unstaged by construction: the cluster query's
+    * candidates carry no stage label). */
+  def clusterReplayOracleSqlFrom(path: String, threshold: Double): String =
+    clusterSqlOver(
+      scoredCtesFrom(sidecarCandSrc(path, staged = false), staged = false,
+        "id_a", "id_b"),
+      threshold)
+
+  private def clusterSqlOver(ctes: String, threshold: Double): String = {
     s"""WITH RECURSIVE $ctes,
        p AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE j >= $threshold),
        e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p

@@ -214,16 +214,23 @@ object LlmOps {
     * non-SQL-expressible piece, so it enters the oracle as recorded
     * literals while DuckDB independently recomputes shingling, exact
     * Jaccard, threshold, rounding, and ordering from the raw documents
-    * table). Same one-dir emission rule as [[semanticCentroids]]; a
-    * candidate set above [[ReplayOracleCap]] falls back to rows-only
-    * rather than emit an unbounded literal list. Candidate DETERMINISM
-    * (seeded signatures) is pinned separately by IncrementalDedupSpec /
+    * table). Same one-dir emission rule as [[semanticCentroids]].
+    * `Right(pairs)` = inline literals (≤ [[ReplayOracleCap]] pairs,
+    * self-contained SQL); `Left(path)` = the over-cap parquet spillover
+    * ([[graft.io.ReplaySidecar]], written by executors — the recording
+    * collect is limit-bounded either way) the generated oracle reads
+    * back, so the replay stays exact at any corpus size and the old
+    * rows-only fallback is gone. Candidate DETERMINISM (seeded
+    * signatures) is pinned separately by IncrementalDedupSpec /
     * RecallFloorSpec. */
   private type CandMemo =
     java.util.concurrent.ConcurrentHashMap[String, Seq[(Option[String], Long, Long)]]
-  private val lshCandidates = new CandMemo()
-  private val incCandidates = new CandMemo()
-  private val fullCandidates = new CandMemo()
+  private type CandRec = Either[String, Seq[(Option[String], Long, Long)]]
+  private type CandMemoE =
+    java.util.concurrent.ConcurrentHashMap[String, CandRec]
+  private val lshCandidates = new CandMemoE()
+  private val incCandidates = new CandMemoE()
+  private val fullCandidates = new CandMemoE()
   /** The v2 curation pipeline's within-day MinHash candidates — its own
     * memo (the day slice differs from q_dedup_minhash_lsh's corpus-wide
     * candidate set), consumed by [[oracles]] to splice the literal
@@ -291,14 +298,46 @@ object LlmOps {
                       stage: Option[String]): Seq[(Option[String], Long, Long)] =
     df.collect().toSeq.map(r => (stage, r.getLong(0), r.getLong(1)))
 
-  private def replayOracle(memo: CandMemo, left: String,
-                           right: String): Option[String] = {
+  /** Record a candidate set for oracle replay: the collect is bounded at
+    * ReplayOracleCap+1 rows PER STAGE regardless of corpus size; if the
+    * total exceeds the literal cap the full set spills to a
+    * [[graft.io.ReplaySidecar]] parquet instead (executor write — the
+    * driver never holds the over-cap set). The frames' first two columns
+    * are the (left, right) pair ids. */
+  private def recordPairs(dir: String, name: String,
+      stages: Seq[(Option[String], org.apache.spark.sql.DataFrame)]): CandRec = {
+    val probes = stages.map { case (st, df) =>
+      (st, df.limit(ReplayOracleCap + 1).collect()) }
+    if (probes.iterator.map(_._2.length).sum <= ReplayOracleCap)
+      Right(probes.flatMap { case (st, rows) =>
+        rows.toSeq.map(r => (st, r.getLong(0), r.getLong(1))) })
+    else {
+      val staged = stages.exists(_._1.isDefined)
+      Left(graft.io.ReplaySidecar.writeOnce(dir, name) {
+        stages.map { case (st, df) =>
+          val ab = df.select(col(df.columns(0)).as("a"),
+            col(df.columns(1)).as("b"))
+          if (staged)
+            ab.select(lit(st.orNull).cast("string").as("stage"),
+              col("a"), col("b"))
+          else ab
+        }.reduce(_ unionByName _)
+      })
+    }
+  }
+
+  private def replayOracle(memo: CandMemoE, left: String, right: String,
+                           staged: Boolean = false): Option[String] = {
     import scala.jdk.CollectionConverters._
-    val recorded = memo.asScala.values.toSeq
-    if (recorded.size == 1 && recorded.head.size <= ReplayOracleCap)
-      Some(graft.ops.Dedup.verifyReplayOracleSql(recorded.head, left, right,
-        VerifyThreshold))
-    else None
+    memo.asScala.values.toSeq match {
+      case Seq(Right(pairs)) =>
+        Some(graft.ops.Dedup.verifyReplayOracleSql(pairs, left, right,
+          VerifyThreshold))
+      case Seq(Left(path)) =>
+        Some(graft.ops.Dedup.verifyReplayOracleSqlFrom(path, staged, left,
+          right, VerifyThreshold))
+      case _ => None
+    }
   }
 
   /** The incremental-dedup corpus index (base slice = doc_id % 5 >= 1,
@@ -320,23 +359,29 @@ object LlmOps {
     * the shared memo behind both the batch and streaming ingest oracles
     * (the candidate set is identical: new-vs-corpus pairs are
     * per-document independent, so the per-chunk union equals the batch
-    * probe). */
+    * probe). The frame's first two columns are (id_new, id_corpus);
+    * literal-or-sidecar recording as in [[recordPairs]]. */
   private[queries] def incrementalCandidatesFor(dir: String,
-      compute: () => Seq[(Option[String], Long, Long)]): Unit =
-    incCandidates.computeIfAbsent(dir, _ => compute())
+      compute: () => org.apache.spark.sql.DataFrame): Unit =
+    incCandidates.computeIfAbsent(dir, _ =>
+      recordPairs(dir, "inc_cands", Seq((None, compute()))))
 
   /** The generated verify-replay oracle over the recorded incremental
     * candidates, with optional extra CTEs / derived leading column (the
-    * streaming ingest query's batch attribution). Same one-dir + cap
-    * emission rules as [[replayOracle]]. */
+    * streaming ingest query's batch attribution). Same one-dir emission
+    * rule as [[replayOracle]], literal-or-sidecar. */
   private[queries] def incrementalReplayOracleSql(extraCtes: String = "",
       prefixCol: Option[(String, String)] = None): Option[String] = {
     import scala.jdk.CollectionConverters._
-    val recorded = incCandidates.asScala.values.toSeq
-    if (recorded.size == 1 && recorded.head.size <= ReplayOracleCap)
-      Some(graft.ops.Dedup.verifyReplayOracleSql(recorded.head,
-        "id_new", "id_corpus", VerifyThreshold, extraCtes, prefixCol))
-    else None
+    incCandidates.asScala.values.toSeq match {
+      case Seq(Right(rec)) =>
+        Some(graft.ops.Dedup.verifyReplayOracleSql(rec,
+          "id_new", "id_corpus", VerifyThreshold, extraCtes, prefixCol))
+      case Seq(Left(path)) =>
+        Some(graft.ops.Dedup.verifyReplayOracleSqlFrom(path, staged = false,
+          "id_new", "id_corpus", VerifyThreshold, extraCtes, prefixCol))
+      case _ => None
+    }
   }
 
   val defs: Map[String, Q] = Map(
@@ -457,7 +502,8 @@ object LlmOps {
       // record the candidate set once per corpus for the generated
       // verify-replay oracle (first invocation pays one collect of the
       // tiny persisted pair frame; later invocations hit the memo)
-      lshCandidates.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      lshCandidates.computeIfAbsent(dir, _ =>
+        recordPairs(dir, "lsh_cands", Seq((None, cands))))
       // exact-Jaccard verification of the candidate set only — shared
       // helper (shingles the candidate docs once, persisted; threshold
       // 0.5) so this and the incremental query cannot drift
@@ -481,7 +527,8 @@ object LlmOps {
       val d = tbl(s, dir, "documents")
       val cands = Dedup.lshCandidatePairs(
         Dedup.minHashSignatures(d, "doc_id", "text")).persist()
-      lshCandidates.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      lshCandidates.computeIfAbsent(dir, _ =>
+        recordPairs(dir, "lsh_cands", Seq((None, cands))))
       val pairs = Dedup.verifyCandidates(d, "doc_id", "text",
           cands, "id_a", "id_b")
         .select("id_a", "id_b")
@@ -519,7 +566,8 @@ object LlmOps {
       // LSH query
       val cands = Dedup.incrementalCandidatePairs(s, d.where(isNew), "doc_id", "text", idx)
         .persist()
-      incCandidates.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      incCandidates.computeIfAbsent(dir, _ =>
+        recordPairs(dir, "inc_cands", Seq((None, cands))))
       Dedup.verifyCandidates(d, "doc_id", "text", cands, "id_new", "id_corpus")
     }),
     // The FULL 3-step ingest loop as one catalog entry (q_dedup_incremental
@@ -558,9 +606,10 @@ object LlmOps {
       val s3 = Dedup.incrementalCandidatePairs(s, d.where(isDay2), "doc_id", "text", idx)
         .select(col("id_new").as("id_a"), col("id_corpus").as("id_b"))
       fullCandidates.computeIfAbsent(dir, _ =>
-        pairsOf(s1, Some("probe_corpus")) ++
-        pairsOf(s2, Some("within_batch")) ++
-        pairsOf(s3, Some("probe_appended")))
+        recordPairs(dir, "full_cands", Seq(
+          (Some("probe_corpus"), s1),
+          (Some("within_batch"), s2),
+          (Some("probe_appended"), s3))))
       def verified(c: org.apache.spark.sql.DataFrame, stage: String) =
         Dedup.verifyCandidates(d, "doc_id", "text", c, "id_a", "id_b")
           .withColumn("stage", lit(stage))
@@ -1901,14 +1950,18 @@ object LlmOps {
       replayOracle(lshCandidates, "id_a", "id_b")
         .map("q_dedup_minhash_lsh" -> _) ++ {
         // q_dedup_clusters rides the SAME candidate memo (identical
-        // seeded signatures -> identical candidates), same one-dir + cap
-        // emission rule
+        // seeded signatures -> identical candidates), same one-dir
+        // emission rule, literal-or-sidecar like replayOracle
         import scala.jdk.CollectionConverters._
-        val rec = lshCandidates.asScala.values.toSeq
-        if (rec.size == 1 && rec.head.size <= ReplayOracleCap)
-          Map("q_dedup_clusters" -> graft.ops.Dedup.clusterReplayOracleSql(
-            rec.head, VerifyThreshold))
-        else Map.empty
+        lshCandidates.asScala.values.toSeq match {
+          case Seq(Right(rec)) =>
+            Map("q_dedup_clusters" -> graft.ops.Dedup.clusterReplayOracleSql(
+              rec, VerifyThreshold))
+          case Seq(Left(path)) =>
+            Map("q_dedup_clusters" ->
+              graft.ops.Dedup.clusterReplayOracleSqlFrom(path, VerifyThreshold))
+          case _ => Map.empty
+        }
       } ++
       replayOracle(incCandidates, "id_new", "id_corpus")
         .map("q_dedup_incremental" -> _) ++ {
@@ -1922,7 +1975,7 @@ object LlmOps {
           Map("q_curate_pipeline_v3" -> curateV3OracleSql(rec.head))
         else Map.empty
       } ++
-      replayOracle(fullCandidates, "id_a", "id_b")
+      replayOracle(fullCandidates, "id_a", "id_b", staged = true)
         .map("q_dedup_incremental_full" -> _) ++ {
         val recorded = simhashSigs.asScala.values.toSeq
         recorded match {

@@ -94,8 +94,7 @@ object StreamingQueries {
       LlmOps.incrementalCandidatesFor(dir, () =>
         graft.ops.Dedup.incrementalCandidatePairs(s,
             tbl(s, dir, "documents").where(col("doc_id") % 5 === 0),
-            "doc_id", "text", idx)
-          .collect().toSeq.map(r => (None, r.getLong(0), r.getLong(1))))
+            "doc_id", "text", idx))
       StreamOps.dedupIngest(s, dir, idx)
         .orderBy("batch_id", "id_new", "id_corpus")
     })

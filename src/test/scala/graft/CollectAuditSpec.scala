@@ -30,16 +30,14 @@ class CollectAuditSpec extends AnyFunSuite {
       "seeded codebook fit sample — fixed sample size"),
     "ScaleUpMain.scala" -> (1,
       "scale-up tooling (not a query operator): distinct user ids of the source corpus"),
-    "StreamingQueries.scala" -> (1,
-      "oracle memo: recorded candidate pairs, emission capped at ReplayOracleCap"),
-    "LlmOps.scala" -> (2,
-      "oracle memos: the shared pairsOf collect (LSH + incremental + v2-pipeline candidate memos, each bounded by near-dup volume) + simhash signatures (limit(ReplayOracleCap+1)-bounded collect; over-cap memoizes empty -> rows-only)"),
+    "LlmOps.scala" -> (3,
+      "oracle memos: pairsOf (v2/v3 pipeline candidate memos, bounded by within-day near-dup volume) + recordPairs (limit(ReplayOracleCap+1)-bounded per stage; over-cap spills the full set to a ReplaySidecar parquet via executor write) + simhash signatures (limit(ReplayOracleCap+1)-bounded; over-cap likewise sidecars)"),
     "Events.scala" -> (2,
       "RFM quantile threshold rows (stats x quintiles) + sketch-tiles oracle memo (one row per event type, schema-bounded)"),
     "Relational.scala" -> (2,
       "oracle memos: approx-distinct (one row per return flag) + approx-quantiles (flags x percentiles) — both schema-bounded"),
     "Multimodal.scala" -> (2,
-      "oracle memos: dHash signatures + PNG byte sizes, both limit(MultimodalReplayCap+1)-bounded collects; over-cap memoizes empty -> rows-only"),
+      "oracle memos: dHash signatures + PNG byte sizes, both limit(MultimodalReplayCap+1)-bounded collects; over-cap spills to a ReplaySidecar parquet"),
     "TextQueries.scala" -> (2,
       "KlRef fit memo: kept vocabulary (limit(KlVocabTopK)) + bucket marginals (<= K+1 rows by the <oov> collapse) — both K-bounded by construction"))
 
