@@ -262,7 +262,7 @@ object LlmOps {
     * web-dedup operating point. The earlier 8 × 8-bit / k ≤ 7 form went
     * quadratic one decade above the gate config: 256 buckets per band
     * densify linearly with the corpus (4.7e9 candidates at sf10's 500k
-    * docs vs ~8M at this width). */
+    * docs vs 42M at this width). */
   private[graft] val SimHashMaxHamming = 3
 
   /** The exact-Jaccard keep threshold of the MinHash verify stage — ONE
@@ -2638,17 +2638,28 @@ object LlmOps {
            count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
            CAST(sum(words) AS BIGINT) AS n_tokens
          FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""",
+    // Postings-join replay, not all-pairs list_intersect: shingles are
+    // distinct within a doc, so count(*) per (train, eval) pair over the
+    // gram-equality join IS |intersection| — algebraically identical, but
+    // the old sh-x-sh form enumerated |train| x |eval| pairs (2.5e9 at
+    // sf10 — unfinishable) where this touches only pairs that share a
+    // gram. Exactness note: the Spark side's maxShingleDf hot-gram cap
+    // is inactive on these corpora (measured max df 28 at sf10 vs the
+    // 100k cap), so no capped-vs-uncapped divergence can occur.
     "q_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
          sh AS (SELECT doc_id, list_distinct(list_transform(
                   range(1, greatest(len(t) - ${ContamShingleN - 1}, 1) + 1),
                   i -> array_to_string(
                     list_slice(t, i, i + ${ContamShingleN - 1}), ' '))) s
-                FROM toks)
+                FROM toks),
+         posts AS (SELECT doc_id, unnest(s) AS g FROM sh)
          SELECT t.doc_id, e.doc_id AS eval_id,
-           CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS overlap
-         FROM sh t JOIN sh e ON t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
-         WHERE len(list_intersect(t.s, e.s)) >= $ContamMinOverlap
+           CAST(count(*) AS BIGINT) AS overlap
+         FROM posts t JOIN posts e
+           ON t.g = e.g AND t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
+         GROUP BY t.doc_id, e.doc_id
+         HAVING count(*) >= $ContamMinOverlap
          ORDER BY t.doc_id, eval_id""",
     // Step-for-step replay: same host synthesis, same last-3-label
     // registered-domain slice, LEFT JOIN ... IS NULL as the anti form.

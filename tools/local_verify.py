@@ -25,6 +25,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Large-scale compares (sf10: 500k-doc corpora) can push a single
+    # oracle's intermediates past DuckDB's default 80%-of-RAM limit and
+    # get the whole process OOM-killed; cap it and let heavies spill.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '40GB')}'")
+    spill = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dataset dir (e.g. ScaleUpMain)
@@ -49,6 +56,13 @@ def main(sf_dir, out_dir):
                     FROM {src}""")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+
+    def record(name, v):
+        # stream per-query verdicts so a long (or OOM-killed) run shows
+        # progress and the offending oracle instead of ending silent
+        results[name] = v
+        print(f"[cmp] {name}: {v[:200]}", file=sys.stderr, flush=True)
+
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -56,19 +70,19 @@ def main(sf_dir, out_dir):
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))],
                              ignore_index=True)
         if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(spark_df)}" + (" EMPTY!" if len(spark_df) == 0 else "")
+            record(name, f"NO-ORACLE rows={len(spark_df)}" + (" EMPTY!" if len(spark_df) == 0 else ""))
             continue
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            results[name] = f"ORACLE-ERROR {e}"
+            record(name, f"ORACLE-ERROR {e}")
             continue
         a, b = norm(spark_df), norm(duck_df)
         if list(a.columns) != list(b.columns):
-            results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+            record(name, f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
             continue
         if len(a) != len(b):
-            results[name] = f"ROWCOUNT spark={len(a)} duck={len(b)}"
+            record(name, f"ROWCOUNT spark={len(a)} duck={len(b)}")
             continue
         # Driver hashes stringified values, so a float-vs-int column (900.0 vs
         # 900) hash-mismatches even when numerically equal. Flag any dtype-KIND
@@ -77,11 +91,11 @@ def main(sf_dir, out_dir):
         kinds = [(c, a[c].dtype.kind, b[c].dtype.kind) for c in a.columns
                  if a[c].dtype.kind != b[c].dtype.kind]
         if kinds:
-            results[name] = f"DTYPE-KIND-MISMATCH {kinds}"
+            record(name, f"DTYPE-KIND-MISMATCH {kinds}")
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            results[name] = f"OK rows={len(a)}"
+            record(name, f"OK rows={len(a)}")
         except AssertionError as e:
             msg = str(e).split("\n")
             results[name] = "VALUE-MISMATCH " + " | ".join(msg[:3])
