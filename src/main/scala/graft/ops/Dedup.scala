@@ -304,7 +304,7 @@ object Dedup {
     * the 4 × 16-bit / k ≤ 3 default is the Manku-Jain-Sarma WWW'07
     * web-dedup operating point (65k buckets per band; the sf10 sweep
     * measured the old 8 × 8-bit form at 4.7e9 candidates over 500k docs
-    * vs ~8M here, the quadratic densification the band width cures).
+    * vs 42M here, the quadratic densification the band width cures).
     * A pair colliding in several bands is emitted ONCE via the canonical
     * smallest-matching-band filter (checked row-wise from ha^hb), not a
     * candidate-stream DISTINCT — the at-scale candidate flood flows

@@ -1433,6 +1433,43 @@ object Relational {
           batchTs = 1000L)
         .orderBy("c_custkey", "valid_from")
     }),
+
+    // Erase-cascade audit — the DELETE branch of merge semantics (beside
+    // q_merge_upsert's upsert and q_merge_scd2's versioning): a curated
+    // deletion list of customers (the GDPR/right-to-be-forgotten shape)
+    // cascades through the FK chain customer -> orders -> lineitem, and
+    // the output is the per-subject tombstone report a compliance
+    // pipeline acts on (orders purged, line items purged, cents
+    // refunded — customers with no orders still report, with zeros).
+    // Scale shape honest at 100 TB: the deletion list is curated-size,
+    // so orders filter MAP-SIDE against a broadcast semi-join; but the
+    // purged-order set is corpus-proportional (corpus/97 here), so
+    // lineitem joins it on the SHUFFLED orderkey exchange — forcing
+    // that broadcast is exactly the OOM the BroadcastAuditSpec hunts.
+    // Cents quantization before the sum keeps the refund column exact.
+    "q_merge_erase" -> ((s, dir) => {
+      val erased = tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val purgedOrders = tbl(s, dir, "orders")
+        .join(broadcast(erased), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"))
+      val purgedItems = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * 100d + 0.5d).cast("long").as("cents"))
+        .join(purgedOrders, col("l_orderkey") === col("o_orderkey"))
+      val perOrder = purgedOrders.groupBy("c_custkey")
+        .agg(countDistinct("o_orderkey").as("n_orders_purged"))
+      val perItem = purgedItems.groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_items_purged"),
+          sum("cents").as("refund_cents"))
+      erased.join(perOrder, Seq("c_custkey"), "left")
+        .join(perItem, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders_purged"), lit(0L)).as("n_orders_purged"),
+          coalesce(col("n_items_purged"), lit(0L)).as("n_items_purged"),
+          coalesce(col("refund_cents"), lit(0L)).as("refund_cents"))
+        .orderBy("c_custkey")
+    }),
     // Dynamic partition pruning (ops.Dpp): the fact table lives
     // hive-partitioned by ship month; a dim side filtered to one quarter
     // joins on the partition column, and Catalyst turns the dim's
@@ -1460,6 +1497,38 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy("ship_month")
+    }),
+
+    // Spatial grid radius join (ops.RadiusJoin): per-point neighbor
+    // digest over the embedding corpus projected to its first two
+    // milli-quantized dimensions — the geo/spatial join family member
+    // (points within distance r), solved by cell bucketing + the 3x3
+    // neighborhood join, never all-pairs. The radius derives IN-PLAN
+    // from corpus density (r = ceil(sqrt(bbox_area / n)), a 1-row
+    // aggregate crossJoin-broadcast onto the point stream), so expected
+    // cell occupancy — and with it per-cell join work and output
+    // volume — stays O(1) per point at ANY corpus size; nothing is
+    // recorded and nothing collects. Integer-exact: coordinates are
+    // milli-unit longs, distances long products, and the r derivation's
+    // single sqrt is correctly-rounded IEEE on both engines. The DuckDB
+    // oracle recomputes everything with an INDEPENDENT algorithm (a
+    // sort-based band join on x/y intervals, its IEJoin path) — a grid
+    // bucketing bug that drops a boundary pair cannot be mirrored.
+    "q_join_radius_grid" -> ((s, dir) => {
+      val milli = (c: org.apache.spark.sql.Column) =>
+        floor(c.cast("double") * 1000d + 0.5d).cast("long")
+      val pts = tbl(s, dir, "embeddings").select(
+        col("vec_id").as("id"),
+        milli(element_at(col("embedding"), 1)).as("x"),
+        milli(element_at(col("embedding"), 2)).as("y"))
+      val rRow = pts.agg(count(lit(1)).as("n"),
+          (max("x") - min("x")).as("w"), (max("y") - min("y")).as("h"))
+        .select(greatest(lit(1L),
+          ceil(sqrt((col("w") * col("h")).cast("double") / col("n")))
+            .cast("long")).as("r"))
+      graft.ops.RadiusJoin.neighborDigestWithR(
+          pts.crossJoin(broadcast(rRow)))
+        .orderBy("id")
     }),
 
     // Point-in-time (temporal) join against an SCD2-versioned dimension:
@@ -1599,6 +1668,39 @@ object Relational {
             .otherwise((col("bucket") + 1L) * w).as("hi"),
           col("n_orders"), col("sum_cents"))
         .orderBy("bucket")
+    }),
+
+    // Gini concentration coefficient of order revenue per priority —
+    // the inequality summary beside q_window_pareto's top-share cut
+    // (Pareto answers "what do the top k% hold", Gini integrates the
+    // whole Lorenz curve into one number). Exact integer derivation of
+    // the closed form G = (2*sum(i*x_i) - (n+1)*S) / (n*S) over
+    // ascending-sorted cents: the rank-weighted sum accumulates in
+    // decimal(38,0) (sum(i*x_i) is inherently n^2-scaled — a long sum
+    // wraps SILENTLY at the 100x rung while DuckDB promotes to HUGEINT;
+    // the decimal twin matches), and the final ppm value is integral
+    // division of nonnegative decimals, where Spark's truncating div
+    // and DuckDB's floor-div agree. Ties need no canonical order: equal
+    // x under any rank permutation leave sum(i*x_i) unchanged, so
+    // row_number is safe. Scale shape: ONE priority-keyed sort window
+    // over (priority, cents) rows + one aggregation — no joins.
+    "q_agg_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("cents"))
+        .withColumn("i", row_number().over(w).cast("decimal(38,0)"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").as("sum_cents"),
+          sum(col("i") * col("cents")).as("ixs"))
+        .select(col("o_orderpriority"), col("n_orders"), col("sum_cents"),
+          expr("""CAST(((2 * ixs - (n_orders + 1) * CAST(sum_cents AS DECIMAL(38,0)))
+                  * 1000000) DIV (CAST(n_orders AS DECIMAL(38,0)) * sum_cents)
+                 AS BIGINT)""").as("gini_ppm"))
+        .orderBy("o_orderpriority")
     }),
 
     // Benford first-digit conformance over order values — the
@@ -2206,6 +2308,72 @@ object Relational {
                 ELSE (bucket + 1) * $HistBucketWidth END AS hi,
            count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM b GROUP BY bucket ORDER BY bucket""",
+    // HUGEINT rank-weighted sum is the decimal(38,0) twin; // on the
+    // nonnegative numerator matches Spark's truncating DIV
+    "q_agg_gini" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT o_orderpriority, cents,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY cents, o_orderkey) AS HUGEINT) AS i
+           FROM c),
+         g AS (SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             sum(i * cents) AS ixs
+           FROM r GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n_orders, sum_cents,
+           CAST(((2 * ixs - (n_orders + 1) * CAST(sum_cents AS HUGEINT))
+                 * 1000000) // (CAST(n_orders AS HUGEINT) * sum_cents)
+             AS BIGINT) AS gini_ppm
+         FROM g ORDER BY o_orderpriority""",
+    // INDEPENDENT algorithm from the Spark grid join: a sort-based x/y
+    // band join (DuckDB's IEJoin path) + the same exact integer
+    // distance verify — a cell-boundary bug on the Spark side cannot
+    // be mirrored here
+    "q_join_radius_grid" ->
+      """WITH pts AS (SELECT vec_id AS id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS y
+           FROM embeddings),
+         par AS (SELECT count(*) AS n, max(x) - min(x) AS w,
+             max(y) - min(y) AS h FROM pts),
+         rr AS (SELECT greatest(1, CAST(ceil(sqrt(
+             CAST(w * h AS DOUBLE) / n)) AS BIGINT)) AS r FROM par),
+         pairs AS (SELECT a.id AS ia, b.id AS ib,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+           FROM pts a, pts b
+           WHERE a.id < b.id
+             AND b.x BETWEEN a.x - (SELECT r FROM rr) AND a.x + (SELECT r FROM rr)
+             AND b.y BETWEEN a.y - (SELECT r FROM rr) AND a.y + (SELECT r FROM rr)
+             AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               <= (SELECT r FROM rr) * (SELECT r FROM rr)),
+         per AS (SELECT id, count(*) AS n_neighbors, min(d2) AS nn_dist2
+           FROM (SELECT ia AS id, d2 FROM pairs
+                 UNION ALL SELECT ib AS id, d2 FROM pairs)
+           GROUP BY id)
+         SELECT p.id, p.x, p.y,
+           coalesce(n_neighbors, 0) AS n_neighbors, nn_dist2
+         FROM pts p LEFT JOIN per USING (id) ORDER BY p.id""",
+    "q_merge_erase" ->
+      """WITH erased AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+         po AS (SELECT e.c_custkey, o.o_orderkey FROM orders o
+                JOIN erased e ON o.o_custkey = e.c_custkey),
+         pi AS (SELECT po.c_custkey,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem l JOIN po ON l.l_orderkey = po.o_orderkey),
+         a AS (SELECT c_custkey, count(DISTINCT o_orderkey) AS n_orders_purged
+               FROM po GROUP BY c_custkey),
+         b AS (SELECT c_custkey, count(*) AS n_items_purged,
+               CAST(sum(cents) AS BIGINT) AS refund_cents
+               FROM pi GROUP BY c_custkey)
+         SELECT e.c_custkey,
+           coalesce(n_orders_purged, 0) AS n_orders_purged,
+           coalesce(n_items_purged, 0) AS n_items_purged,
+           coalesce(refund_cents, 0) AS refund_cents
+         FROM erased e LEFT JOIN a USING (c_custkey)
+         LEFT JOIN b USING (c_custkey)
+         ORDER BY e.c_custkey""",
     "q_quality_benford" -> {
       val vals = BenfordExpPpm.map { case (d, p) =>
         s"($d, CAST($p AS BIGINT))" }.mkString(", ")

@@ -87,6 +87,8 @@ class BroadcastAuditSpec extends AnyFunSuite {
     ("Relational.scala", "tbl") -> (2, "ENTITY_DIM: part (p_partkey, p_brand) projections — product catalog (basket-rules + modularity attribution; the latter measured 28 s -> map-side at the sf10 rung); swap to shuffle joins past executor memory"),
     ("Relational.scala", "tot") -> (2, "ONE_ROW: grand totals (basket lift + Cramers-V n/r/c row)"),
     ("Relational.scala", "ntot") -> (1, "ONE_ROW: Benford base-row count"),
+    ("Relational.scala", "rRow") -> (1, "ONE_ROW: the density-derived radius r = ceil(sqrt(bbox_area/n)) for the grid radius join"),
+    ("Relational.scala", "erased") -> (1, "CAPPED: curated deletion list (GDPR subjects — corpus/97 on the synthetic fixture but a curated request queue in production; swap to a shuffle semi-join if a backlog ever outgrows executors)"),
     ("Relational.scala", "ref") -> (1, "SCHEMA: PSI reference bucket marginals, <= PsiBuckets rows by construction"),
     ("Relational.scala", "rtot") -> (1, "ONE_ROW: PSI reference grand total"),
     ("Relational.scala", "ptot") -> (1, "ONE_ROW: FK parent distinct count (referential audit)"),

@@ -1404,4 +1404,75 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"simhash candidate stream exchanged on pair keys (the retired " +
         s"DISTINCT shape):\n$p")
   }
+
+  test("q_join_radius_grid: cell-keyed join, one-row radius broadcast, no cartesian") {
+    val df = SparkEntry.queries("q_join_radius_grid")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the only nested-loop joins allowed are replicas of the 1-row
+    // radius broadcast (the narrow pts+r chain is recomputed per
+    // consumer — home cells, probe cells, digest base — instead of
+    // cached, so the one-row crossJoin appears once per branch); the
+    // candidate join itself must be an equi-join on cell keys
+    val bnl = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 3, s"unexpected nested-loop joins (${bnl.size}):\n$p")
+    val equi = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equi.nonEmpty, s"grid candidate join must be an equi-join:\n$p")
+    // no pair-keyed hash exchange: the pair stream flows join -> filter
+    // -> partial agg, and only doc-sized/cell-sized exchanges exist
+    val pairKeyed = collectWithSubqueries(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+          e.outputPartitioning.toString.contains("ia#") => e
+    }
+    assert(pairKeyed.isEmpty, s"pair stream exchanged:\n$p")
+  }
+
+  test("q_agg_gini: one priority-keyed sort window feeding one aggregation; no joins") {
+    val df = SparkEntry.queries("q_agg_gini")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val joins = collectWithSubqueries(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.isEmpty, s"gini must not join:\n$p")
+    // priority window exchange + presentation sort only
+    val exchanges = collectWithSubqueries(p) { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, s"unexpected extra shuffles (${exchanges.size}):\n$p")
+    val wins = collectWithSubqueries(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.isEmpty, s"unpartitioned window in gini:\n$p")
+  }
+
+  test("q_merge_erase: deletion list broadcasts; the lineitem cascade join does NOT") {
+    val df = SparkEntry.queries("q_merge_erase")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(p) {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"curated deletion list should broadcast onto orders:\n$p")
+    // the purged-order set is corpus-proportional, so the lineitem
+    // cascade join must NOT carry a forced broadcast hint — AQE is free
+    // to broadcast it at fixture scale (it does), but at 100 TB the
+    // un-hinted join degrades gracefully to a shuffle instead of OOMing
+    // executors. Exactly one hint in the whole plan: the curated
+    // deletion list.
+    val hints = df.queryExecution.optimizedPlan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size <= 1,
+      s"cascade join must not be hint-forced (${hints.size} hints):\n" +
+        df.queryExecution.optimizedPlan)
+  }
 }
