@@ -584,15 +584,21 @@ object Multimodal {
          SELECT doc_id, png_bytes
          FROM read_parquet('${graft.io.ReplaySidecar.sqlPath(path)}/*.parquet')""")
 
+  // px_sum via hex-pair byte decode, not per-bit get_bit lists: the
+  // bit form builds an 8·len element list per document, and at the
+  // sf10 rung (500k docs × ~2.4k bits) DuckDB's per-vector list
+  // materialization grew unbounded past the buffer-manager cap and got
+  // the compare process OOM-killed; hex() pairs decode the same byte
+  // values with 1/8 the list volume.
   private def decodeOracleFrom(pngSrc: String): String =
     s"""WITH png(doc_id, png_bytes) AS ($pngSrc),
        base AS (SELECT doc_id, encode(text) AS b FROM documents),
        stats AS (SELECT doc_id,
            CAST(octet_length(b) AS INT) AS payload_bytes,
            CAST(coalesce(list_sum(list_transform(
-               range(0, CAST(octet_length(b) AS INT) * 8),
-               k -> get_bit(CAST(b AS BIT), CAST(k AS INT))
-                 * (1 << (7 - CAST(k AS INT) % 8)))), 0) AS BIGINT)
+               range(0, CAST(octet_length(b) AS INT)),
+               k -> CAST('0x' || substring(hex(b),
+                 CAST(k * 2 + 1 AS INT), 2) AS INT))), 0) AS BIGINT)
              AS px_sum
          FROM base),
        geom AS (SELECT doc_id, payload_bytes, px_sum,
@@ -609,7 +615,9 @@ object Multimodal {
   /** q_multimodal_ingest's generated replay oracle — nothing recorded
     * but the DIRECTORY: DuckDB re-scans the same files via read_blob()
     * (independent names/sizes/bytes) and recomputes the StubCodec fold
-    * from the raw blob: byte_i via get_bit (the decode-oracle idiom),
+    * from the raw blob: byte_i via hex-pair decode (the decode-oracle
+    * idiom — a get_bit form would CAST the whole multi-MB blob to BIT
+    * once per lambda evaluation),
     * fi = float32(byte_i)/float32(255) widened to double — REAL/REAL
     * division is float32 in DuckDB, matching the JVM's `/255f` — and
     * the 16-term mean. Exactness argument: each nonzero fi is a
@@ -627,15 +635,17 @@ object Multimodal {
          SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
            size AS n_bytes, content AS b
          FROM read_blob(['$d/*.parquet', '$d/*.parquet/*.parquet'])),
+       hx AS (SELECT file_name, n_bytes,
+           substring(hex(b), 1, CAST(2 * least(n_bytes, $nf) AS INT)) AS hb
+         FROM f),
        feat AS (
          SELECT file_name, n_bytes, CAST($nf AS INT) AS n_features,
            coalesce(list_sum(list_transform(
              range(0, CAST(least(n_bytes, $nf) AS INT)),
-             i -> CAST(CAST(list_sum(list_transform(range(i*8, i*8+8),
-                    k -> get_bit(CAST(b AS BIT), CAST(k AS INT))
-                         * (1 << (7 - CAST(k AS INT) % 8)))) AS REAL)
+             i -> CAST(CAST(CAST('0x' || substring(hb,
+                    CAST(i * 2 + 1 AS INT), 2) AS INT) AS REAL)
                   / CAST(255 AS REAL) AS DOUBLE))), 0.0) AS s
-         FROM f)
+         FROM hx)
        SELECT file_name, n_bytes, n_features,
          floor(s / $nf * 1000000 + 0.5) / 1000000 AS feature_mean
        FROM feat ORDER BY file_name"""
