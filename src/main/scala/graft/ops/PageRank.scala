@@ -98,6 +98,76 @@ object PageRank {
     (out, () => { e.unpersist(false); nodes.unpersist(false); () })
   }
 
+  /** [[fixedPoint]] specialised for graphs whose size is bounded BY
+    * CONSTRUCTION (e.g. q_text_textrank's top-K-vocabulary graph: ≤ K
+    * nodes, ≤ K·(K−1) symmetrized distinct edges): collects the edge
+    * list to the driver ONCE and runs the identical integer recurrence
+    * there, returning the same (node, rank_micro) frame.
+    *
+    * WHY (round 16, guide §1/§2): the unrolled iterate-as-joins plan
+    * costs 2 shuffles PER ROUND regardless of graph size — for a
+    * 64-node graph that is 20 micro-shuffles of <64 rows each, pure
+    * fixed scheduling/exchange overhead (measured 9.4 s of
+    * q_text_textrank's 11.3 s at sf0.1; the driver loop is 4 ms). A
+    * K-bounded graph is exactly the "small side" the guide says to stop
+    * distributing. The distributed [[fixedPoint]] remains the path for
+    * corpus-scale graphs (q_graph_pagerank).
+    *
+    * EQUIVALENCE: same nodes (distinct src), same outdeg (edge
+    * multiplicity counted), same r0 = R div nn, same per-round
+    * s(v) = Σ r(u) div outdeg(u) over in-edges and
+    * r'(v) = (R−d) div nn + (d·s(v)) div R — all nonneg long arithmetic,
+    * where Scala `/` ≡ Spark `div`; long sums are order-invariant, so
+    * the driver loop is bit-identical to the join plan (pinned by
+    * PageRankLocalSpec against [[fixedPoint]] on random graphs).
+    *
+    * The collect is limit(maxEdges+1)-bounded and REFUSES an over-cap
+    * graph rather than truncating it — the caller's K-bound is a
+    * contract, not a hint. */
+  def fixedPointLocal(edges: DataFrame, iters: Int, maxEdges: Int,
+      dampMicro: Long = 850000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(maxEdges >= 1, s"maxEdges must be >= 1: $maxEdges")
+    require(dampMicro >= 0L && dampMicro <= R,
+      s"dampMicro must be in [0, $R]: $dampMicro")
+    val spark = edges.sparkSession
+    // bounded collect: ≤ maxEdges+1 rows ever reach the driver
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(maxEdges + 1).collect()
+    require(rows.length <= maxEdges,
+      s"fixedPointLocal is for graphs bounded by construction: " +
+        s"got > $maxEdges edges — use fixedPoint for corpus-scale graphs")
+    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
+    if (es.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node", "rank_micro")
+    }
+    val nodesArr = es.map(_._1).distinct.sorted
+    val idx = nodesArr.zipWithIndex.toMap
+    val outdeg = new Array[Long](nodesArr.length)
+    es.foreach { case (s, _) => outdeg(idx(s)) += 1L }
+    val nn = nodesArr.length.toLong
+    var r = Array.fill(nodesArr.length)(R / nn)
+    for (_ <- 1 to iters) {
+      val contrib = Array.tabulate(nodesArr.length)(i => r(i) / outdeg(i))
+      val s = new Array[Long](nodesArr.length)
+      es.foreach { case (u, v) =>
+        // contributions to a dst that never appears as src are dropped,
+        // matching the distributed nodes-LEFT-JOIN-contribs semantics
+        idx.get(v) match {
+          case Some(j) => s(j) += contrib(idx(u))
+          case None => ()
+        }
+      }
+      r = Array.tabulate(nodesArr.length)(i =>
+        (R - dampMicro) / nn + (dampMicro * s(i)) / R)
+    }
+    import spark.implicits._
+    nodesArr.toIndexedSeq.zipWithIndex
+      .map { case (n, i) => (n, r(i)) }
+      .toDF("node", "rank_micro")
+  }
+
   /** Convergence summary of [[untilConverged]]: the final ranks (backed
     * by a checkpointed RDD — safe to consume after release), the number
     * of iterations actually run, and the last measured step delta. */

@@ -1044,9 +1044,18 @@ object LlmOps {
               (col("tot_b").cast("double") * col("cc"))) *
             1000000d + 0.5d).cast("long"))
         .groupBy("batch_id").agg(sum("contrib").as("kl_micro"))
-      // one-row quarantine pick; broadcast-anti keeps admission map-side
+      // one-row quarantine pick; broadcast-anti keeps admission map-side.
+      // localCheckpoint (r16, guide §3.3/§7.3): the pick is ONE row but
+      // its lineage is the whole day-sized drift-scoring subtree — left
+      // lazy, that subtree rides under the admission anti-join into
+      // EVERY downstream plan of the 8-stage chain, and each AQE stage
+      // re-optimization re-walks it (measured: v3 ran 2.4× v2 with only
+      // ~1.4 s of stage-0 execution; the rest was plan-size-driven
+      // driver time). Truncating here executes stage 0 once and hands
+      // the chain a 1-row leaf. Values are unchanged: the checkpoint
+      // materializes exactly the frame the anti-join consumed before.
       val quarantined = kl.orderBy(desc("kl_micro"), asc("batch_id")).limit(1)
-        .select("batch_id")
+        .select("batch_id").localCheckpoint()
       val admitted = batched
         .join(broadcast(quarantined), Seq("batch_id"), "left_anti")
         .drop("batch_id")
@@ -1136,14 +1145,26 @@ object LlmOps {
     // this from q_contamination's small-benchmark sweep. The oracle is
     // the brute blocking replay over gram STRINGS (any qualifying pair
     // shares a gram), independent of the prefix logic it checks.
+    // Elements enter as the codegen'd 64-bit gram hashes (r16) — the
+    // same representation swap q_sim_set_join already carries, with the
+    // same equivalence argument: equal grams always collide, unequal
+    // with p ≈ 2^-64, so every df / prefix rank / intersection /
+    // cont_ppm equals the string computation the oracle replays, while
+    // the engine's three shuffles move 8-byte longs and the corpus-side
+    // explode generates longs, never ~40-byte gram strings (HOF string
+    // shingling was 3 corpus-scale interpreted evaluations — measured
+    // 5.2 s at sf0.1 vs the set join's 2.0 s on the SAME prefix-filter
+    // kernel; guide §2.3 "narrower types" + §4 "no interpreted
+    // expressions in the hot path").
     "q_sim_containment_join" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val hashes = org.apache.spark.sql.graft.TokenShingleHashes
       val probes = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("pid"),
           array_join(slice(split(col("text"), " "), 1, 20), " ").as("ptext"))
       graft.ops.SetSimJoin.containedPairsRational(
-          probes, "pid", Dedup.tokenShingles(col("ptext"), 3),
-          d, "doc_id", Dedup.tokenShingles(col("text"), 3),
+          probes, "pid", hashes.token_shingle_hashes(col("ptext"), 3),
+          d, "doc_id", hashes.token_shingle_hashes(col("text"), 3),
           tauNum = 1, tauDen = 2)
         .withColumnRenamed("probe_id", "probe_doc")
         .orderBy("probe_doc", "doc_id")

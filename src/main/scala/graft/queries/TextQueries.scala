@@ -1077,7 +1077,12 @@ object TextQueries {
       val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
         .distinct()
-      val pr = graft.ops.PageRank.fixedPoint(edges, TextRankIters)
+      // K-bounded graph (≤ VocabK nodes, ≤ K·(K−1) edges by the vocab
+      // cap) → the driver fixed point: identical integer recurrence,
+      // none of the 2-shuffles-per-round overhead the unrolled join plan
+      // pays on a 64-node graph (measured 9.4 s → ~0 at sf0.1, r16)
+      val pr = graft.ops.PageRank.fixedPointLocal(edges, TextRankIters,
+        maxEdges = TextRankVocabK * (TextRankVocabK - 1))
       graft.ops.TopK.perGroup(
           pr.join(broadcast(ids), "node").withColumn("g", lit(1)),
           Seq("g"), Seq(("rank_micro", false), ("w", true)),

@@ -28,6 +28,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "limit(1) pair argmax + limit(batchM+1) merge batch — both explicitly limited"),
     "ProductQuantizer.scala" -> (1,
       "seeded codebook fit sample — fixed sample size"),
+    "PageRank.scala" -> (1,
+      "fixedPointLocal edge list — limit(maxEdges+1)-bounded, refuses over-cap graphs (callers pass a by-construction K-bound, e.g. textrank's VocabK^2)"),
     "ScaleUpMain.scala" -> (1,
       "scale-up tooling (not a query operator): distinct user ids of the source corpus"),
     "LlmOps.scala" -> (3,

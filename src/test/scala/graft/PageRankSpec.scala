@@ -118,4 +118,45 @@ class PageRankSpec extends SparkSpec {
       s"result must read a checkpointed RDD leaf:\n$plan")
     assert(depth < 10, s"plan depth $depth suggests lineage was not truncated:\n$plan")
   }
+
+  test("fixedPointLocal is bit-identical to fixedPoint on random bounded graphs") {
+    // the r16 driver fast path must replay the EXACT recurrence —
+    // including edge multiplicity in outdeg, dangling-dst drop, and the
+    // integer div at every step — across several seeded random shapes
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 5 + rnd.nextInt(20)
+      val base = Seq.fill(40 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+      val iters = 1 + rnd.nextInt(8)
+      val want = PageRank.fixedPoint(edges, iters)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      val got = PageRank.fixedPointLocal(edges, iters, maxEdges = 4096)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(got == want, s"trial $trial (n=$n iters=$iters): local != distributed")
+    }
+  }
+
+  test("fixedPointLocal drops contributions to dst-only vertices, like the join plan") {
+    // 1 -> 2 -> 3 directed chain: 3 never appears as src, so it is not a
+    // node in either implementation and its inbound mass leaks (the
+    // documented directed-list semantics)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val want = PageRank.fixedPoint(edges, iters = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val got = PageRank.fixedPointLocal(edges, iters = 4, maxEdges = 16)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._1) == Seq(1L, 2L), "dst-only vertex 3 must not appear")
+  }
+
+  test("fixedPointLocal refuses an over-cap graph instead of truncating") {
+    val base = (1L to 40L).map(l => (l % 13, l))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      PageRank.fixedPointLocal(edges, iters = 2, maxEdges = 10))
+    assert(e.getMessage.contains("bounded by construction"))
+  }
 }

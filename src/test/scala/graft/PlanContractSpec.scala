@@ -1234,27 +1234,27 @@ class PlanContractSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ex.size <= 2, s"unexpected extra shuffles (${ex.size}):\n$p")
   }
 
-  test("q_text_textrank: iterations ride cached K-sized frames, never replay the token scan") {
+  test("q_text_textrank: ranks enter as a K-bounded local relation; one doc scan in the emit plan") {
     val df = SparkEntry.queries("q_text_textrank")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan
-    // the PageRank rounds consume the persisted edge/vertex frames
-    // (iters edge scans + iters+1 vertex scans); if the cache contract
-    // broke, every round would replay the corpus token pipeline
-    val expectCached = 2 * graft.queries.TextQueries.TextRankIters + 1
-    val cached = collectWithSubqueries(p) {
-      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    // r16: the PageRank rounds run on the DRIVER over the collected
+    // K-bounded edge list (PageRank.fixedPointLocal — 2 shuffles/round
+    // on a 64-node graph was pure exchange overhead), so the emit plan
+    // must carry the ranks as a LocalTableScan, not an iterate-as-joins
+    // cascade of cached frames
+    val local = collectWithSubqueries(p) {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
     }
-    assert(cached.size >= expectCached,
-      s"expected >= $expectCached cached scans, got ${cached.size}:\n$p")
-    // the token pipeline itself reads documents at most twice (vocab
-    // branch + pair branch — different shapes by construction)
+    assert(local.nonEmpty, s"expected the driver-rank LocalTableScan:\n$p")
+    // the emit plan re-reads documents only for the word→node id table
+    // (the edge build's scans happened in the bounded collect)
     val docScans = collectWithSubqueries(p) {
       case s: FileSourceScanExec
         if s.relation.location.rootPaths.mkString.contains("documents") => s
     }
-    assert(docScans.size <= 2,
-      s"token pipeline re-scans documents (${docScans.size}):\n$p")
+    assert(docScans.size <= 1,
+      s"emit plan re-scans documents (${docScans.size}):\n$p")
     assert(collectWithSubqueries(p) {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, s"textrank grew a cartesian product:\n$p")
