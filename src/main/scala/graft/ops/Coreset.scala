@@ -31,10 +31,17 @@ import org.apache.spark.sql.functions._
 object Coreset {
 
   /** Exact squared distance from the quantized component array `q` to a
-    * literal center vector. */
-  private def d2(q: Column, center: Seq[Long]): Column =
-    aggregate(zip_with(q, typedlit(center), (x, y) => (x - y) * (x - y)),
-      lit(0L), (a, v) => a + v)
+    * literal center vector — expanded to Σq² − 2·q·c + Σc² over the
+    * native DotLong kernel (r16): the HOF fold was interpreted per
+    * element per round. The expansion is an exact integer identity
+    * (milli components ≤ ~2·10³, d = 64 → every term ≤ ~10⁹, no
+    * overflow), so values are bit-identical to the direct fold the
+    * DuckDB oracle replays. */
+  private def d2(q: Column, center: Seq[Long]): Column = {
+    val c2 = center.map(v => v * v).sum
+    import org.apache.spark.sql.graft.DotLong.dot_long
+    dot_long(q, q) - lit(2L) * dot_long(q, typedlit(center)) + lit(c2)
+  }
 
   /** Greedy k-center over `emb(vec_id: long, label: int, q: array<long>)`.
     * Returns one row per selection:

@@ -53,20 +53,14 @@ object Winnowing {
     * already had grouped). Per-row state = one doc's gram array — the
     * same doc-length bound the window's sort task would have held. */
   private def selected(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int, w: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"), grams.as("g"))
-      .select(col("doc_id"),
-        posexplode(when(size(col("g")) >= w,
-            transform(sequence(lit(w), size(col("g"))),
-              p => array_min(slice(col("g"), p - lit(w) + 1, lit(w)))))
-          .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("col").as("fp"))
-  }
+                       k: Int, w: Int): DataFrame =
+    // r16: gram build + window-min in ONE codegen'd kernel — the nested
+    // transform-lambda shape was CodegenFallback per element twice over
+    // (O(len·w) interpreted dispatches/doc, the query's dominant cost);
+    // see WinnowingFingerprints for the position-by-position equivalence
+    docs.select(col(idCol).as("doc_id"),
+        explode(org.apache.spark.sql.graft.WinnowingFingerprints
+          .winnowing_fingerprints(col(textCol), k, w)).as("fp"))
 
   /** Distinct winnowing fingerprints per document as gram STRINGS — the
     * oracle-replayable view; invariant specs (recall, completeness,

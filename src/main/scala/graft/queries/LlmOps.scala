@@ -1311,10 +1311,12 @@ object LlmOps {
     // beyond that: cs = Σ q wraps at n ≈ 9×10¹⁵, and dot = Σ q·cs at
     // n ≈ 2^63/(d·10⁶) ≈ 1.4×10¹¹ members per label.
     "q_embed_coherence" -> ((s, dir) => {
+      // native milli quantization (r16) — the HOF lambda was interpreted
+      // per element; see QuantizeMilli for the bit-equality argument
       val comp = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          posexplode(transform(col("embedding"),
-            x => floor(x.cast("double") * 1000d + 0.5d).cast("long"))))
+          posexplode(org.apache.spark.sql.graft.QuantizeMilli
+            .quantize_milli(col("embedding"))))
         .toDF("vec_id", "label", "idx", "q")
       val cent = comp.groupBy("label", "idx").agg(sum("q").as("cs"))
       val cn = cent.groupBy("label")
@@ -1403,21 +1405,21 @@ object LlmOps {
     // in the probe count, never quadratic in the corpus; the ANN tier
     // (q_sim_*_ann) is the path when the PANEL is corpus-scale.
     "q_embed_knn_eval" -> ((s, dir) => {
+      // native quantize/dot kernels (r16) — the corpus × panel scan paid
+      // an interpreted HOF dispatch per dimension per pair; values are
+      // identical (QuantizeMilli/DotLong scaladocs)
+      import org.apache.spark.sql.graft.{DotLong, QuantizeMilli}
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
-        .withColumn("nq", aggregate(transform(col("q"), v => v * v),
-          lit(0L), (a, v) => a + v))
+          QuantizeMilli.quantize_milli(col("embedding")).as("q"))
+        .withColumn("nq", DotLong.dot_long(col("q"), col("q")))
       val panel = emb.orderBy("vec_id").limit(KnnProbeN)
         .select(col("vec_id").as("p_id"), col("label").as("p_label"),
           col("q").as("p_q"), col("nq").as("p_nq"))
       val pairs = emb.crossJoin(broadcast(panel))
         .where(col("vec_id") =!= col("p_id") &&
           col("nq") > 0L && col("p_nq") > 0L)
-        .withColumn("dot", aggregate(
-          zip_with(col("q"), col("p_q"), (x, y) => x * y),
-          lit(0L), (a, v) => a + v))
+        .withColumn("dot", DotLong.dot_long(col("q"), col("p_q")))
         .withColumn("cos_ppm", floor(
           col("dot").cast("double") /
             (sqrt(col("nq").cast("double")) * sqrt(col("p_nq").cast("double"))) *
@@ -1453,12 +1455,14 @@ object LlmOps {
     // corpus side one linear narrow scan (the kNN-audit contract), both
     // rank cuts bounded TopK heaps.
     "q_embed_sq8" -> ((s, dir) => {
+      // native quantize/dot kernels (r16) on the hot corpus×panel scan;
+      // the c8 recode and maxabs fold keep their HOF shape (once per
+      // row, broadcast-dependent scale — not the hot path)
+      import org.apache.spark.sql.graft.{DotLong, QuantizeMilli}
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
-        .withColumn("nq", aggregate(transform(col("q"), v => v * v),
-          lit(0L), (a, v) => a + v))
+          QuantizeMilli.quantize_milli(col("embedding")).as("q"))
+        .withColumn("nq", DotLong.dot_long(col("q"), col("q")))
         .filter(col("nq") > 0L)
       val mx = emb.select(aggregate(transform(col("q"), v => abs(v)),
           lit(0L), (a, v) => greatest(a, v)).as("ma"))
@@ -1467,8 +1471,7 @@ object LlmOps {
         .withColumn("c8", transform(col("q"),
           v => floor(v.cast("double") * 127d / col("maxabs") + 0.5d)
             .cast("long")))
-        .withColumn("n8", aggregate(transform(col("c8"), v => v * v),
-          lit(0L), (a, v) => a + v))
+        .withColumn("n8", DotLong.dot_long(col("c8"), col("c8")))
         .filter(col("n8") > 0L)
         .select("vec_id", "q", "nq", "c8", "n8")
       val panel = coded.orderBy("vec_id").limit(KnnProbeN)
@@ -1477,14 +1480,12 @@ object LlmOps {
       val pairs = coded.crossJoin(broadcast(panel))
         .where(col("vec_id") =!= col("p_id"))
         .withColumn("cos_ppm", floor(
-          aggregate(zip_with(col("q"), col("p_q"), (x, y) => x * y),
-            lit(0L), (a, v) => a + v).cast("double") /
+          DotLong.dot_long(col("q"), col("p_q")).cast("double") /
             (sqrt(col("nq").cast("double")) *
               sqrt(col("p_nq").cast("double"))) * 1000000d + 0.5d)
           .cast("long"))
         .withColumn("cos8_ppm", floor(
-          aggregate(zip_with(col("c8"), col("p_c8"), (x, y) => x * y),
-            lit(0L), (a, v) => a + v).cast("double") /
+          DotLong.dot_long(col("c8"), col("p_c8")).cast("double") /
             (sqrt(col("n8").cast("double")) *
               sqrt(col("p_n8").cast("double"))) * 1000000d + 0.5d)
           .cast("long"))
@@ -1514,8 +1515,8 @@ object LlmOps {
     "q_sample_coreset" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+          org.apache.spark.sql.graft.QuantizeMilli
+            .quantize_milli(col("embedding")).as("q"))
       graft.ops.Coreset.kCenter(emb, CoresetK).orderBy("sel_order")
     }),
     // MMR diversified top-k retrieval (Carbonell & Goldstein 1998 —
@@ -1530,8 +1531,8 @@ object LlmOps {
     "q_sim_mmr" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
+          org.apache.spark.sql.graft.QuantizeMilli
+            .quantize_milli(col("embedding")).as("q"))
       graft.ops.Mmr.diversifiedTopK(emb, MmrK, MmrShortlist)
         .orderBy("sel_order")
     }),
@@ -1594,21 +1595,22 @@ object LlmOps {
           Seq(("score_micro", false), ("doc_id", true)), k = RrfDepth,
           rankCol = "lex_rank")
         .select(col("p_id"), col("doc_id"), col("lex_rank"))
+      // native quantize/dot kernels (r16) on the corpus×panel scan —
+      // same swap as q_embed_knn_eval
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000d + 0.5d).cast("long")).as("q"))
-        .withColumn("nq", aggregate(transform(col("q"), v => v * v),
-          lit(0L), (a, v) => a + v))
+          org.apache.spark.sql.graft.QuantizeMilli
+            .quantize_milli(col("embedding")).as("q"))
+        .withColumn("nq", org.apache.spark.sql.graft.DotLong
+          .dot_long(col("q"), col("q")))
       val panel = emb.join(broadcast(probes), col("vec_id") === col("p_id"))
         .select(col("p_id"), col("q").as("p_q"), col("nq").as("p_nq"))
       val vecRank = graft.ops.TopK.perGroup(
           emb.crossJoin(broadcast(panel))
             .where(col("vec_id") =!= col("p_id") &&
               col("nq") > 0L && col("p_nq") > 0L)
-            .withColumn("dot", aggregate(
-              zip_with(col("q"), col("p_q"), (x, y) => x * y),
-              lit(0L), (a, v) => a + v))
+            .withColumn("dot", org.apache.spark.sql.graft.DotLong
+              .dot_long(col("q"), col("p_q")))
             .withColumn("cos_ppm", floor(
               col("dot").cast("double") /
                 (sqrt(col("nq").cast("double")) *
