@@ -135,4 +135,101 @@ object OrderStats {
     }
     resolved.toSeq.toDF("stat", "value").orderBy("stat")
   }
+
+  /** Multi-column variant of [[quantilesDisc]] (r16): resolves the same
+    * discrete quantiles for SEVERAL value columns in SHARED passes —
+    * one bounds aggregation and one histogram scan per round covering
+    * every column, instead of a full per-column fit (q_events_rfm's
+    * three-metric fit paid 3× the scans and 3× the job count for
+    * results this returns identically). The input is melted map-side
+    * (`posexplode(array(cols))` → (cid, v)); brackets are keyed
+    * (column, stat) and the bin when-chain is conditioned on `cid`, so
+    * per-column bracket disjointness — the correctness invariant of the
+    * bisection — is preserved even when columns overlap in value space.
+    * Driver state stays bounded: ≤ open-brackets × bins counter rows
+    * per round. Returns col → (stat → value), equal per column to
+    * [[quantilesDisc]] by construction (identical recurrence; pinned in
+    * OrderStatsSpec). */
+  def quantilesDiscMulti(df: DataFrame, valueCols: Seq[String],
+      qs: Seq[Quantile], bins: Int = 4096,
+      maxRounds: Int = 16): Map[String, Map[String, Long]] = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    require(valueCols.nonEmpty && valueCols.distinct.size == valueCols.size,
+      "value columns must be non-empty and distinct")
+    require(qs.nonEmpty && qs.map(_.stat).distinct.size == qs.size,
+      "quantile labels must be non-empty and distinct")
+    val v = df.select(posexplode(
+        array(valueCols.map(c => col(c).cast("long")): _*))
+        .as(Seq("cid", "v")))
+      .where(col("v").isNotNull)
+    val b0 = v.groupBy("cid")
+      .agg(min("v"), max("v"), count(lit(1)))
+      .collect() // one row per column — schema-bounded driver state
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    final case class Br(cid: Int, lo: Long, hi: Long, rank: Long)
+    var open: Map[(Int, String), Br] =
+      (for { ci <- valueCols.indices; q <- qs } yield {
+        val (lo, hi, n) = b0.getOrElse(ci, throw new IllegalArgumentException(
+          s"quantilesDiscMulti: no non-null rows in ${valueCols(ci)}"))
+        (ci, q.stat) -> Br(ci, lo, hi, (n - 1) * q.num / q.den)
+      }).toMap
+    var resolved = Map.empty[(Int, String), Long]
+    var round = 0
+    while (open.nonEmpty) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"quantilesDiscMulti did not converge in $maxRounds rounds: $open")
+      val (done, rest) = open.partition { case (_, br) => br.lo == br.hi }
+      resolved ++= done.map { case (k, br) => k -> br.lo }
+      open = rest
+      if (open.nonEmpty) {
+        val spans = open.values.map(br => (br.cid, br.lo, br.hi)).toSeq.distinct
+          .map { case (cid, lo, hi) =>
+            val span =
+              try Math.subtractExact(hi, lo)
+              catch { case _: ArithmeticException =>
+                throw new IllegalArgumentException(
+                  s"value span [$lo, $hi] exceeds 2^63-1; rescale the domain")
+              }
+            (cid, lo, hi, span / bins + 1)
+          }
+        val init: (Column, Column) = (lit(-1), lit(-1L))
+        val (bidCol, binCol) = spans.zipWithIndex.foldLeft(init) {
+          case ((bidAcc, binAcc), ((cid, lo, hi, w), i)) =>
+            val in = col("cid") === cid && col("v") >= lo && col("v") <= hi
+            (when(in, lit(i)).otherwise(bidAcc),
+             when(in, expr(s"(v - (${lo}L)) div ${w}L")).otherwise(binAcc))
+        }
+        val hist = v.select(bidCol.as("bid"), binCol.as("bin"))
+          .where(col("bid") >= 0)
+          .groupBy("bid", "bin").agg(count(lit(1)).as("c"))
+          .collect() // <= brackets*bins counter rows — bounded driver state
+          .groupBy(_.getInt(0))
+          .map { case (bid, rows) =>
+            bid -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1).toSeq
+          }
+        open = open.map { case (k, br) =>
+          val bi = spans.indexWhere(sp =>
+            sp._1 == br.cid && sp._2 == br.lo && sp._3 == br.hi)
+          val (_, lo, hi, w) = spans(bi)
+          var remaining = br.rank
+          var found: Br = null
+          for ((bin, c) <- hist.getOrElse(bi, Seq.empty) if found == null) {
+            if (remaining < c)
+              found = Br(br.cid, lo + bin * w,
+                math.min(hi, lo + (bin + 1) * w - 1), remaining)
+            else remaining -= c
+          }
+          require(found != null,
+            s"rank ${br.rank} exceeds bracket population for $k — " +
+              "bracket bookkeeping bug")
+          k -> found
+        }
+      }
+    }
+    valueCols.indices.map(ci => valueCols(ci) ->
+      resolved.collect { case ((c, st), value) if c == ci => st -> value }
+        .toMap).toMap
+  }
 }

@@ -381,8 +381,14 @@ object Events {
       val uC = u.persist()
       val (rT, fT, mT) =
         try {
-          def th(c: String): Seq[Long] = quantilesDisc(uC.select(c), c, qs)
-            .collect().sortBy(_.getString(0)).map(_.getLong(1)).toSeq
+          // fused three-metric fit (r16): one bounds pass + one
+          // histogram scan per round for ALL metrics — identical values
+          // to three quantilesDisc calls (OrderStatsSpec pins it), a
+          // third of the scans and jobs
+          val thr = graft.ops.OrderStats.quantilesDiscMulti(uC,
+            Seq("recency_s", "frequency", "monetary_cents"), qs)
+          def th(c: String): Seq[Long] =
+            thr(c).toSeq.sortBy(_._1).map(_._2)
           (th("recency_s"), th("frequency"), th("monetary_cents"))
         } finally { uC.unpersist(); () }
       def scoreUp(c: org.apache.spark.sql.Column, ts: Seq[Long]) =

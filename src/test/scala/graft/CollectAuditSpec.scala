@@ -22,8 +22,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "query-point seed (limit(1)) + the TopK-bounded relevance shortlist (<= MmrShortlist rows) the driver greedy runs over"),
     "Coreset.scala" -> (2,
       "k-center seed + per-round farthest-point argmax — both limit(1)-bounded, k rounds total"),
-    "OrderStats.scala" -> (1,
-      "histogram counter cells <= brackets x bins per round (documented inline)"),
+    "OrderStats.scala" -> (3,
+      "histogram counter cells <= brackets x bins per round (documented inline; single- and multi-column variants) + the multi-column bounds row per column (schema-bounded)"),
     "Bpe.scala" -> (2,
       "limit(1) pair argmax + limit(batchM+1) merge batch — both explicitly limited"),
     "ProductQuantizer.scala" -> (1,
@@ -34,8 +34,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "scale-up tooling (not a query operator): distinct user ids of the source corpus"),
     "LlmOps.scala" -> (3,
       "oracle memos: pairsOf (v2/v3 pipeline candidate memos, bounded by within-day near-dup volume) + recordPairs (limit(ReplayOracleCap+1)-bounded per stage; over-cap spills the full set to a ReplaySidecar parquet via executor write) + simhash signatures (limit(ReplayOracleCap+1)-bounded; over-cap likewise sidecars)"),
-    "Events.scala" -> (2,
-      "RFM quantile threshold rows (stats x quintiles) + sketch-tiles oracle memo (one row per event type, schema-bounded)"),
+    "Events.scala" -> (1,
+      "sketch-tiles oracle memo (one row per event type, schema-bounded); RFM thresholds now arrive via OrderStats.quantilesDiscMulti's audited collects"),
     "Relational.scala" -> (2,
       "oracle memos: approx-distinct (one row per return flag) + approx-quantiles (flags x percentiles) — both schema-bounded"),
     "Multimodal.scala" -> (2,

@@ -77,4 +77,23 @@ class OrderStatsSpec extends SparkSpec {
         Seq(Quantile("a", 1, 2), Quantile("a", 1, 4)))
     }
   }
+
+  test("quantilesDiscMulti equals per-column quantilesDisc, incl. overlapping value ranges") {
+    // three columns with deliberately OVERLAPPING value spaces and
+    // different shapes (the r16 fused-fit path must keep per-column
+    // brackets independent even when value ranges coincide)
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(500)((
+      rnd.nextInt(1000).toLong,
+      (rnd.nextInt(40) + 5).toLong,
+      rnd.nextInt(1000).toLong * rnd.nextInt(3)))
+    val df = rows.toDF("a", "b", "c")
+    val got = OrderStats.quantilesDiscMulti(df, Seq("a", "b", "c"), qs,
+      bins = 16)
+    for (c <- Seq("a", "b", "c")) {
+      val want = OrderStats.quantilesDisc(df.select(c), c, qs, bins = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got(c) == want, s"column $c: fused != per-column")
+    }
+  }
 }
