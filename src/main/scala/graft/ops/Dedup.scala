@@ -466,8 +466,14 @@ object Dedup {
                                 shingleN: Int): DataFrame = {
     val ids = cands.select(explode(array(col(leftCol), col(rightCol))).as(idCol))
       .distinct()
+    // shingles enter as the codegen'd 64-bit gram hashes (r16): the HOF
+    // string shape was interpreted per gram per candidate doc, and the
+    // intersect/size Jaccard counts over hashes equal the counts over
+    // strings (the q_sim_set_join 2^-64-collision equivalence the
+    // string-replay oracles already lean on)
     docs.join(broadcast(ids), idCol)
-      .select(col(idCol), tokenShingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), org.apache.spark.sql.graft.TokenShingleHashes
+        .token_shingle_hashes(col(textCol), shingleN).as("sh"))
       .persist()
   }
 
