@@ -1696,9 +1696,18 @@ object LlmOps {
       val sigs = Dedup.minHashSignatures(fresh, "doc_id", "text")
       val cands = Dedup.lshCandidatePairs(sigs).persist()
       candMemo.computeIfAbsent(dir, _ => pairsOf(cands, None))
+      // localCheckpoint (r16, guide §3.3): dupDrop is broadcast-anti'd
+      // into the emit chain, and mixToWeights' two deduped references
+      // duplicated its whole verify-join subtree — the verify stage
+      // executed per reference (ReuseExchange does not fire across the
+      // renamed broadcast subtrees; measured v2 7.5 → 4.4 s, v3
+      // 10.4 → 6.9 s from this one truncation). Bounded: dupDrop is the
+      // verified near-dup id set the chain already assumes
+      // broadcast-sized; values unchanged (oracles re-verified).
       val dupDrop = Dedup
         .verifyCandidates(fresh, "doc_id", "text", cands, "id_a", "id_b")
         .select(col("id_b").as("doc_id")).distinct() // id_a < id_b always
+        .localCheckpoint()
       // boundedness: dupDrop ≤ verified near-dup volume
       val neardeduped = fresh.join(broadcast(dupDrop), Seq("doc_id"), "left_anti")
       // 5. curation funnel (v1's rules) over the surviving day
